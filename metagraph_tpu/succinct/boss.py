@@ -1,0 +1,281 @@
+"""The BOSS succinct de Bruijn graph — dense-array, batch-first implementation.
+
+Ref: src/graph/representation/succinct/boss.{hpp,cpp} (navigation formulas
+verified against boss.cpp:437-718 and recorded in SURVEY.md A.2).
+
+The reference stores W in a wavelet tree and last/F with rank-select
+dictionaries and navigates one edge at a time.  Here the table is a set of
+dense arrays plus cumulative-count indexes, and *every* navigation primitive is
+a vectorized batch operation over arrays of edge indices — the same access
+pattern the TPU kernels use (gather + prefix-sum), so the numpy implementation
+doubles as the executable specification of the device path
+(metagraph_tpu/succinct/ops.py).
+
+Indexing conventions (same as reference):
+  * rows 0..num_edges; row 0 is the sentinel zero row; edge indices are 1-based
+  * node index = rank of the node's last edge in `last`
+  * W values in [0, 2*alph): c + alph marks a non-first incoming edge ("minus")
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Iterable, Tuple
+
+import numpy as np
+
+from ..kmer import packing
+from .construct import BossArrays, build_boss_arrays
+
+
+class BOSS:
+    """Succinct de Bruijn graph over a sentinel-included alphabet."""
+
+    def __init__(self, arrays: BossArrays):
+        self.k = arrays.k                  # node length; edges are (k+1)-mers
+        self.alph_size = arrays.alph_size
+        self.W = arrays.W.astype(np.uint8)
+        self.last = arrays.last.astype(np.uint8)
+        self.F = arrays.F.astype(np.int64)
+        self.valid = arrays.valid.astype(np.uint8)
+        self.weights = arrays.weights
+        self._build_indexes()
+
+    # ------------------------------------------------------------------ setup
+    def _build_indexes(self):
+        M = len(self.W)
+        a = self.alph_size
+        # rank structures: full cumulative counts (host); device uses blocks
+        self._cum_last = np.cumsum(self.last, dtype=np.int64)      # rank_last(i) = cl[i]
+        self._sel_last = np.flatnonzero(self.last).astype(np.int64)
+        onehot = self.W[None, :] == np.arange(2 * a, dtype=np.uint8)[:, None]
+        self._cum_W = np.cumsum(onehot, axis=1, dtype=np.int64)    # (2a, M)
+        sel_cat = []
+        off = [0]
+        for c in range(2 * a):
+            pos = np.flatnonzero(self.W == c)
+            sel_cat.append(pos)
+            off.append(off[-1] + len(pos))
+        self._sel_W = np.concatenate(sel_cat) if sel_cat else np.zeros(0, np.int64)
+        self._sel_W_off = np.array(off, dtype=np.int64)
+        # NF[c] = rank_last(F[c])  (ref boss.hpp:509)
+        self.NF = self._cum_last[self.F]
+        self._cum_valid = np.cumsum(self.valid, dtype=np.int64)
+
+    # ------------------------------------------------------- basic primitives
+    @property
+    def num_edges(self) -> int:
+        return len(self.W) - 1
+
+    def num_nodes(self) -> int:
+        return int(self._cum_last[-1])
+
+    def rank_last(self, i):
+        """#set bits in last[1..i] (ref boss.cpp:577-581)."""
+        return self._cum_last[i]
+
+    def select_last(self, r):
+        """position of the r-th set bit of last; select_last(0)=0 (ref :588-592)."""
+        r = np.asarray(r, dtype=np.int64)
+        idx = np.clip(r - 1, 0, max(len(self._sel_last) - 1, 0))
+        out = np.where(r > 0, self._sel_last[idx], 0)
+        return out
+
+    def rank_W(self, i, c):
+        """#occurrences of raw value c in W[1..i] (ref boss.cpp:437-441)."""
+        i = np.asarray(i, dtype=np.int64)
+        c = np.asarray(c, dtype=np.int64)
+        return self._cum_W[c, i] - (c == 0).astype(np.int64)
+
+    def select_W(self, c, r):
+        """position of the r-th occurrence of raw value c in W[1..] (1-based).
+
+        For c == 0, rank 0 refers to the sentinel at position 0.
+        """
+        c = np.asarray(c, dtype=np.int64)
+        r = np.asarray(r, dtype=np.int64) + (c == 0)  # skip sentinel W[0]=0
+        idx = self._sel_W_off[c] + r - 1
+        return self._sel_W[np.clip(idx, 0, max(len(self._sel_W) - 1, 0))]
+
+    def succ_last(self, i):
+        """position of the first set bit of last in [i..] (node's last edge)."""
+        i = np.asarray(i, dtype=np.int64)
+        r = self._cum_last[np.maximum(i, 1) - 1] + 1
+        return self.select_last(r)
+
+    def pred_last(self, i):
+        i = np.asarray(i, dtype=np.int64)
+        r = self._cum_last[i]
+        return self.select_last(r)
+
+    # ----------------------------------------------------------- fwd and bwd
+    def node_last_char(self, i):
+        """last character of the source node of edge i (F scan; ref :674-686)."""
+        i = np.asarray(i, dtype=np.int64)
+        idx = np.searchsorted(self.F, i, side="left")  # first c with F[c] >= i
+        return np.where(idx < self.alph_size, idx - 1, self.alph_size - 1)
+
+    def fwd(self, i, c=None):
+        """target node's last edge for edge(s) i (ref boss.cpp:640-672).
+
+        If c is given it must equal W[i] % alph (used when streaming).
+        """
+        i = np.asarray(i, dtype=np.int64)
+        w = self.W[i].astype(np.int64)
+        cc = w % self.alph_size if c is None else np.asarray(c, dtype=np.int64)
+        # rank of exact value cc in W[1..i]; for $ the sentinel adjustment
+        # cancels the reference's inverse_select/-1 dance: rank = rank_W(i, 0)
+        rank = self.rank_W(i, cc)
+        target = self.NF[cc] + rank
+        return self.select_last(target)
+
+    def bwd(self, i):
+        """last incoming edge of the source node of edge i (ref boss.cpp:623-637)."""
+        i = np.asarray(i, dtype=np.int64)
+        scalar = i.ndim == 0
+        i = np.atleast_1d(i)
+        target = self._cum_last[i - 1] + 1
+        c = self.node_last_char(i)
+        res = self.select_W(c, target - self.NF[c])
+        res = np.where(target == 1, 1, res)
+        return res[0] if scalar else res
+
+    # ------------------------------------------------------------ edge ranges
+    def node_range(self, i):
+        """[begin, end] edge range of the source node of edge(s) i (inclusive)."""
+        i = np.asarray(i, dtype=np.int64)
+        end = self.succ_last(i)
+        begin = self.pred_last(np.maximum(i - 1, 0)) + 1
+        return begin, end
+
+    def pick_edge(self, edge, c):
+        """edge with label c out of the node whose last edge is `edge`, or 0.
+
+        (ref boss.cpp:710-722; vectorized via rank/select instead of scanning)
+        """
+        edge = np.asarray(edge, dtype=np.int64)
+        c = np.asarray(c, dtype=np.int64)
+        begin = self.pred_last(np.maximum(edge - 1, 0)) + 1
+        res = np.zeros(edge.shape, dtype=np.int64)
+        for cand_base in (0, self.alph_size):
+            cand = c + cand_base
+            lo = self.rank_W(np.maximum(begin - 1, 0), cand)
+            hi = self.rank_W(edge, cand)
+            found = hi > lo
+            pos = self.select_W(cand, lo + 1)
+            res = np.where(found & (res == 0), pos, res)
+        return res
+
+    # ------------------------------------------------------------ node lookup
+    def tighten_range(self, rl, ru, s, alive):
+        """One step of the range-tightening node search (ref boss.hpp:682-693)."""
+        rk_rl = self.rank_W(np.maximum(rl - 1, 0), s) + 1
+        rk_ru = self.rank_W(ru, s)
+        ok = alive & (rk_rl <= rk_ru)
+        nf = self.NF[s]
+        new_rl = self.select_last(nf + rk_rl - 1) + 1
+        new_ru = self.select_last(nf + rk_ru)
+        rl = np.where(ok, new_rl, rl)
+        ru = np.where(ok, new_ru, ru)
+        return rl, ru, ok
+
+    def initial_range(self, s):
+        """F-based initial range for first node character s (ref boss.hpp:665-677)."""
+        M = len(self.W)
+        s = np.asarray(s, dtype=np.int64)
+        rl = np.where(self.F[s] + 1 < M, self.F[s] + 1, M)
+        F_ext = np.concatenate([self.F, [M - 1]])
+        ru = F_ext[s + 1]
+        return rl, ru
+
+    def index_batch(self, nodes: np.ndarray) -> np.ndarray:
+        """Batched node lookup: (Q, k) node code matrices -> last-edge index or 0.
+
+        Vectorized equivalent of BOSS::index (ref boss.hpp:696-718): the k-1
+        tighten iterations run in lockstep over the whole batch — on device this
+        is a lax.fori_loop of gathers.
+        """
+        Q, k = nodes.shape
+        assert k == self.k
+        alive = np.all(nodes < self.alph_size, axis=1)
+        s0 = np.where(alive, nodes[:, 0].astype(np.int64), 0)
+        rl, ru = self.initial_range(s0)
+        alive = alive & (rl <= ru)
+        for pos in range(1, k):
+            s = np.where(alive, nodes[:, pos].astype(np.int64), 0)
+            rl, ru, alive = self.tighten_range(rl, ru, s, alive)
+        return np.where(alive, ru, 0)
+
+    def map_to_edges_batch(self, kmers: np.ndarray) -> np.ndarray:
+        """Batched edge lookup for (Q, k+1) edge strings (BOSS::map_to_edge)."""
+        node_edge = self.index_batch(kmers[:, :-1])
+        label = kmers[:, -1].astype(np.int64)
+        ok = (node_edge > 0) & (label < self.alph_size)
+        res = np.zeros(len(kmers), dtype=np.int64)
+        if ok.any():
+            res[ok] = self.pick_edge(node_edge[ok], label[ok])
+        return res
+
+    def map_sequence(self, codes: np.ndarray) -> np.ndarray:
+        """Map all (k+1)-windows of an encoded sequence to edges (0 = miss).
+
+        Matches BOSS::map_to_edges (ref boss.cpp:996-1045) output per window;
+        implemented as one batched lookup instead of the fwd/pick streaming.
+        """
+        K = self.k + 1
+        n = len(codes)
+        if n < K:
+            return np.zeros(0, dtype=np.int64)
+        windows = np.lib.stride_tricks.sliding_window_view(codes, K)
+        bad = np.concatenate([[0], np.cumsum(codes >= self.alph_size)])
+        invalid = (bad[K:] - bad[:-K]) > 0
+        res = np.zeros(n - K + 1, dtype=np.int64)
+        good = ~invalid
+        if good.any():
+            res[good] = self.map_to_edges_batch(windows[good])
+        return res
+
+    # -------------------------------------------------------- decoding edges
+    def get_node_seq(self, i) -> np.ndarray:
+        """source-node code strings for edge(s) i: (Q, k) (ref boss.cpp:758-800)."""
+        i = np.atleast_1d(np.asarray(i, dtype=np.int64))
+        Q = len(i)
+        out = np.zeros((Q, self.k), dtype=np.uint8)
+        cur = i.copy()
+        for pos in range(self.k - 1, -1, -1):
+            out[:, pos] = self.node_last_char(cur).astype(np.uint8)
+            if pos:
+                cur = self.bwd(cur)
+        return out
+
+    def get_edge_seq(self, i) -> np.ndarray:
+        """(Q, k+1) full edge strings (node + label without minus flag)."""
+        i = np.atleast_1d(np.asarray(i, dtype=np.int64))
+        node = self.get_node_seq(i)
+        lab = (self.W[i].astype(np.uint8) % self.alph_size)[:, None]
+        return np.concatenate([node, lab], axis=1)
+
+    # ---------------------------------------------------------- degree info
+    def outdegree_nodes(self):
+        """#valid (non-$) out-edges per node (indexed by node id 1..num_nodes)."""
+        ends = self._sel_last
+        begins = np.concatenate([[0], ends[:-1]]) + 1
+        nonsink = (self.W % self.alph_size) != 0
+        cum = np.concatenate([[0], np.cumsum(nonsink, dtype=np.int64)])
+        return cum[ends + 1] - cum[begins]
+
+    # ------------------------------------------------------------- serialize
+    def save(self, path: str):
+        np.savez_compressed(
+            path, k=self.k, alph_size=self.alph_size, W=self.W, last=self.last,
+            F=self.F, valid=self.valid,
+            weights=self.weights if self.weights is not None else np.zeros(0))
+
+    @classmethod
+    def load(cls, path: str) -> "BOSS":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        w = z["weights"]
+        arrays = BossArrays(
+            k=int(z["k"]), alph_size=int(z["alph_size"]), W=z["W"], last=z["last"],
+            F=z["F"], valid=z["valid"], weights=w if len(w) else None)
+        return cls(arrays)
