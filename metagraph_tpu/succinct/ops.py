@@ -1,0 +1,475 @@
+"""Device (TPU) query kernels for the succinct graph.
+
+Two engines, both jit-compiled, batch-first, fixed-depth (no data-dependent
+control flow — everything is lax.fori_loop over gathers, which XLA maps to
+vectorized dynamic-slices on TPU):
+
+* ``DeviceBOSS`` — the BOSS table with blocked rank/select directories
+  (128-wide blocks = one VPU lane row).  Batched `index` runs the reference's
+  range-tightening node search (ref boss.hpp:682-718) in lockstep over the
+  whole query batch: k-1 iterations x (2 rank + 2 select).
+
+* ``DeviceKmerIndex`` — a device-resident sorted k-mer dictionary: the valid
+  BOSS edges in table order with their edge ids.  Lookup is a 32-step
+  vectorized multiword binary search (log2 N gathers per query).  This is the
+  throughput path for map_to_nodes-style batch queries, the analog of the
+  reference's batch query graph (ref query.cpp:893 construct_query_graph).
+
+Arrays use int32 indices (graphs up to 2^31 edges per shard; larger graphs
+shard by k-mer range across devices — see metagraph_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..kmer import packing
+
+BLOCK = 128
+
+
+def _ceil_div(a, b):
+    return -(-a // b)
+
+
+def _ceil_log2(n: int) -> int:
+    return max(1, int(np.ceil(np.log2(max(n, 2)))))
+
+
+# --------------------------------------------------------------------------
+# packing helpers (host-side, uint32 words for device)
+# --------------------------------------------------------------------------
+
+def pack_codes32(chars: np.ndarray, order: np.ndarray | None = None) -> np.ndarray:
+    """(N, K) uint8 codes -> (N, W32) uint32 nibble words (device layout)."""
+    chars = np.asarray(chars)
+    if chars.ndim == 1:
+        chars = chars[None, :]
+    N, K = chars.shape
+    if order is not None:
+        chars = chars[:, order]
+    W = _ceil_div(K, 8)
+    out = np.zeros((N, W), dtype=np.uint32)
+    for j in range(K):
+        w, slot = divmod(j, 8)
+        out[:, w] |= chars[:, j].astype(np.uint32) << np.uint32(28 - 4 * slot)
+    return out
+
+
+def pack_kmers32(chars: np.ndarray) -> np.ndarray:
+    """Pack edge k-mer code matrices in BOSS comparison order."""
+    K = chars.shape[1]
+    return pack_codes32(chars, packing.boss_priority_order(K))
+
+
+# --------------------------------------------------------------------------
+# DeviceKmerIndex: sorted multiword dictionary
+# --------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceKmerIndex:
+    """Sorted packed k-mers + payload ids, with vectorized binary search."""
+
+    keys: jnp.ndarray      # (N, W32) uint32, sorted lexicographically
+    ids: jnp.ndarray       # (N,) int32 payload (BOSS edge index)
+
+    def tree_flatten(self):
+        return (self.keys, self.ids), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def from_host(cls, kmers_chars: np.ndarray, ids: np.ndarray) -> "DeviceKmerIndex":
+        keys = pack_kmers32(kmers_chars)
+        # keys from construction are already sorted in BOSS order, but sort
+        # defensively (stable, cheap on host)
+        order = np.lexsort(tuple(keys[:, w] for w in range(keys.shape[1] - 1, -1, -1)))
+        return cls(jnp.asarray(keys[order]), jnp.asarray(ids[order], dtype=jnp.int32))
+
+    @property
+    def n(self) -> int:
+        return self.keys.shape[0]
+
+    def lookup(self, queries: jnp.ndarray) -> jnp.ndarray:
+        """(Q, W32) packed queries -> (Q,) int32 ids; 0 where absent."""
+        return _kmer_lookup(self.keys, self.ids, queries)
+
+
+def _rows_less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lexicographic a < b over trailing word axis; shapes (..., W)."""
+    W = a.shape[-1]
+    lt = jnp.zeros(a.shape[:-1], dtype=bool)
+    decided = jnp.zeros(a.shape[:-1], dtype=bool)
+    for w in range(W):
+        aw, bw = a[..., w], b[..., w]
+        lt = jnp.where(~decided & (aw < bw), True, lt)
+        decided = decided | (aw != bw)
+    return lt
+
+
+@jax.jit
+def _kmer_lookup(keys: jnp.ndarray, ids: jnp.ndarray, queries: jnp.ndarray):
+    N = keys.shape[0]
+    Q = queries.shape[0]
+    steps = _ceil_log2(N + 1)
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) >> 1
+        kmid = keys[jnp.clip(mid, 0, N - 1)]            # (Q, W) gather
+        less = _rows_less(kmid, queries)
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+        return lo, hi
+
+    lo = jnp.zeros(Q, dtype=jnp.int32)
+    hi = jnp.full(Q, N, dtype=jnp.int32)
+    lo, hi = lax.fori_loop(0, steps, body, (lo, hi))
+    pos = jnp.clip(lo, 0, N - 1)
+    found = (lo < N) & jnp.all(keys[pos] == queries, axis=-1)
+    return jnp.where(found, ids[pos], 0)
+
+
+# --------------------------------------------------------------------------
+# DeviceHashIndex: bucketized 2-choice hash table — 1-2 wide gathers per query
+# --------------------------------------------------------------------------
+
+BUCKET = 8  # slots per bucket; bucket row = BUCKET * (W + 1) uint32, aligned
+
+_HASH_C = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F,
+           0x165667B1, 0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35)
+
+
+def _hash_words(words, n_buckets: int, salt: int):
+    """32-bit multiplicative hash of multiword keys -> bucket id."""
+    h = np.uint32(salt) if isinstance(words, np.ndarray) else jnp.uint32(salt)
+    W = words.shape[-1]
+    for w in range(W):
+        c = _HASH_C[w % len(_HASH_C)]
+        x = words[..., w]
+        if isinstance(words, np.ndarray):
+            h = (np.uint32(h) ^ (x * np.uint32(c))).astype(np.uint32)
+            h = (h * np.uint32(0x9E3779B1)).astype(np.uint32)
+            h = h ^ (h >> np.uint32(15))
+        else:
+            h = (h ^ (x * jnp.uint32(c))) * jnp.uint32(0x9E3779B1)
+            h = h ^ (h >> 15)
+    return (h % np.uint32(n_buckets)).astype(
+        np.int32 if isinstance(words, np.ndarray) else jnp.int32)
+
+
+EMPTY_WORD = np.uint32(0xFFFFFFFF)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceHashIndex:
+    """2-choice bucketized hash table over packed k-mers.
+
+    Each bucket is one contiguous row of BUCKET slots x (W key words + id), so
+    a lookup is at most two wide row-gathers + VPU compares — the
+    latency-optimal layout for TPU HBM (vs ~log2(N) dependent gathers for
+    binary search).  The TPU-native analog of DBGHashOrdered
+    (ref dbg_hash_ordered.hpp:12).
+    """
+
+    table: jnp.ndarray     # (n_buckets, BUCKET*(W+1)) uint32 — flat bucket rows
+    W: int                 # key words
+
+    def tree_flatten(self):
+        return (self.table,), (self.W,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+    @classmethod
+    def from_packed(cls, keys: np.ndarray, ids: np.ndarray,
+                    load: float = 0.75) -> "DeviceHashIndex":
+        N, W = keys.shape
+        ids = np.asarray(ids, dtype=np.uint32)
+        n_buckets = max(2, int(2 ** np.ceil(np.log2(max(N, 1) / (BUCKET * load)))))
+        while True:
+            table = cls._build(keys, ids, n_buckets)
+            if table is not None:
+                flat = table.reshape(n_buckets, BUCKET * (W + 1))
+                return cls(jnp.asarray(flat), W)
+            n_buckets *= 2
+
+    @staticmethod
+    def _build(keys, ids, n_buckets):
+        N, W = keys.shape
+        table = np.full((n_buckets, BUCKET, W + 1), EMPTY_WORD, dtype=np.uint32)
+        fill = np.zeros(n_buckets, dtype=np.int32)
+        remaining = np.arange(N)
+        h = [_hash_words(keys, n_buckets, 1), _hash_words(keys, n_buckets, 2)]
+        for choice in (0, 1):
+            if remaining.size == 0:
+                break
+            hh = h[choice][remaining]
+            # stable first-come placement per bucket, vectorized in rounds
+            for _ in range(BUCKET):
+                if remaining.size == 0:
+                    break
+                hh = h[choice][remaining]
+                order = np.argsort(hh, kind="stable")
+                s = hh[order]
+                first = np.ones(len(s), dtype=bool)
+                first[1:] = s[1:] != s[:-1]
+                cand = order[first]
+                b = hh[cand]
+                ok = fill[b] < BUCKET
+                cand, b = cand[ok], b[ok]
+                table[b, fill[b], :W] = keys[remaining[cand]]
+                table[b, fill[b], W] = ids[remaining[cand]]
+                fill[b] += 1
+                placed = np.zeros(len(remaining), dtype=bool)
+                placed[cand] = True
+                # unplaced keys retry next round; once their bucket is full
+                # they survive all rounds and fall through to the next choice
+                remaining = remaining[~placed]
+        if remaining.size:
+            return None
+        return table
+
+    def lookup(self, queries: jnp.ndarray) -> jnp.ndarray:
+        """(Q, W) packed queries -> (Q,) int32 ids (0 = miss)."""
+        return _hash_lookup(self.table, queries)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _hash_lookup_flat(flat_table: jnp.ndarray, queries: jnp.ndarray, W: int):
+    """flat_table: (n_buckets, BUCKET*(W+1)) — contiguous row per bucket."""
+    n_buckets = flat_table.shape[0]
+    Q = queries.shape[0]
+    out = jnp.zeros(Q, dtype=jnp.int32)
+    for salt in (1, 2):
+        b = _hash_words(queries, n_buckets, salt)
+        rows = flat_table[b].reshape(Q, BUCKET, W + 1)     # one 2D row-gather
+        eq = jnp.all(rows[:, :, :W] == queries[:, None, :], axis=-1)
+        hit = jnp.any(eq, axis=-1)
+        # ids of matching slot (exactly one can match): mask-select, no 2nd gather
+        ids = jnp.max(jnp.where(eq, rows[:, :, W], 0), axis=-1).astype(jnp.int32)
+        out = jnp.where(hit & (out == 0), ids, out)
+    return out
+
+
+def _hash_lookup(flat_table: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    W = flat_table.shape[1] // BUCKET - 1
+    return _hash_lookup_flat(flat_table, queries, W)
+
+
+# --------------------------------------------------------------------------
+# device window packing (query pipeline: codes -> packed k-mer windows)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def device_pack_windows(codes: jnp.ndarray, K: int):
+    """(B, L) int32 codes -> packed windows (B, L-K+1, W32) + valid mask.
+
+    Packs every K-window of each row in BOSS priority order.  Invalid codes
+    (>= 5 for DNA... any code >= 15 is masked) invalidate their windows.
+    """
+    B, L = codes.shape
+    n_win = L - K + 1
+    W = _ceil_div(K, 8)
+    invalid = (codes >= 5).astype(jnp.int32)
+    cum = jnp.cumsum(invalid, axis=1)
+    cum = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cum], axis=1)
+    valid = (cum[:, K:] - cum[:, :-K]) == 0                      # (B, n_win)
+
+    safe = jnp.where(codes >= 5, 0, codes).astype(jnp.uint32)
+    words = []
+    for w in range(W):
+        acc = jnp.zeros((B, n_win), dtype=jnp.uint32)
+        for slot in range(8):
+            p = w * 8 + slot                 # priority index
+            if p >= K:
+                break
+            off = (K - 2 - p) if p < K - 1 else (K - 1)
+            acc = acc | (lax.dynamic_slice_in_dim(safe, off, n_win, axis=1)
+                         << np.uint32(28 - 4 * slot))
+        words.append(acc)
+    packed = jnp.stack(words, axis=-1)                            # (B, n_win, W)
+    return packed, valid
+
+
+# --------------------------------------------------------------------------
+# DeviceBOSS: blocked rank/select navigation
+# --------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceBOSS:
+    """BOSS table with 128-wide blocked rank/select directories on device."""
+
+    W_blocks: jnp.ndarray     # (nb, 128) int8 — W padded with -1
+    cum_W: jnp.ndarray        # (nb + 1, 2*alph) int32 counts before block
+    last_blocks: jnp.ndarray  # (nb, 128) int8
+    cum_last: jnp.ndarray     # (nb + 1,) int32
+    F: jnp.ndarray            # (alph,) int32
+    NF: jnp.ndarray           # (alph,) int32
+    valid: jnp.ndarray        # (M,) int8
+    M: int                    # table size (num_edges + 1)
+    alph: int
+    k: int
+
+    _static = ("M", "alph", "k")
+
+    def tree_flatten(self):
+        children = (self.W_blocks, self.cum_W, self.last_blocks, self.cum_last,
+                    self.F, self.NF, self.valid)
+        return children, (self.M, self.alph, self.k)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def from_host(cls, boss) -> "DeviceBOSS":
+        M = len(boss.W)
+        a = boss.alph_size
+        nb = _ceil_div(M, BLOCK)
+        Wp = np.full(nb * BLOCK, -1, dtype=np.int8)
+        Wp[:M] = boss.W.astype(np.int8)
+        lp = np.zeros(nb * BLOCK, dtype=np.int8)
+        lp[:M] = boss.last.astype(np.int8)
+        W_blocks = Wp.reshape(nb, BLOCK)
+        last_blocks = lp.reshape(nb, BLOCK)
+        cum_W = np.zeros((nb + 1, 2 * a), dtype=np.int32)
+        for c in range(2 * a):
+            per_block = (W_blocks == c).sum(axis=1)
+            cum_W[1:, c] = np.cumsum(per_block)
+        cum_last = np.zeros(nb + 1, dtype=np.int32)
+        cum_last[1:] = np.cumsum(last_blocks.sum(axis=1))
+        return cls(
+            W_blocks=jnp.asarray(W_blocks), cum_W=jnp.asarray(cum_W),
+            last_blocks=jnp.asarray(last_blocks), cum_last=jnp.asarray(cum_last),
+            F=jnp.asarray(boss.F, dtype=jnp.int32),
+            NF=jnp.asarray(boss.NF, dtype=jnp.int32),
+            valid=jnp.asarray(boss.valid, dtype=jnp.int8),
+            M=M, alph=a, k=boss.k)
+
+    # -- rank -------------------------------------------------------------
+    def rank_last(self, i):
+        blk = i >> 7
+        row = self.last_blocks[blk].astype(jnp.int32)              # (Q, 128)
+        j = jax.lax.broadcasted_iota(jnp.int32, row.shape, row.ndim - 1)
+        within = (i & 127)[..., None]
+        cnt = jnp.sum(jnp.where(j <= within, row, 0), axis=-1)
+        return self.cum_last[blk] + cnt
+
+    def rank_W(self, i, c):
+        """count of raw value c in W[1..i] (matches BOSS::rank_W)."""
+        blk = i >> 7
+        row = self.W_blocks[blk]
+        j = jax.lax.broadcasted_iota(jnp.int32, row.shape, row.ndim - 1)
+        within = (i & 127)[..., None]
+        eq = (row == c[..., None].astype(jnp.int8)) & (j <= within)
+        cnt = jnp.sum(eq.astype(jnp.int32), axis=-1)
+        base = self.cum_W[blk, c]
+        return base + cnt - (c == 0).astype(jnp.int32)
+
+    # -- select -----------------------------------------------------------
+    def _select_block(self, cum_col_gather, r):
+        """binary search: first blk with cum[blk+1] >= r. cum gathers by fn."""
+        nb = self.W_blocks.shape[0]
+        steps = _ceil_log2(nb + 1)
+        lo = jnp.zeros_like(r)
+        hi = jnp.full_like(r, nb)
+
+        def body(_, st):
+            lo, hi = st
+            mid = (lo + hi) >> 1
+            ge = cum_col_gather(mid + 1) >= r
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid + 1)
+            return lo, hi
+
+        lo, hi = lax.fori_loop(0, steps, body, (lo, hi))
+        return lo
+
+    def select_last(self, r):
+        """position of r-th set bit of last; 0 for r <= 0."""
+        blk = self._select_block(lambda b: self.cum_last[b], r)
+        row = self.last_blocks[
+            jnp.clip(blk, 0, self.last_blocks.shape[0] - 1)].astype(jnp.int32)
+        base = self.cum_last[blk]
+        cs = jnp.cumsum(row, axis=-1)
+        target = (r - base)[..., None]
+        hit = (cs == target) & (row > 0)
+        j = jnp.argmax(hit, axis=-1)
+        pos = blk * BLOCK + j
+        return jnp.where(r > 0, pos, 0).astype(jnp.int32)
+
+    def select_W(self, c, r):
+        """position of r-th occurrence of raw value c in W[1..] (sentinel-aware)."""
+        r = r + (c == 0).astype(r.dtype)      # W[0] = 0 sentinel
+        blk = self._select_block(lambda b: self.cum_W[b, c], r)
+        row = self.W_blocks[jnp.clip(blk, 0, self.W_blocks.shape[0] - 1)]
+        eq = row == c[..., None].astype(jnp.int8)
+        cs = jnp.cumsum(eq.astype(jnp.int32), axis=-1)
+        base = self.cum_W[blk, c]
+        hit = (cs == (r - base)[..., None]) & eq
+        j = jnp.argmax(hit, axis=-1)
+        return (blk * BLOCK + j).astype(jnp.int32)
+
+    # -- node search ------------------------------------------------------
+    def index(self, nodes: jnp.ndarray) -> jnp.ndarray:
+        """(Q, k) int32 node codes -> last-edge index per node (0 = absent)."""
+        Q, k = nodes.shape
+        M = self.M
+        alive = jnp.all(nodes < self.alph, axis=1)
+        s0 = jnp.where(alive, nodes[:, 0], 0)
+        F_ext = jnp.concatenate(
+            [self.F, jnp.array([M - 1], dtype=jnp.int32)])
+        rl = jnp.minimum(self.F[s0] + 1, M).astype(jnp.int32)
+        ru = F_ext[s0 + 1].astype(jnp.int32)
+        alive = alive & (rl <= ru)
+
+        def body(pos, st):
+            rl, ru, alive = st
+            s = jnp.where(alive, nodes.T[pos], 0)
+            rk_rl = self.rank_W(jnp.maximum(rl - 1, 0), s) + 1
+            rk_ru = self.rank_W(ru, s)
+            ok = alive & (rk_rl <= rk_ru)
+            nf = self.NF[s]
+            new_rl = self.select_last(nf + rk_rl - 1) + 1
+            new_ru = self.select_last(nf + rk_ru)
+            rl = jnp.where(ok, new_rl, rl)
+            ru = jnp.where(ok, new_ru, ru)
+            return rl, ru, ok
+
+        rl, ru, alive = lax.fori_loop(1, k, body, (rl, ru, alive))
+        return jnp.where(alive, ru, 0)
+
+    def pick_edge(self, edge, c):
+        """edge with label c (or c+alph) out of node ending at `edge`; 0 if none."""
+        r_last = self.rank_last(jnp.maximum(edge - 1, 0))
+        begin = self.select_last(r_last) + 1
+        res = jnp.zeros_like(edge)
+        for base in (0, self.alph):
+            cand = c + base
+            lo = self.rank_W(jnp.maximum(begin - 1, 0), cand)
+            hi = self.rank_W(edge, cand)
+            found = hi > lo
+            pos = self.select_W(cand, lo + 1)
+            res = jnp.where(found & (res == 0), pos, res)
+        return res
+
+    def map_kmers(self, kmers: jnp.ndarray) -> jnp.ndarray:
+        """(Q, k+1) int32 edge strings -> BOSS edge ids (0 = absent)."""
+        node_edge = self.index(kmers[:, :-1])
+        label = kmers[:, -1]
+        picked = self.pick_edge(node_edge, label)
+        ok = (node_edge > 0) & (label < self.alph) & (label > 0)
+        return jnp.where(ok, picked, 0)

@@ -7,7 +7,9 @@ path).  Must be set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the axon sitecustomize pins JAX_PLATFORMS=axon (remote TPU
+# tunnel); tests must not take the single tunnel grant.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,123 @@
+"""Device (JAX) query kernels vs the host BOSS oracle — run on CPU backend."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+from metagraph_tpu.kmer.extractor import KmerExtractor
+from metagraph_tpu.succinct import ops
+
+
+@pytest.fixture(scope="module")
+def small_graph():
+    rng = np.random.default_rng(0)
+    seqs = ["".join(rng.choice(list("ACGT"), size=500)).encode() for _ in range(5)]
+    g = DBGSuccinct.build(seqs, 11)
+    return g, seqs
+
+
+class TestDeviceBOSS:
+    def test_rank_select_match_host(self, small_graph):
+        g, _ = small_graph
+        hb = g.boss
+        db = ops.DeviceBOSS.from_host(hb)
+        rng = np.random.default_rng(1)
+        M = len(hb.W)
+        ii = rng.integers(1, M, size=500)
+        cc = rng.integers(0, 10, size=500)
+        np.testing.assert_array_equal(
+            hb.rank_W(ii, cc),
+            np.array(jax.jit(db.rank_W)(jnp.asarray(ii, jnp.int32),
+                                        jnp.asarray(cc, jnp.int32))))
+        np.testing.assert_array_equal(
+            hb.rank_last(ii),
+            np.array(jax.jit(db.rank_last)(jnp.asarray(ii, jnp.int32))))
+        nn = hb.num_nodes()
+        rr = np.arange(0, nn + 1)
+        np.testing.assert_array_equal(
+            hb.select_last(rr),
+            np.array(jax.jit(db.select_last)(jnp.asarray(rr, jnp.int32))))
+        for c in range(10):
+            cnt = int((hb.W == c).sum()) - (1 if c == 0 else 0)
+            if cnt == 0:
+                continue
+            r = np.arange(1, cnt + 1)
+            np.testing.assert_array_equal(
+                hb.select_W(np.full_like(r, c), r),
+                np.array(jax.jit(db.select_W)(
+                    jnp.full(r.shape, c, jnp.int32), jnp.asarray(r, jnp.int32))),
+                err_msg=f"select_W c={c}")
+
+    def test_map_kmers_match_host(self, small_graph):
+        g, seqs = small_graph
+        db = ops.DeviceBOSS.from_host(g.boss)
+        ex = KmerExtractor()
+        for s in seqs[:2]:
+            codes = ex.encode(s).astype(np.int32)
+            wins = np.lib.stride_tricks.sliding_window_view(codes, 11)
+            host = g.boss.map_sequence(ex.encode(s))
+            dev = np.array(jax.jit(db.map_kmers)(jnp.asarray(wins)))
+            np.testing.assert_array_equal(dev, host)
+
+    def test_dense_last_block(self):
+        # regression: a 128-block of all-1 last bits must not overflow int8
+        g = DBGSuccinct.build([bytes("ACGT" * 200, "ascii")], 4)
+        # tiny graph; build a synthetic dense-last BOSS instead
+        from metagraph_tpu.succinct.construct import BossArrays
+        from metagraph_tpu.succinct.boss import BOSS
+        M = 512
+        last = np.ones(M, dtype=np.uint8)
+        last[0] = 0
+        W = np.ones(M, dtype=np.uint8)
+        W[0] = 0
+        arr = BossArrays(k=3, alph_size=5, W=W, last=last,
+                         F=np.zeros(5, dtype=np.int64),
+                         valid=np.ones(M, dtype=np.uint8))
+        hb = BOSS(arr)
+        db = ops.DeviceBOSS.from_host(hb)
+        r = np.arange(1, int(last.sum()) + 1)
+        np.testing.assert_array_equal(
+            hb.select_last(r),
+            np.array(jax.jit(db.select_last)(jnp.asarray(r, jnp.int32))))
+
+
+class TestDeviceKmerIndex:
+    def test_lookup_matches_host(self, small_graph):
+        g, seqs = small_graph
+        valid_edges = np.flatnonzero(g.boss.valid)
+        kchars = g.boss.get_edge_seq(valid_edges)
+        idx = ops.DeviceKmerIndex.from_host(kchars, valid_edges)
+        ex = KmerExtractor()
+        for s in seqs[:2]:
+            codes = ex.encode(s)
+            host = g.boss.map_sequence(codes)
+            wins = np.lib.stride_tricks.sliding_window_view(codes, 11)
+            q = ops.pack_kmers32(wins.astype(np.uint8))
+            dev = np.array(idx.lookup(jnp.asarray(q)))
+            np.testing.assert_array_equal(dev, host)
+
+    def test_missing_kmers(self, small_graph):
+        g, _ = small_graph
+        valid_edges = np.flatnonzero(g.boss.valid)
+        idx = ops.DeviceKmerIndex.from_host(
+            g.boss.get_edge_seq(valid_edges), valid_edges)
+        probe = np.tile(np.array([1, 2, 3, 4], dtype=np.uint8), 3)[:11][None, :]
+        host = g.map_to_nodes_sequentially(b"ACGTACGTACG")
+        q = ops.pack_kmers32(probe)
+        dev = np.array(idx.lookup(jnp.asarray(q)))
+        np.testing.assert_array_equal(dev, host)
+
+    def test_device_pack_windows(self, small_graph):
+        g, seqs = small_graph
+        ex = KmerExtractor()
+        codes = ex.encode(seqs[0] + b"NN" + seqs[1]).astype(np.int32)
+        K = 11
+        packed, valid = ops.device_pack_windows(jnp.asarray(codes)[None, :], K)
+        wins = np.lib.stride_tricks.sliding_window_view(codes, K)
+        w_valid = ~(np.lib.stride_tricks.sliding_window_view(codes >= 5, K).any(axis=1))
+        np.testing.assert_array_equal(np.array(valid)[0], w_valid)
+        expect = ops.pack_kmers32(wins[w_valid].astype(np.uint8))
+        np.testing.assert_array_equal(np.array(packed)[0][w_valid], expect)
