@@ -20,18 +20,55 @@ def _add_common(p):
 
 
 def cmd_build(args):
-    from ..seq_io.fasta import read_fasta
+    from ..seq_io.fasta import read_fasta, read_kmer_counts
     from ..graph.dbg_succinct import DBGSuccinct
 
     seqs = []
+    weights = []
+    have_weights = False
     for f in args.input:
-        seqs.extend(r.seq for r in read_fasta(f))
+        recs = read_fasta(f)
+        seqs.extend(r.seq for r in recs)
+        counts = read_kmer_counts(f) if args.count_kmers else None
+        if counts is not None:
+            have_weights = True
+            weights.extend(counts)
+        else:
+            weights.extend([None] * len(recs))
+    if have_weights:
+        k = args.k
+        weights = [np.asarray(w, dtype=np.uint64) if w is not None
+                   else np.ones(max(len(s) - k + 1, 0), dtype=np.uint64)
+                   for s, w in zip(seqs, weights)]
     g = DBGSuccinct.build(seqs, args.k, mode=args.mode,
                           with_counts=args.count_kmers,
                           bits_per_count=args.count_width,
-                          mask_dummy=True)
+                          mask_dummy=True,
+                          window_weights=weights if have_weights else None)
     g.save(args.out)
     print(f"graph built: k={args.k} nodes={g.num_nodes()}", file=sys.stderr)
+
+
+def cmd_clean(args):
+    from ..graph.dbg_succinct import DBGSuccinct
+    from ..graph.cleaning import clean_graph_contigs
+    from ..seq_io.fasta import write_fasta, write_extended_fasta
+
+    g = DBGSuccinct.load(args.input[0])
+    seqs, counts = clean_graph_contigs(
+        g, min_count=args.min_count, max_count=args.max_count,
+        prune_tips=args.prune_tips, prune_unitigs=args.prune_unitigs,
+        fallback=args.fallback, unitigs=args.unitigs,
+        smoothing_window=args.smoothing_window,
+        num_singleton_kmers=args.num_singletons)
+    table = g.alphabet.decode_table
+    recs = [(str(i), table[s].tobytes()) for i, s in enumerate(seqs)]
+    out = args.out if args.out.endswith(".gz") else args.out + ".fasta.gz"
+    if counts is not None:
+        write_extended_fasta(out, recs, counts, g.k)
+    else:
+        write_fasta(out, recs)
+    print(f"wrote {len(recs)} contigs to {out}", file=sys.stderr)
 
 
 def cmd_stats(args):
@@ -50,6 +87,11 @@ def cmd_stats(args):
         print(f"nodes (k): {g.num_nodes()}")
         print(f"mode: {g.mode}")
         print(f"max index (k): {g.max_index()}")
+        if g.boss.weights is not None:
+            w = g.boss.weights[g.boss.valid > 0]
+            nnz = int((w > 0).sum())
+            print(f"nnz weights: {nnz}")
+            print(f"avg weight: {float(w.sum()) / max(nnz, 1):.6g}")
 
 
 def cmd_annotate(args):
@@ -119,10 +161,11 @@ def cmd_transform(args):
     if args.to_fasta:
         contigs = traversal.call_sequences(
             g.boss, unitigs=args.unitigs,
-            kmers_in_single_form=(args.primary or g.mode == "primary"))
+            kmers_in_single_form=args.primary_kmers)
         table = g.alphabet.decode_table
         recs = [(str(i), table[c].tobytes()) for i, c in enumerate(contigs)]
-        write_fasta(args.out + ".fasta.gz", recs)
+        out = args.out if args.out.endswith(".gz") else args.out + ".fasta.gz"
+        write_fasta(out, recs)
         print(f"wrote {len(recs)} contigs", file=sys.stderr)
 
 
@@ -186,9 +229,24 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--to-fasta", action="store_true")
     p.add_argument("--unitigs", action="store_true")
-    p.add_argument("--primary", action="store_true")
+    p.add_argument("--primary-kmers", action="store_true")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_transform)
+
+    p = sub.add_parser("clean")
+    _add_common(p)
+    p.add_argument("--to-fasta", action="store_true")
+    p.add_argument("--min-count", type=int, default=1)
+    p.add_argument("--max-count", type=int, default=2 ** 63)
+    p.add_argument("--prune-tips", type=int, default=1)
+    p.add_argument("--prune-unitigs", type=int, default=1,
+                   help="min unitig median abundance; 0 = auto estimate")
+    p.add_argument("--fallback", type=int, default=1)
+    p.add_argument("--unitigs", action="store_true")
+    p.add_argument("--smoothing-window", type=int, default=1)
+    p.add_argument("--num-singletons", type=int, default=0)
+    p.add_argument("input", nargs="+")
+    p.set_defaults(func=cmd_clean)
 
     args = ap.parse_args(argv)
     return args.func(args)

@@ -35,13 +35,19 @@ class DBGSuccinct:
     @classmethod
     def build(cls, sequences: Sequence[bytes | str], k: int, mode: str = BASIC,
               alphabet: Alphabet = DNA, with_counts: bool = False,
-              bits_per_count: int = 8, mask_dummy: bool = True) -> "DBGSuccinct":
-        """Build from raw sequences (ref cli/build.cpp:53 pipeline)."""
+              bits_per_count: int = 8, mask_dummy: bool = True,
+              window_weights=None) -> "DBGSuccinct":
+        """Build from raw sequences (ref cli/build.cpp:53 pipeline).
+
+        ``window_weights``: per-sequence per-window k-mer counts (from extended
+        FASTA sidecars) used instead of occurrence counting.
+        """
         ex = KmerExtractor(alphabet)
         collector_mode = {"basic": "basic", "canonical": "both",
                           "primary": "basic"}[mode]
         kmers, counts = ex.extract(sequences, k, mode=collector_mode,
-                                   with_counts=with_counts)
+                                   with_counts=with_counts,
+                                   window_weights=window_weights)
         arrays = build_boss_arrays(kmers, alph_size=alphabet.sigma,
                                    counts=counts if with_counts else None,
                                    bits_per_count=bits_per_count)

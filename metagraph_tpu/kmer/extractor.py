@@ -66,7 +66,8 @@ class KmerExtractor:
         return np.lib.stride_tricks.sliding_window_view(codes, K)
 
     def extract(self, seqs: Sequence[bytes | str], K: int,
-                mode: str = "basic", with_counts: bool = False):
+                mode: str = "basic", with_counts: bool = False,
+                window_weights: Sequence[np.ndarray] | None = None):
         """Extract k-mers from sequences.
 
         mode:
@@ -86,6 +87,19 @@ class KmerExtractor:
         if n_valid == 0:
             empty = np.zeros((0, K), dtype=np.uint8)
             return empty, (np.zeros(0, dtype=np.uint64) if with_counts else None)
+
+        weights = None
+        if window_weights is not None:
+            weights = np.zeros(len(codes) - K + 1, dtype=np.uint64)
+            off = 0
+            for s, w in zip(seqs, window_weights):
+                L = len(s)
+                nwin = max(L - K + 1, 0)
+                if nwin:
+                    weights[off: off + nwin] = np.asarray(w[:nwin],
+                                                          dtype=np.uint64)
+                off += L + 1
+            weights = weights[valid]
 
         fwd = self.window_codes(codes, K)[valid]
 
@@ -114,8 +128,15 @@ class KmerExtractor:
         order = packing.boss_priority_order(K)
         packed = packing.pack_codes(chars, order)
         if with_counts:
-            upacked, counts = packing.unique_rows(
-                packed, np.ones(packed.shape[0], dtype=np.uint64))
+            if weights is None:
+                w = np.ones(packed.shape[0], dtype=np.uint64)
+            elif mode == "both":
+                w = np.concatenate([weights, weights])
+            elif mode == "canonical":
+                w = weights
+            else:
+                w = weights
+            upacked, counts = packing.unique_rows(packed, w)
         else:
             upacked, counts = packing.unique_rows(packed)
         return packing.unpack_codes(upacked, K, order), counts

@@ -80,6 +80,46 @@ def iter_sequences(paths: Sequence[str]) -> Iterator[Tuple[str, bytes]]:
             yield rec.name, rec.seq
 
 
+def write_extended_fasta(path: str, records: Sequence[Tuple[str, bytes | str]],
+                         kmer_counts: Sequence, k: int) -> None:
+    """FASTA + per-k-mer count sidecar (ref ExtendedFastaWriter,
+    seq_io/sequence_io.hpp:135: '<base>.fasta.gz' + '<base>.kmer_counts.gz';
+    we store the counts as a compressed npz next to the fasta)."""
+    write_fasta(path, records)
+    import numpy as np
+    counts_path = _counts_sidecar(path)
+    flat = (np.concatenate([np.asarray(c, dtype=np.uint32) for c in kmer_counts])
+            if len(kmer_counts) else np.zeros(0, np.uint32))
+    offs = np.cumsum([0] + [len(c) for c in kmer_counts]).astype(np.int64)
+    tmp = counts_path + ".tmp"
+    import io as _io
+    buf = _io.BytesIO()
+    import numpy as _np
+    _np.savez_compressed(buf, counts=flat, offsets=offs, k=k)
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, counts_path)
+
+
+def _counts_sidecar(path: str) -> str:
+    base = path
+    for suf in (".gz", ".fasta", ".fa"):
+        if base.endswith(suf):
+            base = base[: -len(suf)]
+    return base + ".kmer_counts.npz"
+
+
+def read_kmer_counts(path: str):
+    """Load the count sidecar for a FASTA file, or None."""
+    import numpy as np
+    counts_path = _counts_sidecar(path)
+    if not os.path.exists(counts_path):
+        return None
+    z = np.load(counts_path)
+    flat, offs = z["counts"], z["offsets"]
+    return [flat[offs[i]: offs[i + 1]] for i in range(len(offs) - 1)]
+
+
 def write_fasta(path: str, records: Sequence[Tuple[str, bytes | str]],
                 gzip_out: bool | None = None) -> None:
     if gzip_out is None:

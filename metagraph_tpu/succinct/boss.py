@@ -97,6 +97,18 @@ class BOSS:
         idx = self._sel_W_off[c] + r - 1
         return self._sel_W[np.clip(idx, 0, max(len(self._sel_W) - 1, 0))]
 
+    def _next_W(self, i: int, c: int) -> int:
+        """succ_W: first position >= i with raw W value c, or 0 (ref :433)."""
+        pos = self._sel_W[self._sel_W_off[c]: self._sel_W_off[c + 1]]
+        j = np.searchsorted(pos, i, side="left")
+        return int(pos[j]) if j < len(pos) else 0
+
+    def _prev_W(self, i: int, c: int) -> int:
+        """pred_W: last position <= i with raw W value c, or 0 (ref :422)."""
+        pos = self._sel_W[self._sel_W_off[c]: self._sel_W_off[c + 1]]
+        j = np.searchsorted(pos, i, side="right")
+        return int(pos[j - 1]) if j > 0 else 0
+
     def succ_last(self, i):
         """position of the first set bit of last in [i..] (node's last edge)."""
         i = np.asarray(i, dtype=np.int64)
