@@ -1,0 +1,174 @@
+"""Alignment driver (ref src/graph/alignment/dbg_aligner.{hpp,cpp}).
+
+align_batch per query: seed -> extend (forward), then reverse-complement each
+local alignment and re-extend on the other strand (ref align_both_directions,
+dbg_aligner.cpp:534-760); results aggregated into the top
+num_alternative_paths by LocalAlignmentLess.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .alignment import Alignment, revcomp
+from .config import NINF, AlignerConfig
+from .extender import DefaultColumnExtender
+from .seeder import ExactSeeder, ManualSeeder, UniMEMSeeder
+
+
+class AlignmentAggregator:
+    """Top-k alignments (ref aligner_aggregator.hpp)."""
+
+    def __init__(self, config: AlignerConfig):
+        self.config = config
+        self.alignments: List[Alignment] = []
+
+    def add(self, aln: Alignment) -> bool:
+        if self.alignments and aln.score < self.get_global_cutoff():
+            return False
+        for existing in self.alignments:
+            if (existing.score == aln.score and existing.cigar == aln.cigar
+                    and existing.nodes == aln.nodes
+                    and existing.orientation == aln.orientation):
+                return False
+        self.alignments.append(aln)
+        self.alignments.sort(key=lambda a: a.sort_key())
+        if len(self.alignments) > self.config.num_alternative_paths:
+            self.alignments = self.alignments[: self.config.num_alternative_paths]
+        return True
+
+    def get_global_cutoff(self) -> int:
+        if len(self.alignments) < self.config.num_alternative_paths:
+            return NINF
+        return self.alignments[-1].score
+
+    def get_alignments(self) -> List[Alignment]:
+        return list(self.alignments)
+
+
+class DBGAligner:
+    def __init__(self, graph, config: Optional[AlignerConfig] = None,
+                 seeder_class=UniMEMSeeder):
+        self.graph = graph
+        self.config = (config or AlignerConfig()).clamp_to_k(graph.k)
+        self.seeder_class = seeder_class
+
+    def _make_seeder(self, query: bytes, orientation: bool):
+        nodes = self.graph.map_to_nodes_sequentially(query)
+        return self.seeder_class(self.graph, query, orientation, nodes,
+                                 self.config)
+
+    def align(self, query: bytes) -> List[Alignment]:
+        query = bytes(query).upper()
+        aggregator = AlignmentAggregator(self.config)
+
+        def add_alignment(aln: Alignment):
+            aggregator.add(aln)
+
+        def get_min_path_score(aln: Alignment) -> int:
+            return max(self.config.min_path_score,
+                       aggregator.get_global_cutoff())
+
+        fwd_seeder = self._make_seeder(query, False)
+        fwd_extender = DefaultColumnExtender(self.graph, self.config, query)
+
+        if not self.config.forward_and_reverse_complement:
+            self._align_core(fwd_seeder, fwd_extender, add_alignment,
+                             get_min_path_score, False)
+        else:
+            query_rc = revcomp(query)
+            rc_seeder = self._make_seeder(query_rc, True)
+            rc_extender = DefaultColumnExtender(self.graph, self.config,
+                                                query_rc)
+            self._align_both(query, query_rc, fwd_seeder, rc_seeder,
+                             fwd_extender, rc_extender, add_alignment,
+                             get_min_path_score)
+
+        return aggregator.get_alignments()
+
+    # ------------------------------------------------------------ internals
+    def _align_core(self, seeder, extender, callback, get_min_path_score,
+                    force_fixed_seed):
+        """ref align_core (dbg_aligner.cpp:358-385)."""
+        seeds = seeder.get_alignments()
+        for i in range(len(seeds)):
+            if seeds[i].empty():
+                continue
+            min_path_score = get_min_path_score(seeds[i])
+            for ext in extender.get_extensions(seeds[i], min_path_score,
+                                               force_fixed_seed):
+                callback(ext)
+            for j in range(i + 1, len(seeds)):
+                if seeds[j].size() and not extender.check_seed(seeds[j]):
+                    seeds[j] = Alignment()
+
+    def _align_both(self, query, query_rc, fwd_seeder, rc_seeder,
+                    fwd_extender, rc_extender, callback, get_min_path_score):
+        """ref align_both_directions (dbg_aligner.cpp:640-755), no-chain path.
+
+        Our RC re-extension aligns the reverse complement of each local
+        alignment on the opposite strand (equivalent observable protocol to
+        the reference's RCDBG backwards extension for basic graphs).
+        """
+        cfg = self.config
+
+        def aln_both(q, q_rc, seeder, f_ext, b_ext):
+            seeds = seeder.get_alignments()
+            for i in range(len(seeds)):
+                if seeds[i].empty():
+                    continue
+                extensions = f_ext.get_extensions(seeds[i], cfg.min_cell_score,
+                                                  False)
+                rc_alignments = []
+                for path in extensions:
+                    if path.score >= get_min_path_score(path):
+                        callback(_copy_alignment(path))
+                    if not path.get_clipping() or path.offset:
+                        continue
+                    rc = _copy_alignment(path)
+                    rc.reverse_complement(self.graph, q_rc)
+                    if rc.empty():
+                        continue
+                    rc_alignments.append(rc)
+                for rc_seed in rc_alignments:
+                    exts = b_ext.get_extensions(rc_seed, get_min_path_score(rc_seed),
+                                                True)
+                    for path in exts:
+                        callback(path)
+                for j in range(i + 1, len(seeds)):
+                    if seeds[j].size() and not f_ext.check_seed(seeds[j]):
+                        seeds[j] = Alignment()
+
+        fwd_matches = fwd_seeder.get_num_matches()
+        bwd_matches = rc_seeder.get_num_matches()
+        if fwd_matches >= bwd_matches:
+            aln_both(query, query_rc, fwd_seeder, fwd_extender, rc_extender)
+            if bwd_matches >= fwd_matches * cfg.rel_score_cutoff:
+                aln_both(query_rc, query, rc_seeder, rc_extender, fwd_extender)
+        else:
+            aln_both(query_rc, query, rc_seeder, rc_extender, fwd_extender)
+            if fwd_matches >= bwd_matches * cfg.rel_score_cutoff:
+                aln_both(query, query_rc, fwd_seeder, fwd_extender, rc_extender)
+
+
+def _copy_alignment(a: Alignment) -> Alignment:
+    return Alignment(query=a.query, nodes=list(a.nodes), sequence=a.sequence,
+                     score=a.score, cigar=a.cigar.copy(),
+                     orientation=a.orientation, offset=a.offset,
+                     extra_score=a.extra_score)
+
+
+def format_alignments_tsv(header: str, query: bytes,
+                          alignments: List[Alignment],
+                          min_path_score: int = 0) -> str:
+    """ref cli/align.cpp format_alignment (:254-290)."""
+    out = f"{header}\t{query.decode()}"
+    if not alignments:
+        out += f"\t*\t*\t{min_path_score}\t*\t*\t*\n"
+    else:
+        for a in alignments:
+            out += "\t" + a.format_tsv()
+        out += "\n"
+    return out

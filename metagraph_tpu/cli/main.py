@@ -152,6 +152,40 @@ def cmd_query(args):
                                         args.verbose_output, g.k) + "\n")
 
 
+def cmd_align(args):
+    from ..seq_io.fasta import read_fasta
+    from ..graph.dbg_succinct import DBGSuccinct
+    from ..align.config import AlignerConfig
+    from ..align.aligner import DBGAligner, format_alignments_tsv
+
+    g = DBGSuccinct.load(args.infile_base)
+    if args.map:
+        # --map --count-kmers: print #matched/#total/#unique-matched
+        # (ref cli/align.cpp:150-170 map_sequences_in_file)
+        for f in args.input:
+            for rec in read_fasta(f):
+                nodes = g.map_to_nodes(rec.seq)
+                matched = int((nodes > 0).sum())
+                uniq = len(set(nodes[nodes > 0].tolist()))
+                print(f"{rec.name}\t{matched}/{len(nodes)}/{uniq}")
+        return
+
+    cfg = AlignerConfig(
+        min_exact_match=args.align_min_exact_match,
+        min_seed_length=args.align_min_seed_length,
+        max_seed_length=args.align_max_seed_length,
+        min_path_score=args.align_min_path_score,
+        num_alternative_paths=args.align_alternative_alignments,
+        forward_and_reverse_complement=not args.align_only_forwards,
+    )
+    aligner = DBGAligner(g, cfg)
+    for f in args.input:
+        for rec in read_fasta(f):
+            alns = aligner.align(rec.seq)
+            sys.stdout.write(format_alignments_tsv(
+                rec.name, rec.seq, alns, cfg.min_path_score))
+
+
 def cmd_transform(args):
     from ..graph.dbg_succinct import DBGSuccinct
     from ..seq_io.fasta import write_fasta
@@ -232,6 +266,22 @@ def main(argv=None):
     p.add_argument("--primary-kmers", action="store_true")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_transform)
+
+    p = sub.add_parser("align")
+    _add_common(p)
+    p.add_argument("-i", "--infile-base", required=True)
+    p.add_argument("--align-only-forwards", action="store_true")
+    p.add_argument("--align-min-exact-match", type=float, default=0.7)
+    p.add_argument("--align-min-seed-length", type=int, default=19)
+    p.add_argument("--align-max-seed-length", type=int, default=2 ** 63)
+    p.add_argument("--align-min-path-score", type=int, default=0)
+    p.add_argument("--align-alternative-alignments", type=int, default=1)
+    p.add_argument("--align-edit-distance", action="store_true")
+    p.add_argument("--map", action="store_true")
+    p.add_argument("--count-kmers", action="store_true")
+    p.add_argument("--json", action="store_true")
+    p.add_argument("input", nargs="+")
+    p.set_defaults(func=cmd_align)
 
     p = sub.add_parser("clean")
     _add_common(p)

@@ -83,6 +83,106 @@ class DBGSuccinct:
             return np.where(fwd > 0, fwd, bwd)
         return self.map_to_nodes_sequentially(sequence)
 
+    # ----------------------------------------------------------- traversal
+    def _valid_node(self, e: int) -> int:
+        if e and (not self.masked or self.boss.valid[e]):
+            return e
+        return 0
+
+    def call_outgoing_kmers(self, node: int):
+        """[(next_node, char)] (ref dbg_succinct.cpp:110-140, ascending)."""
+        boss = self.boss
+        w = int(boss.W[node])
+        if node > 1 and not w:
+            return []
+        last = int(boss.fwd(np.array([node]), np.array([w % boss.alph_size]))[0])
+        first = int(boss.pred_last(np.array([last - 1]))[0]) + 1
+        out = []
+        table = self.alphabet.decode_table
+        for i in range(max(2, first), last + 1):
+            if self._valid_node(i):
+                c = int(boss.W[i]) % boss.alph_size
+                out.append((i, chr(table[c])))
+        return out
+
+    def call_incoming_kmers(self, node: int):
+        """[(prev_node, char)] (ref dbg_succinct.cpp:141-164)."""
+        boss = self.boss
+        x = int(boss.bwd(np.array([node]))[0])
+        d = int(boss.node_last_char(np.array([node]))[0])
+        out = []
+        table = self.alphabet.decode_table
+        e = x
+        M = len(boss.W)
+        while e:
+            if self._valid_node(e):
+                # first char of the source node of e = bwd^(k-2) last char
+                ee = e
+                for _ in range(self.k - 2):
+                    ee = int(boss.bwd(np.array([ee]))[0])
+                c = int(boss.node_last_char(np.array([ee]))[0])
+                out.append((e, chr(table[c])))
+            nxt = boss._next_W(e + 1, d + boss.alph_size) if e + 1 < M else 0
+            stop = boss._next_W(e + 1, d) if e + 1 < M else 0
+            if not nxt or (stop and stop < nxt):
+                break
+            e = nxt
+        return out
+
+    def traverse(self, node: int, c: str) -> int:
+        boss = self.boss
+        code = int(self.extractor.encode(c)[0])
+        if code >= boss.alph_size:
+            return 0
+        w = int(boss.W[node])
+        if node > 1 and not w:
+            return 0
+        last = int(boss.fwd(np.array([node]), np.array([w % boss.alph_size]))[0])
+        e = int(boss.pick_edge(np.array([last]), np.array([code]))[0])
+        return self._valid_node(e)
+
+    def has_multiple_outgoing(self, node: int) -> bool:
+        """ref dbg_succinct.cpp:609-625."""
+        boss = self.boss
+        if node == 1:
+            return int(boss.succ_last(np.array([1]))[0]) > 2
+        d = int(boss.W[node]) % boss.alph_size
+        if not d:
+            return False
+        last = int(boss.fwd(np.array([node]), np.array([d]))[0])
+        first = int(boss.pred_last(np.array([last - 1]))[0]) + 1
+        return last - first + 1 > 1
+
+    def has_single_incoming(self, node: int) -> bool:
+        """ref dbg_succinct.cpp:658-677."""
+        from . import traversal as _t
+        boss = self.boss
+        if node == 1:
+            return False
+        x = int(boss.bwd(np.array([node]))[0])
+        w = int(boss.node_last_char(np.array([node]))[0])
+        first_valid = (not self.masked) or bool(boss.valid[x])
+        if x + 1 == len(boss.W):
+            return first_valid
+        if first_valid:
+            return _t._is_single_incoming(boss, x, w)
+        # count incoming
+        cnt = 0
+        e = x
+        M = len(boss.W)
+        while True:
+            cnt += 1
+            nxt = boss._next_W(e + 1, w + boss.alph_size) if e + 1 < M else 0
+            stop = boss._next_W(e + 1, w) if e + 1 < M else 0
+            if not nxt or (stop and stop < nxt):
+                break
+            e = nxt
+        return cnt == 2
+
+    def get_node_sequence(self, node: int) -> bytes:
+        chars = self.boss.get_edge_seq(np.array([node]))[0]
+        return self.alphabet.decode_table[chars].tobytes()
+
     # ------------------------------------------------------------ sequences
     def get_node_kmers(self, nodes: np.ndarray) -> list[str]:
         chars = self.boss.get_edge_seq(np.asarray(nodes, dtype=np.int64))

@@ -1,0 +1,119 @@
+"""Alignment tests (anchors from integration_tests/test_align.py:27-100)."""
+
+import numpy as np
+import pytest
+
+from metagraph_tpu.align.aligner import DBGAligner, format_alignments_tsv
+from metagraph_tpu.align.alignment import revcomp
+from metagraph_tpu.align.config import AlignerConfig
+from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+from metagraph_tpu.seq_io.fasta import read_fasta
+
+REF = "/root/reference/metagraph/tests/data"
+
+
+def make_aligner(seqs, k, **cfg_kw):
+    g = DBGSuccinct.build(seqs, k)
+    return DBGAligner(g, AlignerConfig(**cfg_kw))
+
+
+class TestBasicAlignment:
+    def test_exact_match(self):
+        s = b"ACGTAGCTAGCATCAGTCATGCA"
+        al = make_aligner([s], 11, forward_and_reverse_complement=False)
+        alns = al.align(s)
+        assert len(alns) == 1
+        a = alns[0]
+        # full match: len * 2 + both end bonuses
+        assert a.score == len(s) * 2 + 10
+        assert a.cigar.to_string() == f"{len(s)}="
+        assert a.sequence == s
+
+    def test_single_mismatch_middle(self):
+        s = b"ACGTAGCTAGCATCAGTCATGCAAGGCTAGCA"
+        q = bytearray(s)
+        q[15] = ord("T") if q[15] != ord("T") else ord("A")
+        al = make_aligner([s], 11, forward_and_reverse_complement=False)
+        alns = al.align(bytes(q))
+        assert len(alns) == 1
+        a = alns[0]
+        assert a.sequence == s
+        assert a.cigar.get_num_matches() == len(s) - 1
+        assert a.score == (len(s) - 1) * 2 - 3 + 10
+
+    def test_no_match(self):
+        al = make_aligner([b"AAAAAAAACCCCCCCCC"], 11,
+                          forward_and_reverse_complement=False,
+                          min_exact_match=0.0)
+        alns = al.align(b"GGGGGGTTTTTTGGGGGG")
+        assert alns == []
+
+    def test_reverse_complement_strand(self):
+        s = b"ACGTAGCTAGCATCAGTCATGCAAGGCTAGCA"
+        al = make_aligner([s], 11)
+        alns = al.align(revcomp(s))
+        assert alns
+        assert alns[0].orientation
+        assert alns[0].cigar.get_num_matches() == len(s)
+
+    def test_insertion_in_query(self):
+        s = b"ACGTAGCTAGCATCAGTCATGCAAGGCTAGCATG"
+        q = s[:16] + b"T" + s[16:]
+        al = make_aligner([s], 11, forward_and_reverse_complement=False)
+        alns = al.align(q)
+        assert alns
+        a = alns[0]
+        assert "I" in a.cigar.to_string()
+        assert a.score == len(s) * 2 - 6 + 10
+
+    def test_deletion_in_query(self):
+        s = b"ACGTAGCTAGCATCAGTCATGCAAGGCTAGCATG"
+        q = s[:16] + s[17:]
+        al = make_aligner([s], 11, forward_and_reverse_complement=False)
+        alns = al.align(q)
+        assert alns
+        a = alns[0]
+        assert "D" in a.cigar.to_string()
+        assert a.score == (len(s) - 1) * 2 - 6 + 10
+
+
+@pytest.mark.anchors
+class TestAlignAnchors:
+    """ref integration_tests/test_align.py test_simple_align_all_graphs."""
+
+    @pytest.fixture(scope="class")
+    def mt_graph(self):
+        recs = read_fasta(f"{REF}/genome.MT.fa")
+        g = DBGSuccinct.build([r.seq for r in recs], 11)
+        assert g.num_nodes() == 16438
+        return g
+
+    def test_align_only_forwards_anchors(self, mt_graph):
+        cfg = AlignerConfig(min_exact_match=0.0,
+                            forward_and_reverse_complement=False)
+        aligner = DBGAligner(mt_graph, cfg)
+        reads = read_fasta(f"{REF}/genome_MT1.fq")
+        lines = []
+        for rec in reads:
+            alns = aligner.align(rec.seq)
+            lines.append(format_alignments_tsv(rec.name, rec.seq, alns,
+                                               cfg.min_path_score).rstrip("\n"))
+        assert len(lines) == 7
+        assert lines[0] == ("MT-10/1\t" + reads[0].seq.decode()
+                            + "\t+\tTAGAATCTTAG\t22\t11\t19S11=120S\t0")
+        for i in (1, 2, 4):
+            fields = lines[i].split("\t")
+            assert fields[4] == "310"
+            assert fields[6] == "150="
+        assert lines[3].endswith("\t*\t*\t0\t*\t*\t*")
+        assert lines[5].split("\t")[4] == "22"
+
+    def test_map_mode_anchors(self, mt_graph):
+        reads = read_fasta(f"{REF}/genome_MT1.fq")
+        expect = ["1/140/1", "140/140/140", "140/140/140", "0/140/0",
+                  "140/140/140", "1/140/1", "1/140/1"]
+        for rec, e in zip(reads, expect):
+            nodes = mt_graph.map_to_nodes(rec.seq)
+            matched = int((nodes > 0).sum())
+            uniq = len(set(nodes[nodes > 0].tolist()))
+            assert f"{matched}/{len(nodes)}/{uniq}" == e
