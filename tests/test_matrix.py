@@ -1,0 +1,80 @@
+"""All annotation matrix representations must return identical query results
+(ref tests/annotation/test_matrix*.cpp shared suites)."""
+
+import numpy as np
+import pytest
+
+from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+from metagraph_tpu.annotation.matrix import (BRWT, MATRIX_TYPES, RowDiff,
+                                             RowFlat, convert_annotation)
+from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+
+ALL_TYPES = list(MATRIX_TYPES) + ["row_diff", "row_diff_brwt",
+                                  "row_diff_sparse"]
+
+
+def random_annotation(num_rows=500, num_labels=17, density=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    anno = ColumnMajorAnnotation(num_rows)
+    for c in range(num_labels):
+        rows = np.flatnonzero(rng.random(num_rows) < density)
+        anno.add_labels(rows, [f"label{c}"])
+    anno.freeze()
+    return anno
+
+
+@pytest.fixture(scope="module")
+def annotated_graph():
+    rng = np.random.default_rng(3)
+    seqs = ["".join(rng.choice(list("ACGT"), size=600)).encode()
+            for _ in range(4)]
+    g = DBGSuccinct.build(seqs, 11)
+    anno = ColumnMajorAnnotation(g.max_index())
+    ag = AnnotatedDBG(g, anno)
+    for i, s in enumerate(seqs):
+        ag.annotate_sequence(s, [f"seq{i}", "all"])
+    anno.freeze()
+    return g, anno, seqs
+
+
+class TestMatrixParity:
+    @pytest.mark.parametrize("name", list(MATRIX_TYPES))
+    def test_random_matrix_matches_column(self, name):
+        anno = random_annotation()
+        m = convert_annotation(anno, name)
+        rng = np.random.default_rng(1)
+        rows = rng.integers(0, anno.num_rows, size=200)
+        np.testing.assert_array_equal(m.get_rows_mask(rows),
+                                      anno.get_rows_mask(rows))
+        assert m.num_labels == anno.num_labels
+
+    @pytest.mark.parametrize("name", ALL_TYPES)
+    def test_graph_annotation_matches_column(self, annotated_graph, name):
+        g, anno, seqs = annotated_graph
+        m = convert_annotation(anno, name, graph=g)
+        rng = np.random.default_rng(2)
+        rows = rng.integers(0, anno.num_rows, size=100)
+        np.testing.assert_array_equal(m.get_rows_mask(rows),
+                                      anno.get_rows_mask(rows),
+                                      err_msg=name)
+
+    def test_sum_rows_equivalence(self, annotated_graph):
+        g, anno, seqs = annotated_graph
+        m = convert_annotation(anno, "row_diff_brwt", graph=g)
+        nodes = g.map_to_nodes_sequentially(seqs[0])
+        rows = AnnotatedDBG.graph_to_anno_index(nodes[nodes > 0])
+        pairs = [(int(r), 1) for r in rows]
+        assert m.sum_rows(pairs, 1) == anno.sum_rows(pairs, 1)
+
+    def test_row_diff_anchors_bound_paths(self, annotated_graph):
+        g, anno, _ = annotated_graph
+        succ, anchors = RowDiff.build_routing(g, max_length=10)
+        # every walk terminates within ~max_length steps
+        for r in np.flatnonzero(g.boss.valid) - 1:
+            steps = 0
+            cur = int(r)
+            while not anchors[cur] and succ[cur] >= 0:
+                cur = int(succ[cur])
+                steps += 1
+                assert steps <= 11
