@@ -202,6 +202,44 @@ def cmd_align(args):
                 rec.name, rec.seq, alns, cfg.min_path_score))
 
 
+def cmd_assemble(args):
+    import json as _json
+    from ..graph.dbg_succinct import DBGSuccinct
+    from ..graph import traversal
+    from ..graph.masked import run_differential_assembly
+    from ..seq_io.fasta import write_fasta
+
+    g = DBGSuccinct.load(args.input[0])
+    table = g.alphabet.decode_table
+    recs = []
+    if args.diff_assembly_rules:
+        from ..annotation.matrix import load_annotation
+        from ..annotation.annotated_dbg import AnnotatedDBG
+        anno = load_annotation(args.annotation)
+        ag = AnnotatedDBG(g, anno)
+        import re as _re
+        with open(args.diff_assembly_rules) as f:
+            raw = f.read()
+        # jsoncpp tolerates trailing commas; python json does not
+        rules = _json.loads(_re.sub(r",\s*([\]}])", r"\1", raw))
+        for name, masked in run_differential_assembly(ag, rules):
+            contigs = masked.call_sequences(
+                unitigs=args.unitigs or args.prune_tips > 1,
+                min_tip_size=args.prune_tips)
+            for c in contigs:
+                recs.append((name, table[c].tobytes()))
+    else:
+        contigs = traversal.call_sequences(
+            g.boss, unitigs=args.unitigs or args.prune_tips > 1,
+            min_tip_size=args.prune_tips,
+            kmers_in_single_form=(g.mode == "canonical"))
+        for i, c in enumerate(contigs):
+            recs.append((args.header or str(i), table[c].tobytes()))
+    out = args.out if args.out.endswith(".gz") else args.out + ".fasta.gz"
+    write_fasta(out, recs)
+    print(f"wrote {len(recs)} contigs to {out}", file=sys.stderr)
+
+
 def cmd_transform(args):
     from ..graph.dbg_succinct import DBGSuccinct
     from ..seq_io.fasta import write_fasta
@@ -282,6 +320,16 @@ def main(argv=None):
     p.add_argument("--primary-kmers", action="store_true")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_transform)
+
+    p = sub.add_parser("assemble")
+    _add_common(p)
+    p.add_argument("-a", "--annotation", default=None)
+    p.add_argument("--diff-assembly-rules", default=None)
+    p.add_argument("--unitigs", action="store_true")
+    p.add_argument("--prune-tips", type=int, default=1)
+    p.add_argument("--header", default="")
+    p.add_argument("input", nargs="+")
+    p.set_defaults(func=cmd_assemble)
 
     p = sub.add_parser("transform_anno")
     _add_common(p)
