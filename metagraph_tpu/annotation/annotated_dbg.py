@@ -41,8 +41,13 @@ class AnnotatedDBG:
         self.annotator = annotator
 
     # ---------------------------------------------------------- annotation
-    @staticmethod
-    def graph_to_anno_index(node: int | np.ndarray):
+    def graph_to_anno_index(self, node: int | np.ndarray):
+        """row = base node - 1; canonical wrappers fold rc ids to the base
+        graph (ref annotated_dbg.hpp:50-56, canonical_dbg.hpp:38-41)."""
+        if hasattr(self.graph, "get_base_node"):
+            node = np.asarray(node)
+            off = self.graph.offset
+            node = np.where(node > off, node - off, node)
         return node - 1
 
     def annotate_sequence(self, sequence: bytes | str, labels: Sequence[str]):

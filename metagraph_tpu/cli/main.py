@@ -104,11 +104,19 @@ def cmd_annotate(args):
     import os
 
     g = DBGSuccinct.load(args.infile_base)
-    anno = ColumnMajorAnnotation(g.max_index())
+    base_rows = g.max_index()
+    if g.mode == "primary":
+        # PRIMARY graphs are annotated/queried through the canonical view
+        # (ref cli/load/load_annotated_graph.cpp:68-123)
+        from ..graph.canonical import CanonicalDBG
+        g = CanonicalDBG(g)
+    anno = ColumnMajorAnnotation(base_rows)
     ag = AnnotatedDBG(g, anno)
+    coord_offsets = {}
     for f in args.input:
-        fname_label = os.path.basename(f)
-        coord = 0
+        # reference uses the path as given for filename labels
+        # (ref cli/annotate.cpp: config->refpath handling; tests pass paths)
+        fname_label = f
         for rec in read_fasta(f):
             if args.anno_label:
                 labels = [args.anno_label]
@@ -117,8 +125,12 @@ def cmd_annotate(args):
             else:
                 labels = [fname_label]
             if args.coordinates:
-                ag.annotate_kmer_coords(rec.seq, labels, coord)
-                coord += len(rec.seq)
+                # per-label offsets advance by the sequence's window count
+                # (ref annotated_dbg.cpp annotate_kmer_coords usage)
+                off = coord_offsets.get(labels[0], 0)
+                ag.annotate_kmer_coords(rec.seq, labels, off)
+                coord_offsets[labels[0]] = off + max(
+                    len(rec.seq) - g.k + 1, 0)
             else:
                 ag.annotate_sequence(rec.seq, labels)
             if args.count_kmers:
@@ -149,6 +161,9 @@ def cmd_query(args):
     from ..query.pipeline import QueryEngine
 
     g = DBGSuccinct.load(args.infile_base)
+    if g.mode == "primary":
+        from ..graph.canonical import CanonicalDBG
+        g = CanonicalDBG(g)
     anno = load_annotation(args.annotation)
     engine = QueryEngine(AnnotatedDBG(g, anno), use_device=args.device)
 

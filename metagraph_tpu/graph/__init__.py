@@ -1,0 +1,19 @@
+"""Graph representations (ref src/graph/representation/)."""
+
+GRAPH_TYPES = {}
+
+
+def build_graph(representation: str, sequences, k: int, mode: str = "basic",
+                **kwargs):
+    """Factory over all graph representations (ref cli/config graph types)."""
+    from .dbg_succinct import DBGSuccinct
+    from .hash_graph import DBGBitmapGraph, DBGHashGraph
+
+    types = {
+        "succinct": DBGSuccinct,
+        "bitmap": DBGBitmapGraph,
+        "hash": DBGHashGraph,
+        "hashfast": DBGHashGraph,
+        "hashstr": DBGHashGraph,
+    }
+    return types[representation].build(sequences, k, mode=mode, **kwargs)

@@ -191,11 +191,15 @@ class DBGSuccinct:
 
     # ------------------------------------------------------------- storage
     def save(self, path: str):
-        self.boss.save(path if path.endswith(".npz") else path + ".dbg.npz")
+        self.boss.save(path if path.endswith(".npz") else path + ".dbg.npz",
+                       mode=self.mode)
 
     @classmethod
-    def load(cls, path: str, mode: str = BASIC) -> "DBGSuccinct":
+    def load(cls, path: str, mode: str | None = None) -> "DBGSuccinct":
         boss = BOSS.load(path)
+        if mode is None:
+            z = np.load(path if path.endswith(".npz") else path + ".npz")
+            mode = str(z["mode"]) if "mode" in z else BASIC
         return cls(boss, boss.k + 1, mode)
 
 

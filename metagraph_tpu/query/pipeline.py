@@ -32,6 +32,10 @@ class QueryEngine:
     def __init__(self, anno_graph: AnnotatedDBG, use_device: bool = False):
         self.anno_graph = anno_graph
         self.graph = anno_graph.graph
+        # canonical wrappers map through the base graph + rc pass
+        self._canonical_offset = getattr(self.graph, "offset", None) \
+            if hasattr(self.graph, "get_base_node") else None
+        self._base = self.graph.graph if self._canonical_offset else self.graph
         self.use_device = use_device
         self._host_index = None
         self._device_index = None
@@ -40,7 +44,7 @@ class QueryEngine:
     def _build_host_index(self):
         if self._host_index is not None:
             return
-        boss = self.graph.boss
+        boss = self._base.boss
         valid_edges = np.flatnonzero(boss.valid).astype(np.int64)
         kchars = boss.get_edge_seq(valid_edges)
         order = packing.boss_priority_order(self.graph.k)
@@ -52,11 +56,28 @@ class QueryEngine:
         if self._device_index is not None:
             return
         from ..succinct import ops
-        boss = self.graph.boss
+        boss = self._base.boss
         valid_edges = np.flatnonzero(boss.valid)
         kchars = boss.get_edge_seq(valid_edges)
         self._device_index = ops.DeviceHashIndex.from_packed(
             ops.pack_kmers32(kchars), valid_edges.astype(np.uint32))
+
+    def _map_windows(self, sub: np.ndarray) -> np.ndarray:
+        k = self.graph.k
+        if self.use_device:
+            self._build_device_index()
+            import jax.numpy as jnp
+            from ..succinct import ops
+            q = ops.pack_kmers32(sub)
+            return np.asarray(self._device_index.lookup(jnp.asarray(q)),
+                              dtype=np.int64)
+        self._build_host_index()
+        keys, edge_ids = self._host_index
+        q = packing.pack_codes(sub, packing.boss_priority_order(k))
+        pos = packing.searchsorted_rows(keys, q)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = (pos < len(keys)) & np.all(keys[pos_c] == q, axis=1)
+        return np.where(hit, edge_ids[pos_c], 0)
 
     def map_batch(self, seqs: List[bytes]) -> List[np.ndarray]:
         """Map each sequence's windows to node ids in one batched lookup."""
@@ -74,22 +95,22 @@ class QueryEngine:
         valid = (bad[k:] - bad[:-k]) == 0
         nodes_flat = np.zeros(len(wins), dtype=np.int64)
         if valid.any():
-            sub = wins[valid]
-            if self.use_device:
-                self._build_device_index()
-                import jax.numpy as jnp
-                from ..succinct import ops
-                q = ops.pack_kmers32(sub)
-                nodes_flat[valid] = np.asarray(
-                    self._device_index.lookup(jnp.asarray(q)), dtype=np.int64)
-            else:
-                self._build_host_index()
-                keys, edge_ids = self._host_index
-                q = packing.pack_codes(sub, packing.boss_priority_order(k))
-                pos = packing.searchsorted_rows(keys, q)
-                pos_c = np.minimum(pos, len(keys) - 1)
-                hit = (pos < len(keys)) & np.all(keys[pos_c] == q, axis=1)
-                nodes_flat[valid] = np.where(hit, edge_ids[pos_c], 0)
+            nodes_flat[valid] = self._map_windows(wins[valid])
+            if self._canonical_offset:
+                # canonical wrapper: resolve misses on the rc strand
+                miss = valid & (nodes_flat == 0)
+                if miss.any():
+                    comp = np.concatenate(
+                        [ex.alphabet.complement_table,
+                         np.arange(ex.alphabet.sigma,
+                                   ex._invalid + 1)]).astype(np.uint8)
+                    rc_cat = comp[cat[::-1]]
+                    rc_wins = np.lib.stride_tricks.sliding_window_view(rc_cat, k)
+                    rc_aligned = rc_wins[::-1]
+                    rc_nodes = self._map_windows(
+                        np.ascontiguousarray(rc_aligned[miss]))
+                    nodes_flat[miss] = np.where(
+                        rc_nodes > 0, rc_nodes + self._canonical_offset, 0)
         # per-sequence slices
         out = []
         offset = 0

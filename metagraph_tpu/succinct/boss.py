@@ -277,11 +277,12 @@ class BOSS:
         return cum[ends + 1] - cum[begins]
 
     # ------------------------------------------------------------- serialize
-    def save(self, path: str):
+    def save(self, path: str, **extra):
         np.savez_compressed(
             path, k=self.k, alph_size=self.alph_size, W=self.W, last=self.last,
             F=self.F, valid=self.valid,
-            weights=self.weights if self.weights is not None else np.zeros(0))
+            weights=self.weights if self.weights is not None else np.zeros(0),
+            **extra)
 
     @classmethod
     def load(cls, path: str) -> "BOSS":

@@ -1,0 +1,109 @@
+"""Conformance across graph representations (ref tests/graph/all/ typed suites)
++ canonical/primary wrappers + coords/primary query anchors."""
+
+import io
+
+import numpy as np
+import pytest
+
+from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+from metagraph_tpu.graph import build_graph, traversal
+from metagraph_tpu.graph.canonical import CanonicalDBG, RCDBG, revcomp
+from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+from metagraph_tpu.query.pipeline import QueryEngine
+
+REPRS = ["succinct", "bitmap", "hash"]
+
+
+@pytest.fixture(scope="module")
+def seqs():
+    rng = np.random.default_rng(11)
+    return ["".join(rng.choice(list("ACGT"), size=300)).encode()
+            for _ in range(3)]
+
+
+class TestConformance:
+    @pytest.mark.parametrize("mode", ["basic", "canonical"])
+    def test_num_nodes_and_mapping(self, seqs, mode):
+        graphs = {r: build_graph(r, seqs, 9, mode=mode) for r in REPRS}
+        counts = {g.num_nodes() for g in graphs.values()}
+        assert len(counts) == 1
+        pat = {tuple((g.map_to_nodes_sequentially(seqs[0]) > 0).tolist())
+               for g in graphs.values()}
+        assert len(pat) == 1
+
+    def test_traverse_and_degrees(self, seqs):
+        graphs = {r: build_graph(r, seqs, 9) for r in REPRS}
+        gsucc = graphs["succinct"]
+        nodes = gsucc.map_to_nodes_sequentially(seqs[0])[:20]
+        for r in ("bitmap", "hash"):
+            g = graphs[r]
+            other = g.map_to_nodes_sequentially(seqs[0])[:20]
+            for ns, no in zip(nodes, other):
+                assert len(gsucc.call_outgoing_kmers(int(ns))) \
+                    == len(g.call_outgoing_kmers(int(no)))
+                assert gsucc.has_single_incoming(int(ns)) \
+                    == g.has_single_incoming(int(no))
+
+    def test_hash_graph_dynamic(self, seqs):
+        from metagraph_tpu.graph.hash_graph import DBGHashGraph
+        g = DBGHashGraph(9)
+        g.add_sequence(seqs[0])
+        n0 = g.num_nodes()
+        g.add_sequence(seqs[1])
+        assert g.num_nodes() > n0
+        assert (g.map_to_nodes_sequentially(seqs[0]) > 0).all()
+
+
+class TestCanonicalWrapper:
+    def test_wrap_primary(self, seqs):
+        gc = DBGSuccinct.build(seqs, 9, mode="canonical")
+        contigs = traversal.call_sequences(gc.boss, kmers_in_single_form=True)
+        table = gc.alphabet.decode_table
+        gp = DBGSuccinct.build([table[c].tobytes() for c in contigs], 9,
+                               mode="primary")
+        wrap = CanonicalDBG(gp)
+        assert wrap.num_nodes() == gc.num_nodes()
+        n_f = wrap.map_to_nodes_sequentially(seqs[0])
+        n_r = wrap.map_to_nodes_sequentially(revcomp(seqs[0]))[::-1]
+        assert (n_f > 0).all() and (n_r > 0).all()
+        base_f = np.array([wrap.get_base_node(int(x)) for x in n_f])
+        base_r = np.array([wrap.get_base_node(int(x)) for x in n_r])
+        np.testing.assert_array_equal(base_f, base_r)
+
+    def test_rcdbg(self, seqs):
+        g = DBGSuccinct.build(seqs, 9)
+        rc = RCDBG(g)
+        n = rc.map_to_nodes_sequentially(revcomp(seqs[0]))
+        np.testing.assert_array_equal(
+            n[::-1], g.map_to_nodes_sequentially(seqs[0])[::-1][::-1])
+
+
+@pytest.mark.anchors
+class TestPrimaryQueryAnchors:
+    """ref test_query.py primary class: byte counts 137269 / 137093."""
+
+    def test_primary_query(self, transcripts_100, transcripts_1000):
+        gc = DBGSuccinct.build(transcripts_100, 20, mode="canonical")
+        contigs = traversal.call_sequences(gc.boss, kmers_in_single_form=True)
+        table = gc.alphabet.decode_table
+        gp = DBGSuccinct.build([table[c].tobytes() for c in contigs], 20,
+                               mode="primary")
+        assert gp.num_nodes() == 45792
+        wrap = CanonicalDBG(gp)
+        anno = ColumnMajorAnnotation(gp.max_index())
+        ag = AnnotatedDBG(wrap, anno)
+        from metagraph_tpu.seq_io.fasta import read_fasta
+        recs100 = read_fasta(
+            "/root/reference/metagraph/tests/data/transcripts_100.fa")
+        for r in recs100:
+            ag.annotate_sequence(r.seq, [r.name])
+        engine = QueryEngine(ag)
+        recs = read_fasta(
+            "/root/reference/metagraph/tests/data/transcripts_1000.fa")
+        for mode, want in (("labels", 137269), ("matches", 137093)):
+            buf = io.StringIO()
+            for res in engine.query_records(recs, mode, 2 ** 63, 1.0, 0.0):
+                buf.write(res.to_string() + "\n")
+            assert len(buf.getvalue().encode()) == want, mode

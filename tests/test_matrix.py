@@ -63,7 +63,7 @@ class TestMatrixParity:
         g, anno, seqs = annotated_graph
         m = convert_annotation(anno, "row_diff_brwt", graph=g)
         nodes = g.map_to_nodes_sequentially(seqs[0])
-        rows = AnnotatedDBG.graph_to_anno_index(nodes[nodes > 0])
+        rows = nodes[nodes > 0] - 1
         pairs = [(int(r), 1) for r in rows]
         assert m.sum_rows(pairs, 1) == anno.sum_rows(pairs, 1)
 
