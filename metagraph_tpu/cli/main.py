@@ -255,6 +255,24 @@ def cmd_assemble(args):
     print(f"wrote {len(recs)} contigs to {out}", file=sys.stderr)
 
 
+
+def cmd_server_query(args):
+    from ..seq_io.fasta import read_fasta
+    from ..graph.dbg_succinct import DBGSuccinct
+    from ..annotation.matrix import load_annotation
+    from ..annotation.annotated_dbg import AnnotatedDBG
+    from ..server.server import MetaGraphServer
+
+    g = DBGSuccinct.load(args.infile_base)
+    if g.mode == "primary":
+        from ..graph.canonical import CanonicalDBG
+        g = CanonicalDBG(g)
+    anno = load_annotation(args.annotation)
+    server = MetaGraphServer(AnnotatedDBG(g, anno))
+    print(f"[Server] listening on {args.host}:{args.port}", file=sys.stderr)
+    server.serve(args.host, args.port)
+
+
 def cmd_transform(args):
     from ..graph.dbg_succinct import DBGSuccinct
     from ..seq_io.fasta import write_fasta
@@ -335,6 +353,14 @@ def main(argv=None):
     p.add_argument("--primary-kmers", action="store_true")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_transform)
+
+    p = sub.add_parser("server_query")
+    _add_common(p)
+    p.add_argument("-i", "--infile-base", required=True)
+    p.add_argument("-a", "--annotation", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=5555)
+    p.set_defaults(func=cmd_server_query)
 
     p = sub.add_parser("assemble")
     _add_common(p)
