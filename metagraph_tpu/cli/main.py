@@ -40,6 +40,27 @@ def cmd_build(args):
         weights = [np.asarray(w, dtype=np.uint64) if w is not None
                    else np.ones(max(len(s) - k + 1, 0), dtype=np.uint64)
                    for s, w in zip(seqs, weights)]
+    if args.suffix is not None:
+        # suffix-sharded chunk build (ref build.cpp:110-158): keep only
+        # k-mers whose node ends with the suffix; '$'-suffixes hold no
+        # real k-mers in the set-based chunk format
+        from ..kmer.extractor import KmerExtractor
+        ex = KmerExtractor()
+        collector_mode = {"basic": "basic", "canonical": "both",
+                          "primary": "basic"}[args.mode]
+        kmers, _ = ex.extract(seqs, args.k, mode=collector_mode)
+        if "$" in args.suffix:
+            kmers = kmers[:0]
+        else:
+            scodes = ex.encode(args.suffix)
+            L = len(scodes)
+            keep = np.all(kmers[:, args.k - 1 - L: args.k - 1]
+                          == scodes[None, :], axis=1)
+            kmers = kmers[keep]
+        np.savez_compressed(f"{args.out}.{args.suffix}.chunk.npz",
+                            kmers=kmers, k=args.k, mode=args.mode)
+        print(f"chunk {args.suffix}: {len(kmers)} k-mers", file=sys.stderr)
+        return
     g = DBGSuccinct.build(seqs, args.k, mode=args.mode,
                           with_counts=args.count_kmers,
                           bits_per_count=args.count_width,
@@ -273,6 +294,104 @@ def cmd_server_query(args):
     server.serve(args.host, args.port)
 
 
+
+def cmd_extend(args):
+    """Augment a graph with new sequences (ref cli/augment.cpp)."""
+    from ..seq_io.fasta import read_fasta
+    from ..graph.dbg_succinct import DBGSuccinct
+    from ..graph import traversal
+
+    g = DBGSuccinct.load(args.infile_base)
+    table = g.alphabet.decode_table
+    with_counts = g.boss.weights is not None
+    contigs_paths = traversal.call_paths(
+        g.boss, False, g.mode == "canonical", True)
+    seqs = [table[np.array(s, dtype=np.uint8)].tobytes()
+            for _, s in contigs_paths]
+    weights = None
+    if with_counts:
+        weights = [g.boss.weights[np.array(p, dtype=np.int64)].astype(np.uint64)
+                   for p, _ in contigs_paths]
+    new_seqs = []
+    for f in args.input:
+        new_seqs.extend(r.seq for r in read_fasta(f))
+    if with_counts:
+        weights = weights + [np.ones(max(len(s) - g.k + 1, 0), dtype=np.uint64)
+                             for s in new_seqs]
+    g2 = DBGSuccinct.build(seqs + new_seqs, g.k, mode=g.mode,
+                           with_counts=with_counts, window_weights=weights)
+    g2.save(args.out)
+    print(f"extended: {g2.num_nodes()} nodes", file=sys.stderr)
+
+
+def cmd_compare(args):
+    """Compare two graphs (ref cli/stats.cpp:430-480)."""
+    from ..graph.dbg_succinct import DBGSuccinct
+
+    a = DBGSuccinct.load(args.input[0])
+    b = DBGSuccinct.load(args.input[1])
+    print(f"Loaded {args.input[0]}")
+    print(f"Loaded {args.input[1]}")
+    same = (a.k == b.k and a.max_index() == b.max_index()
+            and np.array_equal(a.boss.W, b.boss.W)
+            and np.array_equal(a.boss.last, b.boss.last)
+            and np.array_equal(a.boss.valid, b.boss.valid))
+    print("Graphs are identical" if same else "Graphs are not identical")
+    return 0 if same else 1
+
+
+def cmd_merge(args):
+    """Merge graphs (ref cli/merge.cpp / BOSS::merge)."""
+    from ..graph.dbg_succinct import DBGSuccinct
+    from ..graph import traversal
+
+    all_seqs = []
+    k = None
+    mode = "basic"
+    for f in args.input:
+        g = DBGSuccinct.load(f)
+        k, mode = g.k, g.mode
+        table = g.alphabet.decode_table
+        single = g.mode == "canonical"
+        for c in traversal.call_sequences(g.boss,
+                                          kmers_in_single_form=single):
+            all_seqs.append(table[c].tobytes())
+    g2 = DBGSuccinct.build(all_seqs, k, mode=mode)
+    g2.save(args.out)
+    print(f"merged: {g2.num_nodes()} nodes", file=sys.stderr)
+
+
+def cmd_concatenate(args):
+    """Assemble a graph from suffix-partitioned chunks (ref cli/build.cpp:360,
+    BOSS::Chunk concatenation)."""
+    import glob as _glob
+    from ..graph.dbg_succinct import DBGSuccinct
+    from ..kmer import packing
+
+    chunks = sorted(_glob.glob(args.infile_base + ".*.chunk.npz"))
+    if not chunks:
+        raise SystemExit(f"no chunks found at {args.infile_base}.*.chunk.npz")
+    parts = []
+    k = mode = None
+    for c in chunks:
+        z = np.load(c, allow_pickle=True)
+        k = int(z["k"])
+        mode = str(z["mode"])
+        if len(z["kmers"]):
+            parts.append(z["kmers"])
+    kmers = np.concatenate(parts, axis=0) if parts         else np.zeros((0, k), dtype=np.uint8)
+    order = packing.boss_priority_order(k)
+    upacked, _ = packing.unique_rows(packing.pack_codes(kmers, order))
+    kmers = packing.unpack_codes(upacked, k, order)
+    from ..succinct.construct import build_boss_arrays
+    from ..succinct.boss import BOSS
+    arrays = build_boss_arrays(kmers)
+    g = DBGSuccinct(BOSS(arrays), k, mode if args.mode is None else args.mode)
+    g.save(args.out)
+    print(f"concatenated {len(chunks)} chunks: {g.num_nodes()} nodes",
+          file=sys.stderr)
+
+
 def cmd_transform(args):
     from ..graph.dbg_succinct import DBGSuccinct
     from ..seq_io.fasta import write_fasta
@@ -282,7 +401,8 @@ def cmd_transform(args):
     if args.to_fasta:
         contigs = traversal.call_sequences(
             g.boss, unitigs=args.unitigs,
-            kmers_in_single_form=args.primary_kmers)
+            kmers_in_single_form=(args.primary_kmers
+                                  or g.mode == "canonical"))
         table = g.alphabet.decode_table
         recs = [(str(i), table[c].tobytes()) for i, c in enumerate(contigs)]
         out = args.out if args.out.endswith(".gz") else args.out + ".fasta.gz"
@@ -305,6 +425,8 @@ def main(argv=None):
     p.add_argument("--in-ram", action="store_true")
     p.add_argument("--disk-swap", default="")
     p.add_argument("--graph", default="succinct")
+    p.add_argument("--suffix", default=None,
+                   help="build only the chunk for this node-suffix")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_build)
 
@@ -353,6 +475,30 @@ def main(argv=None):
     p.add_argument("--primary-kmers", action="store_true")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_transform)
+
+    p = sub.add_parser("extend")
+    _add_common(p)
+    p.add_argument("-i", "--infile-base", required=True)
+    p.add_argument("input", nargs="+")
+    p.set_defaults(func=cmd_extend)
+
+    p = sub.add_parser("compare")
+    _add_common(p)
+    p.add_argument("input", nargs=2)
+    p.set_defaults(func=cmd_compare)
+
+    p = sub.add_parser("merge")
+    _add_common(p)
+    p.add_argument("input", nargs="+")
+    p.set_defaults(func=cmd_merge)
+
+    p = sub.add_parser("concatenate")
+    _add_common(p)
+    p.add_argument("-i", "--infile-base", required=True)
+    p.add_argument("--len-suffix", type=int, default=1)
+    p.add_argument("--mode", default=None)
+    p.add_argument("--graph", default="succinct")
+    p.set_defaults(func=cmd_concatenate)
 
     p = sub.add_parser("server_query")
     _add_common(p)

@@ -1,0 +1,94 @@
+"""CLI command coverage: build/extend/compare/merge/concatenate round trips."""
+
+import subprocess
+import sys
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/metagraph/tests/data"
+
+
+def run_cli(args, tmp):
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    return subprocess.run([sys.executable, "-m", "metagraph_tpu.cli"] + args,
+                          capture_output=True, text=True, env=env, cwd=tmp)
+
+
+@pytest.fixture()
+def tiny_fa(tmp_path):
+    rng = np.random.default_rng(4)
+    p = tmp_path / "in.fa"
+    with open(p, "w") as f:
+        for i in range(3):
+            f.write(f">s{i}\n" + "".join(rng.choice(list("ACGT"), 300)) + "\n")
+    return str(p)
+
+
+class TestCLI:
+    def test_build_stats(self, tiny_fa, tmp_path):
+        r = run_cli(["build", "-k", "11", "-o", "g", tiny_fa], tmp_path)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(["stats", "g.dbg.npz"], tmp_path)
+        assert "k: 11" in r.stdout and "mode: basic" in r.stdout
+
+    def test_sharded_equals_direct(self, tiny_fa, tmp_path):
+        run_cli(["build", "-k", "11", "-o", "direct", tiny_fa], tmp_path)
+        for s in ["$", "A", "C", "G", "T"]:
+            r = run_cli(["build", "-k", "11", "--suffix", s, "-o", "shard",
+                         tiny_fa], tmp_path)
+            assert r.returncode == 0, r.stderr
+        r = run_cli(["concatenate", "-i", "shard", "-o", "joined"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(["compare", "joined.dbg.npz", "direct.dbg.npz"], tmp_path)
+        assert "Graphs are identical" in r.stdout
+
+    def test_extend_merge(self, tiny_fa, tmp_path):
+        rng = np.random.default_rng(5)
+        extra = tmp_path / "extra.fa"
+        with open(extra, "w") as f:
+            f.write(">x\n" + "".join(rng.choice(list("ACGT"), 200)) + "\n")
+        run_cli(["build", "-k", "11", "-o", "g1", tiny_fa], tmp_path)
+        run_cli(["build", "-k", "11", "-o", "g2", str(extra)], tmp_path)
+        r = run_cli(["extend", "-i", "g1.dbg.npz", "-o", "gx", str(extra)],
+                    tmp_path)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(["merge", "-o", "gm", "g1.dbg.npz", "g2.dbg.npz"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(["compare", "gx.dbg.npz", "gm.dbg.npz"], tmp_path)
+        assert "Graphs are identical" in r.stdout
+
+
+@pytest.mark.anchors
+class TestAugmentAnchors:
+    """ref integration_tests/test_augment.py:72-107."""
+
+    def test_augment_basic(self, tmp_path):
+        run_cli(["build", "-k", "20", "-o", "g",
+                 f"{REF}/transcripts_100.fa"], tmp_path)
+        r = run_cli(["extend", "-i", "g.dbg.npz", "-o", "ga",
+                     f"{REF}/genome.MT.fa"], tmp_path)
+        assert "59955 nodes" in r.stderr
+
+    def test_augment_canonical(self, tmp_path):
+        run_cli(["build", "-k", "20", "--mode", "canonical", "-o", "g",
+                 f"{REF}/transcripts_100.fa"], tmp_path)
+        run_cli(["extend", "-i", "g.dbg.npz", "-o", "ga",
+                 f"{REF}/genome.MT.fa"], tmp_path)
+        run_cli(["transform", "--to-fasta", "-o", "contigs", "ga.dbg.npz"],
+                tmp_path)
+        import gzip
+        total, cur = 0, []
+        with gzip.open(tmp_path / "contigs.fasta.gz", "rt") as f:
+            for line in f:
+                if line.startswith(">"):
+                    if cur:
+                        total += max(len("".join(cur)) - 19, 0)
+                        cur = []
+                else:
+                    cur.append(line.strip())
+        if cur:
+            total += max(len("".join(cur)) - 19, 0)
+        assert total == 58787
