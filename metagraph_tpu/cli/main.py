@@ -23,10 +23,28 @@ def cmd_build(args):
     from ..seq_io.fasta import read_fasta, read_kmer_counts
     from ..graph.dbg_succinct import DBGSuccinct
 
+    from ..seq_io.kmc import is_kmc_file, read_kmers
+
     seqs = []
     weights = []
     have_weights = False
     for f in args.input:
+        if is_kmc_file(f):
+            # KMC database input: each k-mer is a k-length sequence with count
+            # (ref cli/build.cpp kmc path; expand rc unless canonical mode)
+            chars, counts, kmc_k = read_kmers(
+                f, both_from_canonical=(args.mode != "canonical"))
+            if kmc_k != args.k:
+                print(f"warning: using k={kmc_k} from KMC database",
+                      file=sys.stderr)
+                args.k = kmc_k
+            seqs.extend(chars[i].tobytes() for i in range(len(chars)))
+            if args.count_kmers:
+                have_weights = True
+                weights.extend(np.array([c], dtype=np.uint64) for c in counts)
+            else:
+                weights.extend([None] * len(chars))
+            continue
         recs = read_fasta(f)
         seqs.extend(r.seq for r in recs)
         counts = read_kmer_counts(f) if args.count_kmers else None
