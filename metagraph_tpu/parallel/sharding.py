@@ -61,6 +61,70 @@ def shard_kmer_index(keys: np.ndarray, ids: np.ndarray, mesh: Mesh):
     return keys_d, ids_d
 
 
+def shard_hash_table(table: np.ndarray, mesh: Mesh):
+    """Shard the bucketized hash table by bucket range over 'model'."""
+    m = mesh.shape["model"]
+    table = pad_rows(table, m, fill=np.iinfo(np.uint32).max)
+    return (jax.device_put(table, jax.NamedSharding(mesh, P("model", None))),
+            table.shape[0] // m)
+
+
+def shard_annotation(bitmap: np.ndarray, mesh: Mesh):
+    """Shard the annotation bitmap by label words over 'model'."""
+    m = mesh.shape["model"]
+    Lw = bitmap.shape[1]
+    target = -(-Lw // m) * m
+    if target != Lw:
+        bitmap = np.concatenate(
+            [bitmap, np.zeros((bitmap.shape[0], target - Lw), bitmap.dtype)],
+            axis=1)
+    return (jax.device_put(bitmap, jax.NamedSharding(mesh, P(None, "model"))),
+            (bitmap.shape[1] // m) * 32)
+
+
+def sharded_annotated_query_fn(mesh: Mesh, rows_per_shard: int,
+                               labels_per_shard: int, num_seqs: int):
+    """The full multi-chip query step:
+
+      * hash-index buckets range-sharded over 'model' (suffix-shard analog);
+        each query's bucket lives on exactly one shard; pmax combines
+      * annotation labels sharded over 'model'; per-sequence label counts
+        computed locally -> output sharded (data, model)
+      * query batch sharded over 'data'
+    """
+    from ..annotation.ops import count_labels
+    from ..succinct.ops import BUCKET, _hash_words
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("model", None), P(None, "model"), P("data", None),
+                  P("data")),
+        out_specs=(P("data", "model"), P("data")), check_vma=False)
+    def _step(table_shard, bitmap_shard, queries, seq_ids):
+        n_buckets_global = rows_per_shard * mesh.shape["model"]
+        my = jax.lax.axis_index("model") * rows_per_shard
+        b = _hash_words(queries, n_buckets_global, 1)
+        b2 = _hash_words(queries, n_buckets_global, 2)
+        W = queries.shape[1]
+        out = jnp.zeros(queries.shape[0], dtype=jnp.int32)
+        for bb in (b, b2):
+            local = bb - my
+            in_range = (local >= 0) & (local < rows_per_shard)
+            rows = table_shard[jnp.clip(local, 0, rows_per_shard - 1)]
+            rows = rows.reshape(queries.shape[0], -1, W + 1)
+            eq = jnp.all(rows[:, :, :W] == queries[:, None, :], axis=-1)
+            hit = jnp.any(eq, axis=-1) & in_range
+            ids = jnp.max(jnp.where(eq, rows[:, :, W], 0), axis=-1)
+            out = jnp.where(hit & (out == 0), ids.astype(jnp.int32), out)
+        nodes = jax.lax.pmax(out, "model")
+        counts, present = count_labels(bitmap_shard, nodes, seq_ids,
+                                       num_seqs // mesh.shape["data"],
+                                       labels_per_shard)
+        return counts, present
+
+    return jax.jit(_step)
+
+
 def sharded_lookup_fn(mesh: Mesh):
     """Build the jitted sharded lookup: queries (Q, W) -> ids (Q,)."""
 

@@ -121,3 +121,73 @@ class TestDeviceKmerIndex:
         np.testing.assert_array_equal(np.array(valid)[0], w_valid)
         expect = ops.pack_kmers32(wins[w_valid].astype(np.uint8))
         np.testing.assert_array_equal(np.array(packed)[0][w_valid], expect)
+
+
+class TestDeviceAnnotation:
+    def test_count_label_variants_agree(self):
+        import jax.numpy as jnp
+        from metagraph_tpu.annotation import ops as aops
+        rng = np.random.default_rng(0)
+        R, L, Q, S = 5000, 70, 20000, 37
+        bitmap = rng.integers(0, 2 ** 32, size=(R, (L + 31) // 32),
+                              dtype=np.uint32)
+        nodes = rng.integers(0, R, size=Q).astype(np.int32)
+        seq_ids = np.sort(rng.integers(0, S, size=Q)).astype(np.int32)
+        args = (jnp.asarray(bitmap), jnp.asarray(nodes), jnp.asarray(seq_ids),
+                S, L)
+        c1, p1 = aops.count_labels(*args)
+        c2, p2 = aops.count_labels_sorted(*args)
+        c3, p3 = aops.count_labels_matmul(*args)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(c1),
+                                      np.asarray(c3).astype(np.int32))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_array_equal(np.asarray(p1),
+                                      np.asarray(p3).astype(np.int32))
+
+    def test_device_pipeline_matches_host_query(self):
+        from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+        from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+        from metagraph_tpu.query.device import DeviceQueryPipeline
+        rng = np.random.default_rng(1)
+        seqs = ["".join(rng.choice(list("ACGT"), size=300)).encode()
+                for _ in range(6)]
+        g = DBGSuccinct.build(seqs, 13)
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        for i, s in enumerate(seqs):
+            ag.annotate_sequence(s, [f"s{i}"])
+        pipe = DeviceQueryPipeline(g, anno)
+        queries = [seqs[0], seqs[2][:100], b"N" * 30, b"ACGT"]
+        dev = pipe.query_labels(queries, "matches", 2 ** 63, 0.7, 0.0)
+        for q, got in zip(queries, dev):
+            want = ag.get_top_labels(q, 2 ** 63, 0.7, 0.0)
+            assert got == want, (q[:20], got, want)
+
+    def test_query_epoch_matches_step(self):
+        import jax.numpy as jnp
+        from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+        from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+        from metagraph_tpu.query.device import (DeviceQueryPipeline,
+                                                query_epoch, query_step)
+        rng = np.random.default_rng(2)
+        seqs = ["".join(rng.choice(list("ACGT"), size=500)).encode()
+                for _ in range(4)]
+        g = DBGSuccinct.build(seqs, 11)
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        for i, s in enumerate(seqs):
+            ag.annotate_sequence(s, [f"s{i}"])
+        pipe = DeviceQueryPipeline(g, anno)
+        q, sid, _ = pipe.prepare_batch(seqs)
+        pad = 256 - len(q) % 256
+        q = np.concatenate([q, np.full((pad, q.shape[1]),
+                                       np.iinfo(np.uint32).max, np.uint32)])
+        sid = np.concatenate([sid, np.full(pad, 3, np.int32)])
+        S, L = 4, anno.num_labels
+        c1, p1, _ = query_step(pipe.index.table, pipe.annotation.bitmap,
+                               jnp.asarray(q), jnp.asarray(sid), S, L)
+        c2, p2 = query_epoch(pipe.index.table, pipe.annotation.bitmap,
+                             jnp.asarray(q), jnp.asarray(sid), S, L, 256)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
