@@ -240,6 +240,39 @@ def cmd_align(args):
                 print(f"{rec.name}\t{matched}/{len(nodes)}/{uniq}")
         return
 
+    if args.out and args.out.endswith(".gfa"):
+        # append GFA P-lines for query paths (ref align.cpp:181-252)
+        from ..graph import traversal
+        is_end = set()
+        for path, seq in traversal.call_paths(g.boss, True, False, True):
+            is_end.add(path[-1])
+        out_path = args.out[:-4] + ".path.gfa"
+        with open(out_path, "w") as f:
+            for fi in args.input:
+                for i, rec in enumerate(read_fasta(fi)):
+                    nodes = g.map_to_nodes_sequentially(rec.seq)
+                    nodes = [int(x) for x in nodes]
+                    if not nodes:
+                        continue
+                    parts, cigs = [], []
+                    ov = g.k - 1
+                    for n in nodes[:-1]:
+                        if args.compacted and n not in is_end:
+                            continue
+                        parts.append(f"{n}+")
+                        cigs.append(f"{ov}M")
+                    last = nodes[-1]
+                    while args.compacted and last not in is_end:
+                        nxt = [nn for nn, _ in g.call_outgoing_kmers(last)]
+                        if not nxt:
+                            break
+                        last = nxt[-1]
+                    parts.append(f"{last}+")
+                    f.write(f"P\t{i + 1}\t{','.join(parts)}\t"
+                            f"{','.join(cigs)}\n")
+        print(f"wrote {out_path}", file=sys.stderr)
+        return
+
     cfg = AlignerConfig(
         min_exact_match=args.align_min_exact_match,
         min_seed_length=args.align_min_seed_length,
@@ -265,6 +298,35 @@ def cmd_assemble(args):
 
     g = DBGSuccinct.load(args.input[0])
     table = g.alphabet.decode_table
+    if args.to_gfa:
+        # ref cli/assemble.cpp:220-266
+        if not args.unitigs:
+            raise SystemExit("Flag '--unitigs' must be set for GFA output")
+        out = args.out if args.out.endswith(".gfa") else args.out + ".gfa"
+        k = g.k
+        overlap = k - 1
+        with open(out, "w") as f:
+            f.write("H\tVN:Z:1.0\n")
+            for path, seq in traversal.call_paths(g.boss, True, False, True):
+                if not traversal._keep_unitig(g.boss, path, seq,
+                                              args.prune_tips, None):
+                    continue
+                unitig = table[np.array(seq, dtype=np.uint8)].tobytes().decode()
+                if args.compacted:
+                    f.write(f"S\t{path[-1]}\t{unitig}\n")
+                    for node, c in g.call_incoming_kmers(path[0]):
+                        if c != "$":
+                            f.write(f"L\t{node}\t+\t{path[-1]}\t+\t{overlap}M\n")
+                else:
+                    for i in range(len(path)):
+                        f.write(f"S\t{path[i]}\t{unitig[i:i+k]}\n")
+                        if i:
+                            f.write(f"L\t{path[i-1]}\t+\t{path[i]}\t+\t{overlap}M\n")
+                    for node, c in g.call_incoming_kmers(path[0]):
+                        if c != "$":
+                            f.write(f"L\t{node}\t+\t{path[0]}\t+\t{overlap}M\n")
+        print(f"wrote GFA to {out}", file=sys.stderr)
+        return
     recs = []
     if args.diff_assembly_rules:
         from ..annotation.matrix import load_annotation
@@ -533,6 +595,8 @@ def main(argv=None):
     p.add_argument("--unitigs", action="store_true")
     p.add_argument("--prune-tips", type=int, default=1)
     p.add_argument("--header", default="")
+    p.add_argument("--to-gfa", action="store_true")
+    p.add_argument("--compacted", action="store_true")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_assemble)
 
@@ -557,6 +621,7 @@ def main(argv=None):
     p.add_argument("--map", action="store_true")
     p.add_argument("--count-kmers", action="store_true")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--compacted", action="store_true")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_align)
 
