@@ -15,7 +15,10 @@ import numpy as np
 from .alignment import Alignment, revcomp
 from .config import NINF, AlignerConfig
 from .extender import DefaultColumnExtender
-from .seeder import ExactSeeder, ManualSeeder, UniMEMSeeder
+from .seeder import (ExactSeeder, ManualSeeder, UniMEMSeeder,
+                     make_suffix_seeder)
+
+SuffixUniMEMSeeder = make_suffix_seeder(UniMEMSeeder)
 
 
 class AlignmentAggregator:
@@ -50,9 +53,14 @@ class AlignmentAggregator:
 
 class DBGAligner:
     def __init__(self, graph, config: Optional[AlignerConfig] = None,
-                 seeder_class=UniMEMSeeder):
+                 seeder_class=None):
         self.graph = graph
         self.config = (config or AlignerConfig()).clamp_to_k(graph.k)
+        if seeder_class is None:
+            # ref DBGAligner<SuffixSeeder<UniMEMSeeder>> default
+            seeder_class = (SuffixUniMEMSeeder
+                            if self.config.min_seed_length < graph.k
+                            else UniMEMSeeder)
         self.seeder_class = seeder_class
 
     def _make_seeder(self, query: bytes, orientation: bool):

@@ -143,6 +143,169 @@ class UniMEMSeeder(MEMSeeder):
                 or not self.graph.has_single_incoming(node))
 
 
+def make_suffix_seeder(base_cls):
+    """SuffixSeeder<Base> (ref aligner_seeder_methods.cpp:152-358): adds
+    sub-k seeds via BOSS suffix-range matching when min_seed_length < k."""
+
+    class SuffixSeeder(base_cls):
+        def __init__(self, *args, **kwargs):
+            super().__init__(*args, **kwargs)
+            self._seeds = None
+            self._generate()
+
+        def _base_graph(self):
+            g = self.graph
+            return g.graph if hasattr(g, "get_base_node") else g
+
+        def _generate(self):
+            cfg = self.config
+            k = self.graph.k
+            if len(self.query) < cfg.min_seed_length:
+                self._seeds = []
+                return
+            if cfg.min_seed_length >= k:
+                self._seeds = base_cls.get_seeds(self)
+                return
+            dbg_succ = self._base_graph()
+            if not hasattr(dbg_succ, "boss"):
+                self._seeds = base_cls.get_seeds(self)
+                return
+
+            n_pos = len(self.query) - cfg.min_seed_length + 1
+            suffix_seeds = [[] for _ in range(n_pos)]
+            min_len = [cfg.min_seed_length] * n_pos
+
+            for seed in base_cls.get_seeds(self):
+                i, length, nodes, offset = seed
+                n_nodes = len(nodes)
+                for j in range(n_nodes):
+                    if i + j < n_pos:
+                        min_len[i + j] = k
+                if i + n_nodes < n_pos:
+                    min_len[i + n_nodes] = k
+                suffix_seeds[i].append(seed)
+
+            def append_suffix_seed(i, alt_node, seed_length):
+                if seed_length > min_len[i]:
+                    suffix_seeds[i].clear()
+                min_len[i] = seed_length
+                suffix_seeds[i].append(
+                    (i, seed_length, [alt_node], k - seed_length))
+                j = i + 1
+                sl = seed_length
+                while j < n_pos and sl > min_len[j]:
+                    min_len[j] = sl
+                    sl -= 1
+                    suffix_seeds[j].clear()
+                    j += 1
+
+            last_full = len(self.query) - k + 1 if len(self.query) >= k \
+                else n_pos
+            for i in range(n_pos):
+                max_len = min(cfg.max_seed_length, k - 1, len(self.query) - i)
+                if cfg.seed_complexity_filter and is_low_complexity(
+                        self.query[i: i + min_len[i]]):
+                    continue
+                nodes, seed_length = \
+                    dbg_succ.call_nodes_with_suffix_matching_longest_prefix(
+                        self.query[i: i + max_len], min_len[i],
+                        cfg.max_num_seeds_per_locus)
+                if (i >= last_full and len(nodes) == 1 and last_full >= 1
+                        and min_len[last_full - 1] == k
+                        and len(suffix_seeds[last_full - 1]) == 1
+                        and nodes[0] == suffix_seeds[last_full - 1][0][2][0]):
+                    continue
+                for alt in nodes:
+                    append_suffix_seed(i, alt, seed_length)
+
+            # canonical wrapper: also match on the reverse complement
+            if hasattr(self.graph, "get_base_node"):
+                from .alignment import revcomp
+                query_rc = revcomp(self.query)
+                boss = dbg_succ.boss
+                for i in range(0, len(query_rc) - cfg.min_seed_length + 1):
+                    max_len = min(cfg.max_seed_length, k - 1,
+                                  len(self.query) - i)
+                    j_min = len(query_rc) - i - max_len
+                    j_max = len(query_rc) - i - cfg.min_seed_length
+                    while j_min <= j_max and j_min < n_pos \
+                            and min_len[j_min] > max_len:
+                        j_min += 1
+                        max_len -= 1
+                    if j_min > j_max:
+                        continue
+                    enc = dbg_succ.extractor.encode(
+                        query_rc[i: i + max_len])
+                    if (enc >= boss.alph_size).any():
+                        continue
+                    first, last, seed_length = boss.index_range_host(enc)
+                    j = len(query_rc) - i - seed_length
+                    if (seed_length < cfg.min_seed_length or j >= n_pos
+                            or seed_length < min_len[j]
+                            or (cfg.seed_complexity_filter and
+                                is_low_complexity(
+                                    self.query[j: j + seed_length]))):
+                        continue
+                    begin = int(boss.pred_last(
+                        np.array([first - 1]))[0]) + 1
+                    for match in _suffix_to_prefix(dbg_succ, begin, last,
+                                                   seed_length):
+                        rc_node = self.graph.reverse_complement_node(match)
+                        append_suffix_seed(j, rc_node, seed_length)
+
+            # aggregate (ref :316-358)
+            seeds = []
+            self.num_matching = 0
+            last_end = 0
+            for i in range(n_pos):
+                pos_seeds = suffix_seeds[i]
+                if not pos_seeds:
+                    continue
+                if pos_seeds[0][3] == 0:
+                    seeds.append(pos_seeds[0])
+                elif len(pos_seeds) <= cfg.max_num_seeds_per_locus:
+                    seeds.extend(pos_seeds)
+                else:
+                    continue
+                begin = seeds[-1][0]
+                end = begin + seeds[-1][1]
+                if begin < last_end:
+                    self.num_matching += max(end - last_end, 0)
+                else:
+                    self.num_matching += end - begin
+                last_end = end
+            self._seeds = seeds
+
+        def get_seeds(self):
+            return self._seeds
+
+    SuffixSeeder.__name__ = f"SuffixSeeder[{base_cls.__name__}]"
+    return SuffixSeeder
+
+
+def _suffix_to_prefix(dbg_succ, first, last, seed_length):
+    """Nodes whose k-mer PREFIX equals the matched string
+    (ref aligner_seeder_methods.cpp:196-253 suffix_to_prefix)."""
+    boss = dbg_succ.boss
+    k_boss = boss.k
+    out = []
+    stack = [(first, last, seed_length)]
+    while stack:
+        f, l, slen = stack.pop()
+        if slen == k_boss:
+            for e in range(f, l + 1):
+                if dbg_succ._valid_node(e):
+                    out.append(e)
+            continue
+        for s in range(1, boss.alph_size):
+            fa, la, ok = boss.tighten_range(
+                np.array([f]), np.array([l]), np.array([s]),
+                np.array([True]))
+            if ok[0]:
+                stack.append((int(fa[0]), int(la[0]), slen + 1))
+    return out
+
+
 class ManualSeeder:
     def __init__(self, alignments: List[Alignment], num_matching: int = 0):
         self.alignments = alignments

@@ -231,10 +231,21 @@ def cmd_align(args):
     g = DBGSuccinct.load(args.infile_base)
     if args.map:
         # --map --count-kmers: print #matched/#total/#unique-matched
-        # (ref cli/align.cpp:150-170 map_sequences_in_file)
+        # (ref cli/align.cpp:110-165 map_sequences_in_file; --align-length
+        # below k maps sub-k-mers via BOSS suffix ranges)
         for f in args.input:
             for rec in read_fasta(f):
-                nodes = g.map_to_nodes(rec.seq)
+                L = args.align_length or g.k
+                if L == g.k:
+                    nodes = g.map_to_nodes(rec.seq)
+                else:
+                    nodes = []
+                    for i in range(len(rec.seq) - L + 1):
+                        hits, _ = \
+                            g.call_nodes_with_suffix_matching_longest_prefix(
+                                rec.seq[i: i + L], L)
+                        nodes.append(hits[0] if hits else 0)
+                    nodes = np.array(nodes, dtype=np.int64)
                 matched = int((nodes > 0).sum())
                 uniq = len(set(nodes[nodes > 0].tolist()))
                 print(f"{rec.name}\t{matched}/{len(nodes)}/{uniq}")
@@ -619,6 +630,7 @@ def main(argv=None):
     p.add_argument("--align-alternative-alignments", type=int, default=1)
     p.add_argument("--align-edit-distance", action="store_true")
     p.add_argument("--map", action="store_true")
+    p.add_argument("--align-length", type=int, default=None)
     p.add_argument("--count-kmers", action="store_true")
     p.add_argument("--json", action="store_true")
     p.add_argument("--compacted", action="store_true")

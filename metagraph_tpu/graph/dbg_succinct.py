@@ -179,6 +179,40 @@ class DBGSuccinct:
             e = nxt
         return cnt == 2
 
+    def call_nodes_with_suffix_matching_longest_prefix(
+            self, s: bytes, min_match_length: int,
+            max_num_allowed_matches: int = 2 ** 63):
+        """Nodes whose k-mer suffix matches the longest prefix of `s`
+        (ref dbg_succinct.cpp:308-380).  Returns (nodes, match_length)."""
+        boss = self.boss
+        if not max_num_allowed_matches or len(s) < min_match_length:
+            return [], 0
+        encoded = self.extractor.encode(s)
+        if (encoded >= boss.alph_size).any():
+            return [], 0
+        first, last, match_size = boss.index_range_host(
+            encoded[: min(self.k - 1, len(encoded))])
+        if len(s) == self.k and match_size + 1 == self.k:
+            edge = int(boss.pick_edge(np.array([last]),
+                                      np.array([int(encoded[-1])]))[0])
+            if edge and self._valid_node(edge):
+                return [edge], self.k
+        if match_size < min_match_length or not first:
+            return [], 0
+        rank_first = int(boss.rank_last(np.array([first]))[0])
+        rank_last = int(boss.rank_last(np.array([last]))[0])
+        nodes = []
+        for r in range(rank_first, rank_last + 1):
+            e = int(boss.select_last(np.array([r]))[0])
+            x = int(boss.bwd(np.array([e]))[0])
+            d = int(boss.node_last_char(np.array([e]))[0])
+            for inc in boss.call_incoming_to_target(x, d):
+                if self._valid_node(inc):
+                    nodes.append(inc)
+            if len(nodes) > max_num_allowed_matches:
+                return [], 0
+        return nodes, match_size
+
     def get_node_sequence(self, node: int) -> bytes:
         chars = self.boss.get_edge_seq(np.array([node]))[0]
         return self.alphabet.decode_table[chars].tobytes()

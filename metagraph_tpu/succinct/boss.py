@@ -218,6 +218,45 @@ class BOSS:
             rl, ru, alive = self.tighten_range(rl, ru, s, alive)
         return np.where(alive, ru, 0)
 
+    def index_range_host(self, encoded: np.ndarray):
+        """Match a node-string prefix; returns (first, last, matched_len)
+        (ref boss.hpp:720-764 index_range)."""
+        encoded = np.asarray(encoded, dtype=np.int64)
+        if len(encoded) == 0:
+            return 1, 1, 0
+        if (encoded >= self.alph_size).any():
+            return 0, 0, 0
+        rl, ru = self.initial_range(np.array([encoded[0]]))
+        rl, ru = int(rl[0]), int(ru[0])
+        if rl > ru:
+            return 0, 0, 0
+        matched = 1
+        for pos in range(1, len(encoded)):
+            rl_a, ru_a, ok = self.tighten_range(
+                np.array([rl]), np.array([ru]),
+                np.array([encoded[pos]]), np.array([True]))
+            if not ok[0]:
+                break
+            rl, ru = int(rl_a[0]), int(ru_a[0])
+            matched += 1
+        return int(self.succ_last(np.array([rl]))[0]), ru, matched
+
+    def call_incoming_to_target(self, edge: int, d: int):
+        """All edges incoming to the target node of `edge`'s node
+        (ref boss.cpp call_incoming_to_target): edge must be the first
+        incoming edge (W == d)."""
+        out = [edge]
+        e = edge
+        M = len(self.W)
+        while True:
+            nxt = self._next_W(e + 1, d + self.alph_size) if e + 1 < M else 0
+            stop = self._next_W(e + 1, d) if e + 1 < M else 0
+            if not nxt or (stop and stop < nxt):
+                break
+            out.append(nxt)
+            e = nxt
+        return out
+
     def map_to_edges_batch(self, kmers: np.ndarray) -> np.ndarray:
         """Batched edge lookup for (Q, k+1) edge strings (BOSS::map_to_edge)."""
         node_edge = self.index_batch(kmers[:, :-1])
