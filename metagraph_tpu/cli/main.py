@@ -489,6 +489,28 @@ def cmd_transform(args):
     from ..graph import traversal
 
     g = DBGSuccinct.load(args.input[0])
+    if args.initialize_bloom:
+        # ref cli/transform_graph.cpp --initialize-bloom
+        from ..kmer.bloom import KmerBloomFilter
+        from ..graph import traversal
+        n = g.num_nodes()
+        if args.bloom_fpp < 1.0:
+            bloom = KmerBloomFilter.from_fpp(
+                g.k, g.mode == "canonical", n, args.bloom_fpp)
+        else:
+            bloom = KmerBloomFilter(
+                g.k, g.mode == "canonical",
+                int(args.bloom_bpk * n), n)
+        table = g.alphabet.decode_table
+        for c in traversal.call_sequences(g.boss):
+            bloom.add_sequence(table[c].tobytes())
+        out = args.out if args.out.endswith(".bloom.npz") \
+            else args.out + ".bloom.npz"
+        bloom.save(out)
+        print(f"bloom filter written to {out} "
+              f"({bloom.filter.size} bits, {bloom.filter.num_hash} hashes)",
+              file=sys.stderr)
+        return
     if args.to_fasta:
         contigs = traversal.call_sequences(
             g.boss, unitigs=args.unitigs,
@@ -564,6 +586,9 @@ def main(argv=None):
     p.add_argument("--to-fasta", action="store_true")
     p.add_argument("--unitigs", action="store_true")
     p.add_argument("--primary-kmers", action="store_true")
+    p.add_argument("--initialize-bloom", action="store_true")
+    p.add_argument("--bloom-fpp", type=float, default=1.0)
+    p.add_argument("--bloom-bpk", type=float, default=4.0)
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_transform)
 

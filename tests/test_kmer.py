@@ -97,3 +97,42 @@ class TestExtractor:
         kmers, counts = ex.extract([b"ACGT"], 4, mode="both", with_counts=True)
         assert kmers.shape[0] == 1
         assert counts[0] == 2
+
+
+class TestBloomFilter:
+    def test_no_false_negatives(self):
+        from metagraph_tpu.kmer.bloom import KmerBloomFilter
+        rng = np.random.default_rng(0)
+        seqs = ["".join(rng.choice(list("ACGT"), size=200)).encode()
+                for _ in range(5)]
+        bloom = KmerBloomFilter.from_fpp(11, False, 1000, 0.01)
+        for s in seqs:
+            bloom.add_sequence(s)
+        for s in seqs:
+            assert bloom.check_kmer_presence(s).all()
+
+    def test_filters_absent(self):
+        from metagraph_tpu.kmer.bloom import KmerBloomFilter
+        rng = np.random.default_rng(1)
+        bloom = KmerBloomFilter.from_fpp(15, False, 1000, 0.01)
+        bloom.add_sequence(b"ACGT" * 50)
+        probe = "".join(rng.choice(list("ACGT"), size=1000)).encode()
+        fp = bloom.check_kmer_presence(probe).mean()
+        assert fp < 0.1
+
+    def test_canonical_mode(self):
+        from metagraph_tpu.kmer.bloom import KmerBloomFilter
+        from metagraph_tpu.graph.canonical import revcomp
+        bloom = KmerBloomFilter.from_fpp(9, True, 100, 0.01)
+        s = b"ACGGATTCAGCGTTACA"
+        bloom.add_sequence(s)
+        assert bloom.check_kmer_presence(revcomp(s)).all()
+
+    def test_save_load(self, tmp_path):
+        from metagraph_tpu.kmer.bloom import KmerBloomFilter
+        bloom = KmerBloomFilter.from_fpp(9, False, 100, 0.05)
+        bloom.add_sequence(b"ACGTACGTACGTAAA")
+        p = str(tmp_path / "f.bloom.npz")
+        bloom.save(p)
+        b2 = KmerBloomFilter.load(p)
+        assert b2.check_kmer_presence(b"ACGTACGTACGTAAA").all()
