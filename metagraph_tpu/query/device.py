@@ -70,6 +70,30 @@ class DeviceQueryPipeline:
         """host-side packing of a sequence batch -> device inputs."""
         k = self.k
         ex = self.graph.extractor
+        from .. import native
+        if native.get_lib() is not None:
+            sep = np.array([ex.alphabet.sigma], dtype=np.uint8)
+            codes_list = [ex.encode(s) for s in seqs]
+            num_kmers = [max(len(c) - k + 1, 0) for c in codes_list]
+            cat = np.concatenate(
+                [np.concatenate([c, sep]) for c in codes_list]) \
+                if codes_list else sep[:0]
+            if len(cat) >= k:
+                all_packed = native.pack_windows_boss(cat, k, bits=32)
+                q_parts, sid_parts = [], []
+                off = 0
+                for i, c in enumerate(codes_list):
+                    n = num_kmers[i]
+                    if n:
+                        q_parts.append(all_packed[off: off + n])
+                        sid_parts.append(np.full(n, i, dtype=np.int32))
+                    off += len(c) + 1
+                if q_parts:
+                    return (np.concatenate(q_parts),
+                            np.concatenate(sid_parts), num_kmers)
+            W = (k + 7) // 8
+            return (np.zeros((0, W), dtype=np.uint32),
+                    np.zeros(0, dtype=np.int32), num_kmers)
         q_parts, sid_parts = [], []
         num_kmers = []
         for i, s in enumerate(seqs):

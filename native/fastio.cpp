@@ -1,0 +1,150 @@
+// Native data-loading kernels (the host-side hot path of construction and
+// query batching — the role kseq + KMer packing play in the reference's C++
+// pipeline, re-designed for the array layout this framework uses).
+//
+// Exposed via a plain C ABI and loaded with ctypes; every function operates
+// on caller-allocated numpy buffers.
+//
+// Build: make native  (g++ -O3 -march=native -shared -fPIC)
+
+#include <cstdint>
+#include <cstddef>
+#include <cstring>
+
+extern "C" {
+
+// Encode a FASTA/FASTQ text buffer into DNA codes ($=0,A=1,C=2,G=3,T=4,
+// invalid/separator=5).  Sequences are concatenated, each followed by one
+// separator code.  Returns the number of code bytes written; record start
+// offsets (into the code array) are written to record_offsets (capacity
+// max_records), record count to n_records.
+int64_t fasta_encode(const uint8_t *data, int64_t size,
+                     uint8_t *codes, int64_t *record_offsets,
+                     int64_t max_records, int64_t *n_records) {
+    static uint8_t table[256];
+    static bool init = false;
+    if (!init) {
+        memset(table, 5, sizeof(table));
+        table['A'] = table['a'] = 1;
+        table['C'] = table['c'] = 2;
+        table['G'] = table['g'] = 3;
+        table['T'] = table['t'] = 4;
+        table['U'] = table['u'] = 4;
+        init = true;
+    }
+
+    int64_t out = 0;
+    int64_t recs = 0;
+    int64_t i = 0;
+    bool fastq = size > 0 && data[0] == '@';
+    while (i < size) {
+        // header line
+        if (data[i] == '>' || data[i] == '@') {
+            if (recs > 0)
+                codes[out++] = 5;  // separator after previous record
+            if (recs >= max_records)
+                return -1;
+            record_offsets[recs++] = out;
+            while (i < size && data[i] != '\n') ++i;
+            ++i;
+            if (fastq) {
+                // sequence line(s) until '+'
+                while (i < size && data[i] != '+') {
+                    if (data[i] != '\n' && data[i] != '\r')
+                        codes[out++] = table[data[i]];
+                    ++i;
+                }
+                // skip '+' line and quality line
+                while (i < size && data[i] != '\n') ++i;
+                ++i;
+                while (i < size && data[i] != '\n') ++i;
+                ++i;
+            }
+            continue;
+        }
+        if (data[i] != '\n' && data[i] != '\r')
+            codes[out++] = table[data[i]];
+        ++i;
+    }
+    if (recs > 0)
+        codes[out++] = 5;
+    *n_records = recs;
+    return out;
+}
+
+// Pack every k-window of `codes` (length n) into W=ceil(k/16) uint64 nibble
+// words in BOSS one-swapped co-lex priority order (priority p < k-1 maps to
+// char index i+k-2-p; priority k-1 maps to i+k-1).  Invalid windows (any
+// code > 4) are filled with 0xFF.. sentinel keys.  Rolling update: each
+// window is derived from its predecessor with shifts.
+void pack_windows_boss(const uint8_t *codes, int64_t n, int32_t k,
+                       uint64_t *out /* (n-k+1) * W */) {
+    const int32_t W = (k + 15) / 16;
+    const int64_t n_win = n - k + 1;
+    if (n_win <= 0)
+        return;
+
+    // validity via running count of invalid codes
+    int64_t bad = 0;
+    for (int32_t j = 0; j < k; ++j)
+        bad += codes[j] > 4;
+
+    // priority sequence for window i: codes[i+k-2], ..., codes[i], codes[i+k-1]
+    // nibble-packed MSB-first into W words
+    for (int64_t i = 0; i < n_win; ++i) {
+        if (i > 0) {
+            bad -= codes[i - 1] > 4;
+            bad += codes[i + k - 1] > 4;
+        }
+        uint64_t *row = out + i * W;
+        if (bad > 0) {
+            for (int32_t w = 0; w < W; ++w)
+                row[w] = ~0ULL;
+            continue;
+        }
+        int32_t p = 0;
+        for (int32_t w = 0; w < W; ++w) {
+            uint64_t acc = 0;
+            for (int32_t slot = 0; slot < 16 && p < k; ++slot, ++p) {
+                int64_t ci = p < k - 1 ? i + k - 2 - p : i + k - 1;
+                acc |= (uint64_t)codes[ci] << (60 - 4 * slot);
+            }
+            row[w] = acc;
+        }
+    }
+}
+
+// Same, but packing into uint32 words (8 nibbles each) — the device layout.
+void pack_windows_boss32(const uint8_t *codes, int64_t n, int32_t k,
+                         uint32_t *out /* (n-k+1) * W32 */) {
+    const int32_t W = (k + 7) / 8;
+    const int64_t n_win = n - k + 1;
+    if (n_win <= 0)
+        return;
+    int64_t bad = 0;
+    for (int32_t j = 0; j < k; ++j)
+        bad += codes[j] > 4;
+    for (int64_t i = 0; i < n_win; ++i) {
+        if (i > 0) {
+            bad -= codes[i - 1] > 4;
+            bad += codes[i + k - 1] > 4;
+        }
+        uint32_t *row = out + i * W;
+        if (bad > 0) {
+            for (int32_t w = 0; w < W; ++w)
+                row[w] = ~0U;
+            continue;
+        }
+        int32_t p = 0;
+        for (int32_t w = 0; w < W; ++w) {
+            uint32_t acc = 0;
+            for (int32_t slot = 0; slot < 8 && p < k; ++slot, ++p) {
+                int64_t ci = p < k - 1 ? i + k - 2 - p : i + k - 1;
+                acc |= (uint32_t)codes[ci] << (28 - 4 * slot);
+            }
+            row[w] = acc;
+        }
+    }
+}
+
+}  // extern "C"
