@@ -1,0 +1,46 @@
+"""Build workflow tests (ref workflows/ snakemake pipeline semantics)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from metagraph_tpu.workflows.pipeline import WorkflowConfig, run_build_workflow
+
+
+class TestWorkflow:
+    def test_end_to_end(self, tmp_path):
+        rng = np.random.default_rng(0)
+        samples = []
+        for i in range(2):
+            p = tmp_path / f"sample{i}.fa"
+            with open(p, "w") as f:
+                for j in range(3):
+                    f.write(f">r{j}\n"
+                            + "".join(rng.choice(list("ACGT"), 400)) + "\n")
+            samples.append(str(p))
+        cfg = WorkflowConfig(samples=samples, output_dir=str(tmp_path / "out"),
+                             k=21, annotation_format="row_diff_brwt")
+        res = run_build_workflow(cfg, log=lambda *a: None)
+        assert os.path.exists(res["graph"])
+        assert os.path.exists(res["annotation"])
+        assert res["num_labels"] == 2
+        assert res["num_nodes"] > 0
+
+        # re-run is a no-op (re-entrant)
+        logs = []
+        run_build_workflow(cfg, log=lambda *a: logs.append(a))
+        assert any("up to date" in str(l) for l in logs)
+
+        # query through the built index finds the right sample
+        from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+        from metagraph_tpu.annotation.matrix import load_annotation
+        from metagraph_tpu.graph.canonical import CanonicalDBG
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        from metagraph_tpu.seq_io.fasta import read_fasta
+        g = CanonicalDBG(DBGSuccinct.load(res["graph"]))
+        anno = load_annotation(res["annotation"])
+        ag = AnnotatedDBG(g, anno)
+        q = read_fasta(samples[0])[0].seq
+        labels = ag.get_labels(q, 0.9)
+        assert labels == ["sample0"]
