@@ -206,6 +206,12 @@ def cmd_query(args):
     anno = load_annotation(args.annotation)
     engine = QueryEngine(AnnotatedDBG(g, anno), use_device=args.device)
 
+    aligner_config = None
+    if args.align:
+        from ..align.config import AlignerConfig
+        aligner_config = AlignerConfig(
+            min_exact_match=args.align_min_exact_match)
+
     out = sys.stdout
     num_top = args.num_top_labels if args.num_top_labels is not None else 2 ** 63
     for f in args.input:
@@ -214,7 +220,8 @@ def cmd_query(args):
                 records, args.query_mode, num_top,
                 args.min_kmers_fraction_label, args.min_kmers_fraction_graph,
                 fwd_and_reverse=args.fwd_and_reverse,
-                batch_size_bp=args.batch_size):
+                batch_size_bp=args.batch_size,
+                aligner_config=aligner_config):
             if args.json:
                 out.write(res.to_json(args.verbose_output, g.k) + "\n")
             else:
@@ -573,6 +580,8 @@ def main(argv=None):
     p.add_argument("--num-top-labels", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=100_000_000)
     p.add_argument("--fwd-and-reverse", action="store_true")
+    p.add_argument("--align", action="store_true")
+    p.add_argument("--align-min-exact-match", type=float, default=0.7)
     p.add_argument("--json", action="store_true")
     p.add_argument("--suppress-unlabeled", action="store_true")
     p.add_argument("--verbose-output", action="store_true")

@@ -148,12 +148,36 @@ class QueryEngine:
                                            presence_fraction)
         raise ValueError(f"unknown query mode {mode!r}")
 
+    def align_sequence(self, seq: bytes, aligner_config):
+        """ref query.cpp:1181-1209 align_sequence: replace the query with its
+        best alignment's graph spelling; returns (new_seq, Alignment)."""
+        from ..align.aligner import DBGAligner
+        from .results import Alignment as ResultAlignment
+        aligner = DBGAligner(self.graph, aligner_config)
+        cfg = aligner.config
+        max_score = cfg.match_score(seq) + cfg.left_end_bonus \
+            + cfg.right_end_bonus
+        alns = aligner.align(seq)
+        if alns:
+            m = alns[0]
+            if m.offset:
+                prefix = self.graph.get_node_sequence(m.nodes[0])[: m.offset]
+                new_seq = prefix + m.sequence
+            else:
+                new_seq = m.sequence
+            return new_seq, ResultAlignment(
+                m.score, max_score, m.cigar.to_string(), m.orientation,
+                new_seq.decode())
+        return seq, ResultAlignment(0, max_score, f"{len(seq)}S", False,
+                                    seq.decode())
+
     def query_records(self, records: Sequence, mode: str,
                       num_top_labels: int = 2 ** 63,
                       discovery_fraction: float = 0.7,
                       presence_fraction: float = 0.0,
                       fwd_and_reverse: bool = False,
-                      batch_size_bp: int = 100_000_000
+                      batch_size_bp: int = 100_000_000,
+                      aligner_config=None
                       ) -> Iterable[SeqSearchResult]:
         """Query FASTA records; yields per-sequence (per-strand) results.
 
@@ -169,12 +193,22 @@ class QueryEngine:
             nonlocal batch, batch_bp
             if not batch:
                 return
+            alignments = [None] * len(batch)
+            if aligner_config is not None:
+                new_batch = []
+                for j, (sid, name, seq) in enumerate(batch):
+                    new_seq, alignments[j] = self.align_sequence(
+                        seq, aligner_config)
+                    new_batch.append((sid, name, new_seq))
+                batch = new_batch
             nodes_list = self.map_batch([s for _, _, s in batch])
-            for (sid, name, seq), nodes in zip(batch, nodes_list):
+            for (sid, name, seq), nodes, aln in zip(batch, nodes_list,
+                                                    alignments):
                 payload = self.execute(nodes, mode, num_top_labels,
                                        discovery_fraction, presence_fraction)
                 yield SeqSearchResult(
-                    QuerySequence(sid, name, seq.decode()), kind, payload)
+                    QuerySequence(sid, name, seq.decode()), kind, payload,
+                    alignment=aln)
             batch = []
             batch_bp = 0
 
