@@ -490,6 +490,51 @@ def cmd_concatenate(args):
           file=sys.stderr)
 
 
+
+def cmd_merge_anno(args):
+    """Merge annotation columns (ref cli/merge_annotations / merge_anno)."""
+    from ..annotation.column import ColumnMajorAnnotation
+
+    merged = None
+    for f in args.input:
+        a = ColumnMajorAnnotation.load(f)
+        a.freeze()
+        if merged is None:
+            merged = ColumnMajorAnnotation(a.num_rows)
+        for c in range(a.num_labels):
+            merged.add_labels(a.column_rows(c), [a.encoder.decode(c)])
+            if a.has_values:
+                rows = a.column_rows(c)
+                vals = a._values[c]
+                nz = vals > 0
+                if nz.any():
+                    merged.add_label_counts(rows[nz], vals[nz],
+                                            [a.encoder.decode(c)])
+    merged.freeze()
+    merged.save(args.out + ".column.annodbg")
+    print(f"merged {len(args.input)} annotations: {merged.num_labels} labels",
+          file=sys.stderr)
+
+
+def cmd_relax_brwt(args):
+    """Rebalance a BRWT annotation (ref cli/transform_annotation.cpp
+    --relax-arity): rebuild the cluster tree with the requested arity."""
+    from ..annotation.matrix import BRWT, StaticAnnotation, load_annotation
+
+    a = load_annotation(args.input[0])
+    if not isinstance(getattr(a, "matrix", None), BRWT):
+        raise SystemExit("relax_brwt requires a brwt annotation")
+    m = a.matrix
+    cols = [np.flatnonzero(
+        m.get_rows_mask(np.arange(m.num_rows))[:, c])
+        for c in range(m.num_labels)]
+    rebuilt = BRWT.from_columns(cols, m.num_rows, m.num_labels,
+                                arity=args.relax_arity)
+    StaticAnnotation(rebuilt, a.encoder, "brwt").save(
+        args.out + ".brwt.annodbg")
+    print(f"relaxed brwt (arity {args.relax_arity})", file=sys.stderr)
+
+
 def cmd_transform(args):
     from ..graph.dbg_succinct import DBGSuccinct
     from ..seq_io.fasta import write_fasta
@@ -624,6 +669,17 @@ def main(argv=None):
     p.add_argument("--mode", default=None)
     p.add_argument("--graph", default="succinct")
     p.set_defaults(func=cmd_concatenate)
+
+    p = sub.add_parser("merge_anno")
+    _add_common(p)
+    p.add_argument("input", nargs="+")
+    p.set_defaults(func=cmd_merge_anno)
+
+    p = sub.add_parser("relax_brwt")
+    _add_common(p)
+    p.add_argument("--relax-arity", type=int, default=2)
+    p.add_argument("input", nargs="+")
+    p.set_defaults(func=cmd_relax_brwt)
 
     p = sub.add_parser("server_query")
     _add_common(p)
