@@ -117,3 +117,19 @@ class TestAlignAnchors:
             matched = int((nodes > 0).sum())
             uniq = len(set(nodes[nodes > 0].tolist()))
             assert f"{matched}/{len(nodes)}/{uniq}" == e
+
+
+class TestPallasSW:
+    def test_kernel_matches_oracle(self):
+        from metagraph_tpu.align.pallas_sw import (
+            batch_local_align_scores, reference_local_align_score)
+        rng = np.random.default_rng(0)
+        B, LQ, LR = 12, 48, 64
+        qs = rng.integers(0, 4, size=(B, LQ)).astype(np.int32)
+        rs = rng.integers(0, 4, size=(B, LR)).astype(np.int32)
+        for b in range(0, B, 3):
+            rs[b, 5:35] = qs[b, 2:32]
+        qs[1, 40:] = -1
+        got = batch_local_align_scores(qs, rs, interpret=True)
+        want = [reference_local_align_score(qs[b], rs[b]) for b in range(B)]
+        np.testing.assert_array_equal(got, want)
