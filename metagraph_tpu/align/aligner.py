@@ -180,3 +180,52 @@ def format_alignments_tsv(header: str, query: bytes,
             out += "\t" + a.format_tsv()
         out += "\n"
     return out
+
+
+class LabeledAligner(DBGAligner):
+    """Annotation-aware alignment (ref aligner_labeled.hpp:120): alignments
+    carry the label columns consistent with their path.
+
+    Round-1 scope: labels are resolved per final alignment (the intersection
+    threshold over the path's annotation rows) rather than pruning during
+    extension — same output fields, wider search.
+    """
+
+    def __init__(self, anno_graph, config: Optional[AlignerConfig] = None,
+                 discovery_fraction: float = 0.7):
+        super().__init__(anno_graph.graph, config)
+        self.anno_graph = anno_graph
+        self.discovery_fraction = discovery_fraction
+
+    def align(self, query: bytes) -> List[Alignment]:
+        alignments = super().align(query)
+        ag = self.anno_graph
+        anno = ag.annotator
+        for a in alignments:
+            nodes = np.array([n for n in a.nodes if n], dtype=np.int64)
+            if not len(nodes):
+                continue
+            rows = ag.graph_to_anno_index(nodes)
+            mask = anno.get_rows_mask(rows)
+            counts = mask.sum(axis=0)
+            min_count = max(1, int(np.ceil(self.discovery_fraction
+                                           * len(rows))))
+            a.label_columns = [int(c) for c in
+                               np.flatnonzero(counts >= min_count)]
+        return alignments
+
+
+def format_labeled_alignments_tsv(header: str, query: bytes, alignments,
+                                  encoder, min_path_score: int = 0) -> str:
+    """ref cli/align.cpp:254-290 labeled branch: labels joined by ';'."""
+    out = f"{header}\t{query.decode()}"
+    if not alignments:
+        out += f"\t*\t*\t{min_path_score}\t*\t*\t*\n"
+    else:
+        for a in alignments:
+            out += "\t" + a.format_tsv()
+            if a.label_columns:
+                out += "\t" + ";".join(encoder.decode(c)
+                                        for c in a.label_columns)
+        out += "\n"
+    return out

@@ -122,6 +122,10 @@ def cmd_stats(args):
             print(f"objects: {a.num_rows}")
             print(f"representation: "
                   f"{getattr(a, 'representation', 'column')}")
+            if args.print_col_names:
+                print("column names:")
+                for name in a.encoder.labels:
+                    print(name)
             continue
         g = DBGSuccinct.load(f)
         print(f"k: {g.k}")
@@ -133,6 +137,16 @@ def cmd_stats(args):
             nnz = int((w > 0).sum())
             print(f"nnz weights: {nnz}")
             print(f"avg weight: {float(w.sum()) / max(nnz, 1):.6g}")
+        if args.verbose:
+            # W / last distributions (ref cli/stats.cpp:33-178)
+            boss = g.boss
+            W_vals, W_counts = np.unique(boss.W[1:], return_counts=True)
+            print("W stats: {'" + "', '".join(
+                f"{int(v)}': {int(c)}" for v, c in zip(W_vals, W_counts))
+                + "}")
+            print(f"last 1s: {int(boss.last.sum())} / {boss.num_edges}")
+            print(f"dummy edges: "
+                  f"{int(boss.num_edges - g.num_nodes())}")
 
 
 def cmd_annotate(args):
@@ -299,6 +313,21 @@ def cmd_align(args):
         num_alternative_paths=args.align_alternative_alignments,
         forward_and_reverse_complement=not args.align_only_forwards,
     )
+    if args.annotation:
+        from ..annotation.matrix import load_annotation
+        from ..annotation.annotated_dbg import AnnotatedDBG
+        from ..align.aligner import (LabeledAligner,
+                                     format_labeled_alignments_tsv)
+        anno = load_annotation(args.annotation)
+        ag = AnnotatedDBG(g, anno)
+        aligner = LabeledAligner(ag, cfg)
+        for f in args.input:
+            for rec in read_fasta(f):
+                alns = aligner.align(rec.seq)
+                sys.stdout.write(format_labeled_alignments_tsv(
+                    rec.name, rec.seq, alns, anno.encoder,
+                    cfg.min_path_score))
+        return
     aligner = DBGAligner(g, cfg)
     for f in args.input:
         for rec in read_fasta(f):
@@ -598,6 +627,7 @@ def main(argv=None):
     p = sub.add_parser("stats")
     _add_common(p)
     p.add_argument("-a", "--annotation", default=None)
+    p.add_argument("--print-col-names", action="store_true")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_stats)
 
@@ -712,6 +742,7 @@ def main(argv=None):
     p = sub.add_parser("align")
     _add_common(p)
     p.add_argument("-i", "--infile-base", required=True)
+    p.add_argument("-a", "--annotation", default=None)
     p.add_argument("--align-only-forwards", action="store_true")
     p.add_argument("--align-min-exact-match", type=float, default=0.7)
     p.add_argument("--align-min-seed-length", type=int, default=19)
