@@ -36,23 +36,48 @@ def num_exact_matching(query_nodes: np.ndarray, k: int) -> int:
     return num_matching
 
 
-def is_low_complexity(window: bytes, T: int = 20, W: int = 64) -> bool:
-    """sdust-style low-complexity check (ref aligner_seeder_methods.cpp:3-35).
+_NT4 = {65: 0, 67: 1, 71: 2, 84: 3, 97: 0, 99: 1, 103: 2, 116: 3}
 
-    Simplified triplet-score heuristic with the same thresholds: a window is
-    low-complexity if the sdust score over 3-mers exceeds T.
+
+def is_low_complexity(window: bytes, T: int = 20, W: int = 64) -> bool:
+    """Symmetric DUST low-complexity check (Morgulis et al. 2006; the
+    reference calls sdust with T=20, W=64, ref aligner_seeder_methods.cpp:22).
+
+    A window is low-complexity iff some interval of at most W-2 triplets has
+    DUST score sum_t c_t(c_t-1)/2 > T/10 * (l-1).  Non-ACGT characters reset
+    the triplet stream (as in sdust).
     """
     if len(window) < 3:
         return False
-    counts = {}
-    score = 0
-    for i in range(len(window) - 2):
-        t = window[i:i + 3]
-        c = counts.get(t, 0)
-        score += c
-        counts[t] = c + 1
-    # sdust perfect score threshold scaled to window length
-    return score * 10 > T * (len(window) - 2)
+    # triplet codes per maximal ACGT run
+    runs: List[List[int]] = [[]]
+    t = 0
+    valid = 0
+    for ch in window:
+        b = _NT4.get(ch)
+        if b is None:
+            if runs[-1]:
+                runs.append([])
+            valid = 0
+            continue
+        t = ((t << 2) | b) & 63
+        valid += 1
+        if valid >= 3:
+            runs[-1].append(t)
+    max_span = W - 2
+    for trips in runs:
+        n = len(trips)
+        for i in range(n):
+            counts = [0] * 64
+            pairs = 0
+            for j in range(i, min(i + max_span, n)):
+                c = counts[trips[j]]
+                pairs += c
+                counts[trips[j]] = c + 1
+                l = j - i + 1
+                if l > 1 and pairs * 10 > T * (l - 1):
+                    return True
+    return False
 
 
 class Seeder:
