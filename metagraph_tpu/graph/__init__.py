@@ -8,6 +8,7 @@ def build_graph(representation: str, sequences, k: int, mode: str = "basic",
     """Factory over all graph representations (ref cli/config graph types)."""
     from .dbg_succinct import DBGSuccinct
     from .hash_graph import DBGBitmapGraph, DBGHashGraph
+    from .sshash_graph import DBGSSHashGraph
 
     types = {
         "succinct": DBGSuccinct,
@@ -15,5 +16,6 @@ def build_graph(representation: str, sequences, k: int, mode: str = "basic",
         "hash": DBGHashGraph,
         "hashfast": DBGHashGraph,
         "hashstr": DBGHashGraph,
+        "sshash": DBGSSHashGraph,
     }
     return types[representation].build(sequences, k, mode=mode, **kwargs)

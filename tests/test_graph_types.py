@@ -13,7 +13,7 @@ from metagraph_tpu.graph.canonical import CanonicalDBG, RCDBG, revcomp
 from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
 from metagraph_tpu.query.pipeline import QueryEngine
 
-REPRS = ["succinct", "bitmap", "hash"]
+REPRS = ["succinct", "bitmap", "hash", "sshash"]
 
 
 @pytest.fixture(scope="module")
