@@ -26,6 +26,10 @@ class CanonicalDBG:
         self.alphabet = graph.alphabet
         self.extractor = graph.extractor
         self.offset = graph.max_index()
+        # traversal caches (the NodeFirstCache analog, ref node_first_cache.hpp)
+        self._out_cache: dict = {}
+        self._in_cache: dict = {}
+        self._seq_cache: dict = {}
 
     def num_nodes(self) -> int:
         return self.graph.num_nodes() * 2
@@ -60,38 +64,58 @@ class CanonicalDBG:
 
     # ------------------------------------------------------------ traversal
     def _node_seq(self, node: int) -> bytes:
+        hit = self._seq_cache.get(node)
+        if hit is not None:
+            return hit
         base = self.get_base_node(node)
         s = self.graph.get_node_sequence(base)
-        return s if node <= self.offset else revcomp(s)
+        if node > self.offset:
+            s = revcomp(s)
+        self._seq_cache[node] = s
+        return s
 
     def get_node_sequence(self, node: int) -> bytes:
         return self._node_seq(node)
 
+    def _lookup_batch(self, kmers: list) -> list:
+        """Batch canonical lookup: fwd ids, else rc ids + offset."""
+        chars = np.stack([self.extractor.encode(km) for km in kmers])
+        if hasattr(self.graph, "map_kmers_batch"):
+            fwd = self.graph.map_kmers_batch(chars)
+            comp = self.alphabet.complement_table
+            rc = comp[chars[:, ::-1]]
+            bwd = self.graph.map_kmers_batch(rc)
+        else:
+            fwd = np.array([self.graph.map_to_nodes_sequentially(km)[0]
+                            for km in kmers])
+            bwd = np.array([self.graph.map_to_nodes_sequentially(revcomp(km))[0]
+                            for km in kmers])
+        return np.where(fwd > 0, fwd,
+                        np.where(bwd > 0, bwd + self.offset, 0)).tolist()
+
     def _lookup(self, kmer: bytes) -> int:
-        n = self.graph.map_to_nodes_sequentially(kmer)
-        if len(n) and n[0]:
-            return int(n[0])
-        n = self.graph.map_to_nodes_sequentially(revcomp(kmer))
-        if len(n) and n[0]:
-            return int(n[0]) + self.offset
-        return 0
+        return self._lookup_batch([kmer])[0]
 
     def call_outgoing_kmers(self, node: int):
+        hit = self._out_cache.get(node)
+        if hit is not None:
+            return hit
         seq = self._node_seq(node)
-        out = []
-        for ch in "ACGT":
-            nid = self._lookup(seq[1:] + ch.encode())
-            if nid:
-                out.append((nid, ch))
+        cands = [seq[1:] + ch.encode() for ch in "ACGT"]
+        ids = self._lookup_batch(cands)
+        out = [(nid, ch) for nid, ch in zip(ids, "ACGT") if nid]
+        self._out_cache[node] = out
         return out
 
     def call_incoming_kmers(self, node: int):
+        hit = self._in_cache.get(node)
+        if hit is not None:
+            return hit
         seq = self._node_seq(node)
-        out = []
-        for ch in "ACGT":
-            nid = self._lookup(ch.encode() + seq[:-1])
-            if nid:
-                out.append((nid, ch))
+        cands = [ch.encode() + seq[:-1] for ch in "ACGT"]
+        ids = self._lookup_batch(cands)
+        out = [(nid, ch) for nid, ch in zip(ids, "ACGT") if nid]
+        self._in_cache[node] = out
         return out
 
     def traverse(self, node: int, ch: str) -> int:

@@ -84,6 +84,35 @@ class DBGSuccinct:
         return self.map_to_nodes_sequentially(sequence)
 
     # ----------------------------------------------------------- traversal
+    _host_index = None
+
+    def _build_host_index(self):
+        from ..kmer import packing
+        if self._host_index is None:
+            boss = self.boss
+            valid_edges = np.flatnonzero(boss.valid).astype(np.int64)
+            kchars = boss.get_edge_seq(valid_edges)
+            order = packing.boss_priority_order(self.k)
+            self._host_index = (packing.pack_codes(kchars, order), valid_edges,
+                                kchars)
+        return self._host_index
+
+    def map_kmers_batch(self, chars: np.ndarray) -> np.ndarray:
+        """(N, k) code matrices -> node ids via a cached sorted-key index
+        (much faster than the BOSS walk for small batches)."""
+        from ..kmer import packing
+        keys, ids, _ = self._build_host_index()
+        if not len(keys):
+            return np.zeros(len(chars), dtype=np.int64)
+        invalid = (chars >= self.alphabet.sigma).any(axis=1) \
+            | (chars == 0).any(axis=1)
+        q = packing.pack_codes(np.where(invalid[:, None], 1, chars),
+                               packing.boss_priority_order(self.k))
+        pos = packing.searchsorted_rows(keys, q)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = (pos < len(keys)) & np.all(keys[pos_c] == q, axis=1) & ~invalid
+        return np.where(hit, ids[pos_c], 0)
+
     def _valid_node(self, e: int) -> int:
         if e and (not self.masked or self.boss.valid[e]):
             return e
@@ -214,6 +243,11 @@ class DBGSuccinct:
         return nodes, match_size
 
     def get_node_sequence(self, node: int) -> bytes:
+        if self._host_index is not None:
+            _, ids, kchars = self._host_index
+            pos = int(np.searchsorted(ids, node))
+            if pos < len(ids) and ids[pos] == node:
+                return self.alphabet.decode_table[kchars[pos]].tobytes()
         chars = self.boss.get_edge_seq(np.array([node]))[0]
         return self.alphabet.decode_table[chars].tobytes()
 
