@@ -143,3 +143,16 @@ class TestQueryByteAnchors:
 
     def test_matches_both(self, engine):
         assert self.run_query(engine, "matches", True) == 260215
+
+
+class TestJsonOutput:
+    def test_to_json_shape(self):
+        ag = make_annotated([b"ACGTACGTAGGA"], 5)
+        from metagraph_tpu.query.results import QuerySequence, SeqSearchResult
+        import json
+        res = SeqSearchResult(QuerySequence(0, "q", "ACGTACGTAGGA"), "matches",
+                              ag.get_top_labels(b"ACGTACGTAGGA", 10, 1.0))
+        obj = json.loads(res.to_json())
+        assert obj["seq_description"] == "q"
+        assert obj["results"][0]["sample"] == "seq0"
+        assert obj["results"][0]["kmer_count"] == 8

@@ -144,3 +144,23 @@ class TestPrimaryAnchor:
         gp = DBGSuccinct.build([table[c].tobytes() for c in contigs], 20,
                                mode="primary")
         assert gp.num_nodes() == 45792    # ref test_query.py:990
+
+
+@pytest.mark.anchors
+class TestCanonicalCleanK31:
+    """ref test_clean.py TestCleanWeightedCanonical (1185814 @ 2.4635)."""
+
+    def test_roundtrip(self, transcripts_1000):
+        g = DBGSuccinct.build(transcripts_1000, 31, mode="canonical",
+                              with_counts=True)
+        assert g.num_nodes() == 1185814
+        w = g.boss.weights[g.boss.valid > 0]
+        assert f"{float(w.sum()) / 1185814:.6g}" == "2.4635"
+        seqs, counts = clean_graph_contigs(g)
+        table = g.alphabet.decode_table
+        g2 = DBGSuccinct.build([table[s].tobytes() for s in seqs], 31,
+                               mode="canonical", with_counts=True,
+                               window_weights=counts)
+        assert g2.num_nodes() == 1185814
+        w2 = g2.boss.weights[g2.boss.valid > 0]
+        assert f"{float(w2.sum()) / 1185814:.6g}" == "2.4635"
