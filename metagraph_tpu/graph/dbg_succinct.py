@@ -73,14 +73,28 @@ class DBGSuccinct:
 
     def map_to_nodes(self, sequence: bytes | str) -> np.ndarray:
         if self.mode == CANONICAL:
-            # canonical graphs contain both strands: forward mapping suffices
-            # only for k-mers present; canonicalize per-kmer (ref CanonicalDBG)
-            fwd = self.map_to_nodes_sequentially(sequence)
-            if isinstance(sequence, str):
-                sequence = sequence.encode()
-            rc = _revcomp_bytes(sequence)
-            bwd = self.map_to_nodes_sequentially(rc)[::-1]
-            return np.where(fwd > 0, fwd, bwd)
+            # map the canonical form of every k-mer (ref sequence_graph.hpp:49,
+            # canonical = min of fwd/rc in packed order)
+            from ..kmer import packing
+            from ..kmer.extractor import _rows_greater
+            ex = self.extractor
+            codes = ex.encode(sequence)
+            k = self.k
+            if len(codes) < k:
+                return np.zeros(0, dtype=np.int64)
+            wins = np.lib.stride_tricks.sliding_window_view(codes, k)
+            comp = np.concatenate(
+                [self.alphabet.complement_table,
+                 np.arange(self.alphabet.sigma, ex._invalid + 1)]
+            ).astype(np.uint8)
+            rc = comp[codes[::-1]]
+            rcw = np.lib.stride_tricks.sliding_window_view(rc, k)[::-1]
+            order = packing.boss_priority_order(k)
+            kf = packing.pack_codes(wins, order)
+            kr = packing.pack_codes(rcw, order)
+            take_rc = _rows_greater(kf, kr)
+            canon = np.where(take_rc[:, None], rcw, wins)
+            return self.map_kmers_batch(np.ascontiguousarray(canon))
         return self.map_to_nodes_sequentially(sequence)
 
     # ----------------------------------------------------------- traversal

@@ -53,6 +53,16 @@ def query_epoch(table: jnp.ndarray, bitmap: jnp.ndarray, queries: jnp.ndarray,
     return counts.astype(jnp.int32), present.astype(jnp.int32)
 
 
+def _rowmin_packed(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Rowwise lexicographic min of two (N, W) packed-word arrays."""
+    lt = np.zeros(len(a), dtype=bool)
+    decided = np.zeros(len(a), dtype=bool)
+    for j in range(a.shape[1]):
+        lt |= ~decided & (a[:, j] < b[:, j])
+        decided |= a[:, j] != b[:, j]
+    return np.where(lt[:, None], a, b)
+
+
 class DeviceQueryPipeline:
     def __init__(self, graph, annotation):
         boss = graph.boss
@@ -67,9 +77,18 @@ class DeviceQueryPipeline:
         self.k = graph.k
 
     def prepare_batch(self, seqs: List[bytes]):
-        """host-side packing of a sequence batch -> device inputs."""
+        """host-side packing of a sequence batch -> device inputs.
+
+        For canonical-mode graphs each window is canonicalized (packed min of
+        fwd/rc), matching DBGSuccinct.map_to_nodes (ref sequence_graph.hpp:49).
+        """
         k = self.k
         ex = self.graph.extractor
+        canonical = getattr(self.graph, "mode", None) == "canonical"
+        comp = np.concatenate(
+            [ex.alphabet.complement_table,
+             np.arange(ex.alphabet.sigma, ex._invalid + 1)]).astype(np.uint8) \
+            if canonical else None
         from .. import native
         if native.get_lib() is not None:
             sep = np.array([ex.alphabet.sigma], dtype=np.uint8)
@@ -80,6 +99,11 @@ class DeviceQueryPipeline:
                 if codes_list else sep[:0]
             if len(cat) >= k:
                 all_packed = native.pack_windows_boss(cat, k, bits=32)
+                if canonical:
+                    rc_packed = native.pack_windows_boss(
+                        np.ascontiguousarray(comp[cat[::-1]]), k,
+                        bits=32)[::-1]
+                    all_packed = _rowmin_packed(all_packed, rc_packed)
                 q_parts, sid_parts = [], []
                 off = 0
                 for i, c in enumerate(codes_list):
@@ -107,7 +131,13 @@ class DeviceQueryPipeline:
             valid = (bad[k:] - bad[:-k]) == 0
             packed = np.zeros((n, graph_ops._ceil_div(k, 8)), dtype=np.uint32)
             if valid.any():
-                packed[valid] = graph_ops.pack_kmers32(wins[valid])
+                pk = graph_ops.pack_kmers32(wins[valid])
+                if canonical:
+                    rc_wins = np.lib.stride_tricks.sliding_window_view(
+                        comp[codes[::-1]], k)[::-1]
+                    pk = _rowmin_packed(
+                        pk, graph_ops.pack_kmers32(rc_wins[valid]))
+                packed[valid] = pk
                 packed[~valid] = np.iinfo(np.uint32).max
             else:
                 packed[:] = np.iinfo(np.uint32).max

@@ -95,7 +95,28 @@ class QueryEngine:
         valid = (bad[k:] - bad[:-k]) == 0
         nodes_flat = np.zeros(len(wins), dtype=np.int64)
         if valid.any():
-            nodes_flat[valid] = self._map_windows(wins[valid])
+            if self._canonical_offset is None \
+                    and getattr(self.graph, "mode", None) == "canonical":
+                # plain canonical graph: map the canonical form of each
+                # window (matches DBGSuccinct.map_to_nodes / annotate side,
+                # ref sequence_graph.hpp:49)
+                from ..kmer import packing
+                from ..kmer.extractor import _rows_greater
+                comp = np.concatenate(
+                    [ex.alphabet.complement_table,
+                     np.arange(ex.alphabet.sigma,
+                               ex._invalid + 1)]).astype(np.uint8)
+                rc_cat = comp[cat[::-1]]
+                rc_aligned = np.lib.stride_tricks.sliding_window_view(
+                    rc_cat, k)[::-1]
+                wf, wr = wins[valid], rc_aligned[valid]
+                order = packing.boss_priority_order(k)
+                take_rc = _rows_greater(packing.pack_codes(wf, order),
+                                        packing.pack_codes(wr, order))
+                nodes_flat[valid] = self._map_windows(np.ascontiguousarray(
+                    np.where(take_rc[:, None], wr, wf)))
+            else:
+                nodes_flat[valid] = self._map_windows(wins[valid])
             if self._canonical_offset:
                 # canonical wrapper: resolve misses on the rc strand
                 miss = valid & (nodes_flat == 0)

@@ -107,3 +107,41 @@ class TestPrimaryQueryAnchors:
             for res in engine.query_records(recs, mode, 2 ** 63, 1.0, 0.0):
                 buf.write(res.to_string() + "\n")
             assert len(buf.getvalue().encode()) == want, mode
+
+
+class TestTypedSuiteBehaviors:
+    """Behaviors from the reference typed suites (tests/graph/all/)."""
+
+    @pytest.mark.parametrize("repr_name", REPRS)
+    def test_traverse_consistency(self, seqs, repr_name):
+        g = build_graph(repr_name, seqs, 9)
+        nodes = g.map_to_nodes_sequentially(seqs[0])
+        s = seqs[0]
+        for i in range(min(30, len(nodes) - 1)):
+            nxt = g.traverse(int(nodes[i]), chr(s[i + 9]))
+            assert nxt == nodes[i + 1]
+
+    @pytest.mark.parametrize("repr_name", REPRS)
+    def test_outgoing_chars_spell_kmers(self, seqs, repr_name):
+        g = build_graph(repr_name, seqs, 9)
+        node = int(g.map_to_nodes_sequentially(seqs[0])[0])
+        kmer = g.get_node_sequence(node)
+        for nxt, ch in g.call_outgoing_kmers(node):
+            assert g.get_node_sequence(nxt) == kmer[1:] + ch.encode()
+
+    @pytest.mark.parametrize("repr_name", ["succinct", "hash", "bitmap"])
+    def test_incoming_chars_spell_kmers(self, seqs, repr_name):
+        g = build_graph(repr_name, seqs, 9)
+        node = int(g.map_to_nodes_sequentially(seqs[0])[10])
+        kmer = g.get_node_sequence(node)
+        ins = g.call_incoming_kmers(node)
+        assert ins
+        for prv, ch in ins:
+            assert g.get_node_sequence(prv) == ch.encode() + kmer[:-1]
+
+    def test_map_to_nodes_canonical_semantics(self, seqs):
+        # canonical map: forward and rc of a read hit the same node ids
+        g = build_graph("succinct", seqs, 9, mode="canonical")
+        f = g.map_to_nodes(seqs[0])
+        r = g.map_to_nodes(revcomp(seqs[0]))[::-1]
+        np.testing.assert_array_equal(f, r)

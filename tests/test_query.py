@@ -156,3 +156,53 @@ class TestJsonOutput:
         assert obj["seq_description"] == "q"
         assert obj["results"][0]["sample"] == "seq0"
         assert obj["results"][0]["kmer_count"] == 8
+
+
+class TestCanonicalGraphQuery:
+    """Canonical-mode graphs must give strand-independent node mapping and
+    labels (ref sequence_graph.hpp:49-55: map the canonical form)."""
+
+    @pytest.fixture(scope="class")
+    def ag(self):
+        rng = np.random.default_rng(11)
+        seqs = ["".join(rng.choice(list("ACGT"), size=120)).encode()
+                for _ in range(4)]
+        g = DBGSuccinct.build(seqs, 11, mode="canonical")
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        for i, s in enumerate(seqs):
+            ag.annotate_sequence(s, [f"s{i}"])
+        ag._seqs = seqs
+        return ag
+
+    @staticmethod
+    def _rc(s):
+        return s.translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+
+    def test_map_strand_independent(self, ag):
+        s = ag._seqs[0]
+        f = ag.graph.map_to_nodes(s)
+        r = ag.graph.map_to_nodes(self._rc(s))[::-1]
+        assert (f > 0).all()
+        np.testing.assert_array_equal(f, r)
+
+    def test_labels_on_rc_read(self, ag):
+        s = ag._seqs[2]
+        assert ag.get_labels(s, 1.0) == ["s2"]
+        assert ag.get_labels(self._rc(s), 1.0) == ["s2"]
+
+    def test_engine_map_batch_matches_host(self, ag):
+        eng = QueryEngine(ag)
+        for s in (ag._seqs[1], self._rc(ag._seqs[1])):
+            np.testing.assert_array_equal(eng.map_batch([s])[0],
+                                          ag.graph.map_to_nodes(s))
+
+    def test_device_pipeline_matches_host(self, ag):
+        from metagraph_tpu.query.device import DeviceQueryPipeline
+        dp = DeviceQueryPipeline(ag.graph, ag.annotator)
+        reads = [ag._seqs[0], self._rc(ag._seqs[0]), ag._seqs[3]]
+        res = dp.query_labels(reads, "matches", discovery_fraction=1.0)
+        eng = QueryEngine(ag)
+        host = [eng.execute(n, "matches", discovery_fraction=1.0)
+                for n in eng.map_batch(reads)]
+        assert [r for r in res] == host
