@@ -29,7 +29,9 @@ class AlignmentAggregator:
         self.alignments: List[Alignment] = []
 
     def add(self, aln: Alignment) -> bool:
-        if self.alignments and aln.score < self.get_global_cutoff():
+        keep_all = self.config.post_chain_alignments
+        if not keep_all and self.alignments \
+                and aln.score < self.get_global_cutoff():
             return False
         for existing in self.alignments:
             if (existing.score == aln.score and existing.cigar == aln.cigar
@@ -38,7 +40,8 @@ class AlignmentAggregator:
                 return False
         self.alignments.append(aln)
         self.alignments.sort(key=lambda a: a.sort_key())
-        if len(self.alignments) > self.config.num_alternative_paths:
+        if not keep_all \
+                and len(self.alignments) > self.config.num_alternative_paths:
             self.alignments = self.alignments[: self.config.num_alternative_paths]
         return True
 
@@ -93,6 +96,21 @@ class DBGAligner:
             self._align_both(query, query_rc, fwd_seeder, rc_seeder,
                              fwd_extender, rc_extender, add_alignment,
                              get_min_path_score)
+
+        if self.config.post_chain_alignments:
+            # chain collected partial alignments, then re-rank normally
+            # (ref dbg_aligner.cpp:328-340)
+            from dataclasses import replace
+            from .chainer import chain_alignments
+            query_rc = revcomp(query)
+            chains = chain_alignments(aggregator.get_alignments(), query,
+                                      query_rc, self.config,
+                                      self.graph.k - 1)
+            final = AlignmentAggregator(
+                replace(self.config, post_chain_alignments=False))
+            for c in chains:
+                final.add(c)
+            return final.get_alignments()
 
         return aggregator.get_alignments()
 

@@ -312,6 +312,7 @@ def cmd_align(args):
         min_path_score=args.align_min_path_score,
         num_alternative_paths=args.align_alternative_alignments,
         forward_and_reverse_complement=not args.align_only_forwards,
+        post_chain_alignments=getattr(args, "align_post_chain", False),
     )
     if args.annotation:
         from ..annotation.matrix import load_annotation
@@ -750,6 +751,7 @@ def main(argv=None):
     p.add_argument("--align-min-path-score", type=int, default=0)
     p.add_argument("--align-alternative-alignments", type=int, default=1)
     p.add_argument("--align-edit-distance", action="store_true")
+    p.add_argument("--align-post-chain", action="store_true")
     p.add_argument("--map", action="store_true")
     p.add_argument("--align-length", type=int, default=None)
     p.add_argument("--count-kmers", action="store_true")
