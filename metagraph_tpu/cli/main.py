@@ -314,6 +314,10 @@ def cmd_align(args):
         forward_and_reverse_complement=not args.align_only_forwards,
         post_chain_alignments=getattr(args, "align_post_chain", False),
     )
+    if getattr(args, "align_chain", False) and not args.annotation:
+        print("ERROR: Chaining only supported for seeds with coordinates. "
+              "Skipping seed chaining.", file=sys.stderr)
+        raise SystemExit(1)
     if args.annotation:
         from ..annotation.matrix import load_annotation
         from ..annotation.annotated_dbg import AnnotatedDBG
@@ -321,6 +325,23 @@ def cmd_align(args):
                                      format_labeled_alignments_tsv)
         anno = load_annotation(args.annotation)
         ag = AnnotatedDBG(g, anno)
+        if getattr(args, "align_chain", False):
+            # ref dbg_aligner.cpp:546-550: chaining needs coordinates
+            if not getattr(anno, "_coords", None) \
+                    or not any(len(c) for c in anno._coords):
+                print("ERROR: Chaining only supported for seeds with "
+                      "coordinates. Skipping seed chaining.", file=sys.stderr)
+                raise SystemExit(1)
+            from ..align.aligner import DBGAligner as _DA
+            from ..align.seed_chainer import align_chained_seeds
+            aligner = _DA(g, cfg)
+            for f in args.input:
+                for rec in read_fasta(f):
+                    alns = align_chained_seeds(aligner, ag, rec.seq)
+                    sys.stdout.write(format_labeled_alignments_tsv(
+                        rec.name, rec.seq, alns, anno.encoder,
+                        cfg.min_path_score))
+            return
         aligner = LabeledAligner(ag, cfg)
         for f in args.input:
             for rec in read_fasta(f):
@@ -752,6 +773,7 @@ def main(argv=None):
     p.add_argument("--align-alternative-alignments", type=int, default=1)
     p.add_argument("--align-edit-distance", action="store_true")
     p.add_argument("--align-post-chain", action="store_true")
+    p.add_argument("--align-chain", action="store_true")
     p.add_argument("--map", action="store_true")
     p.add_argument("--align-length", type=int, default=None)
     p.add_argument("--count-kmers", action="store_true")
