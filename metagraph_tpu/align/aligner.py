@@ -71,6 +71,9 @@ class DBGAligner:
         return self.seeder_class(self.graph, query, orientation, nodes,
                                  self.config)
 
+    def _make_extender(self, query: bytes):
+        return DefaultColumnExtender(self.graph, self.config, query)
+
     def align(self, query: bytes) -> List[Alignment]:
         query = bytes(query).upper()
         aggregator = AlignmentAggregator(self.config)
@@ -83,7 +86,7 @@ class DBGAligner:
                        aggregator.get_global_cutoff())
 
         fwd_seeder = self._make_seeder(query, False)
-        fwd_extender = DefaultColumnExtender(self.graph, self.config, query)
+        fwd_extender = self._make_extender(query)
 
         if not self.config.forward_and_reverse_complement:
             self._align_core(fwd_seeder, fwd_extender, add_alignment,
@@ -91,8 +94,7 @@ class DBGAligner:
         else:
             query_rc = revcomp(query)
             rc_seeder = self._make_seeder(query_rc, True)
-            rc_extender = DefaultColumnExtender(self.graph, self.config,
-                                                query_rc)
+            rc_extender = self._make_extender(query_rc)
             self._align_both(query, query_rc, fwd_seeder, rc_seeder,
                              fwd_extender, rc_extender, add_alignment,
                              get_min_path_score)

@@ -32,7 +32,7 @@ def _op(a: int, b: int) -> str:
 
 class Column:
     __slots__ = ("S", "E", "F", "node", "parent", "c", "offset", "max_pos",
-                 "trim", "score")
+                 "trim", "score", "labels")
 
     def __init__(self, size, node, parent, c, offset, max_pos, trim, score):
         self.S = np.full(size, NINF, dtype=np.int64)
@@ -261,11 +261,10 @@ class DefaultColumnExtender:
                     if len(finite):
                         self.min_cell_score = min(self.min_cell_score,
                                                   int(finite.min()))
-                    mp = 0
-                    for j in range(1, len(S)):
-                        if (S[j], abs(mp + begin - diag_i)) \
-                                > (S[mp], abs(j + begin - diag_i)):
-                            mp = j
+                    # argmax of (score, closeness to diagonal), first wins
+                    dist = np.abs(np.arange(len(S)) + begin - diag_i)
+                    cand = np.flatnonzero(S == S.max())
+                    mp = int(cand[np.argmin(dist[cand])])
                     newcol.max_pos = mp + begin
 
                     max_val = int(S[mp])
@@ -339,14 +338,14 @@ class DefaultColumnExtender:
         p_lo = prev.trim
         p_hi = prev.trim + len(prev.S)
         # S_prev for indices [begin-1, begin+size-1)
-        for j in range(size + 1):
-            gi = begin - 1 + j
-            if p_lo <= gi < p_hi:
-                Sp[j] = prev.S[gi - p_lo]
-        for j in range(size):
-            gi = begin + j
-            if p_lo <= gi < p_hi:
-                Fp[j] = prev.F[gi - p_lo]
+        lo = max(p_lo, begin - 1)
+        hi = min(p_hi, begin + size)
+        if hi > lo:
+            Sp[lo - begin + 1: hi - begin + 1] = prev.S[lo - p_lo: hi - p_lo]
+        lo = max(p_lo, begin)
+        hi = min(p_hi, begin + size)
+        if hi > lo:
+            Fp[lo - begin: hi - begin] = prev.F[lo - p_lo: hi - p_lo]
 
         profile_seg = prof[start + begin: start + begin + size]
 
@@ -365,21 +364,20 @@ class DefaultColumnExtender:
         col.F = F
 
         M = np.maximum(M, F)
-        # E rolling update (ref update_column:263-275: E[j+1] opens from the
-        # pre-E match value, extends from E[j]; S gets E before the x-drop cut)
+        # E recurrence (ref update_column:263-275: E[j+1] opens from the
+        # pre-E match value, extends from E[j]; S gets E before the x-drop
+        # cut).  Closed form: E[j] = max_{i<j} M[i] + open + (j-1-i)*ext,
+        # computed with a vectorized running max; NINF-derived candidates
+        # always land <= NINF + open and are clamped back to exact NINF.
         E = np.full(size, NINF, dtype=np.int64)
-        S = np.full(size, NINF, dtype=np.int64)
-        e = NINF
-        for j in range(size):
-            m = M[j]
-            E[j] = e
-            s = max(m, e)
-            if s < xdrop_cutoff:
-                s = NINF
-            S[j] = s
-            ins_open = m + cfg.gap_opening_penalty if m != NINF else NINF
-            ins_ext = e + cfg.gap_extension_penalty if e != NINF else NINF
-            e = max(ins_open, ins_ext)
+        if size > 1:
+            idx = np.arange(size, dtype=np.int64)
+            B = M + cfg.gap_opening_penalty - (idx + 1) * cfg.gap_extension_penalty
+            run = np.maximum.accumulate(B)
+            Ev = run[:-1] + idx[1:] * cfg.gap_extension_penalty
+            E[1:] = np.where(Ev <= NINF, NINF, Ev)
+        S = np.maximum(M, E)
+        S = np.where(S < xdrop_cutoff, NINF, S)
         col.E = E
         col.S = S
         self._extend_ins_end(col, wsize + 1 - col.trim, xdrop_cutoff)

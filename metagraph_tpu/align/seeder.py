@@ -49,6 +49,10 @@ def is_low_complexity(window: bytes, T: int = 20, W: int = 64) -> bool:
     """
     if len(window) < 3:
         return False
+    from .. import native
+    res = native.dust_low_complexity(bytes(window), T, W)
+    if res is not None:
+        return res
     # triplet codes per maximal ACGT run
     runs: List[List[int]] = [[]]
     t = 0
@@ -137,11 +141,24 @@ class MEMSeeder(ExactSeeder):
 
         n = len(self.nodes)
         flags = np.zeros(n, dtype=np.uint8)
-        for i in range(n):
-            if self.nodes[i]:
-                term = (i + 1 == n or not self.nodes[i + 1]
-                        or self.is_terminus(int(self.nodes[i])))
-                flags[i] = 2 | int(term)
+        nodes_arr = np.asarray(self.nodes, dtype=np.int64)
+        present = nodes_arr != 0
+        nz = np.flatnonzero(present)
+        term = np.zeros(n, dtype=bool)
+        if len(nz):
+            if (type(self).is_terminus is UniMEMSeeder.is_terminus
+                    and hasattr(self.graph, "has_single_incoming_batch")):
+                # one vectorized rank/select pass over all seed nodes
+                nn = nodes_arr[nz]
+                term[nz] = self.graph.has_multiple_outgoing_batch(nn) \
+                    | ~self.graph.has_single_incoming_batch(nn)
+            else:
+                for i in nz:
+                    term[i] = self.is_terminus(int(nodes_arr[i]))
+        next_missing = np.ones(n, dtype=bool)
+        next_missing[:-1] = nodes_arr[1:] == 0
+        flags[present] = 2
+        flags[present & (next_missing | term)] |= 1
 
         seeds = []
         i = 0
@@ -226,15 +243,26 @@ def make_suffix_seeder(base_cls):
 
             last_full = len(self.query) - k + 1 if len(self.query) >= k \
                 else n_pos
+            # lockstep longest-prefix range walk over all positions
+            # (ref boss.hpp:720-764, batched; acceptance checks stay per-pos)
+            boss = dbg_succ.boss
+            enc_q = dbg_succ.extractor.encode(self.query)
+            pos_arr = np.arange(n_pos, dtype=np.int64)
+            lens = np.minimum(min(cfg.max_seed_length, k - 1),
+                              len(self.query) - pos_arr)
+            firsts, lasts, matcheds = boss.index_range_batch(
+                enc_q, pos_arr, lens)
             for i in range(n_pos):
-                max_len = min(cfg.max_seed_length, k - 1, len(self.query) - i)
                 if cfg.seed_complexity_filter and is_low_complexity(
                         self.query[i: i + min_len[i]]):
                     continue
-                nodes, seed_length = \
-                    dbg_succ.call_nodes_with_suffix_matching_longest_prefix(
-                        self.query[i: i + max_len], min_len[i],
-                        cfg.max_num_seeds_per_locus)
+                seed_length = int(matcheds[i])
+                if lens[i] < min_len[i] or seed_length < min_len[i] \
+                        or not firsts[i]:
+                    continue
+                nodes = dbg_succ.nodes_in_suffix_range(
+                    int(firsts[i]), int(lasts[i]),
+                    cfg.max_num_seeds_per_locus)
                 if (i >= last_full and len(nodes) == 1 and last_full >= 1
                         and min_len[last_full - 1] == k
                         and len(suffix_seeds[last_full - 1]) == 1

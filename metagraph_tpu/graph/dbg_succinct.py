@@ -184,6 +184,40 @@ class DBGSuccinct:
         e = int(boss.pick_edge(np.array([last]), np.array([code]))[0])
         return self._valid_node(e)
 
+    def has_multiple_outgoing_batch(self, nodes: np.ndarray) -> np.ndarray:
+        """Vectorized has_multiple_outgoing (ref dbg_succinct.cpp:609-625)."""
+        boss = self.boss
+        nodes = np.asarray(nodes, dtype=np.int64)
+        d = boss.W[nodes].astype(np.int64) % boss.alph_size
+        last = boss.fwd(nodes, d)
+        mult = (last - boss.pred_last(np.maximum(last - 1, 0))) > 1
+        mult = np.where(d == 0, False, mult)
+        if (nodes == 1).any():
+            mult = np.where(nodes == 1,
+                            int(boss.succ_last(np.array([1]))[0]) > 2, mult)
+        return mult
+
+    def has_single_incoming_batch(self, nodes: np.ndarray) -> np.ndarray:
+        """Vectorized has_single_incoming (ref dbg_succinct.cpp:658-677):
+        counts W==w+alph edges between bwd(node) and the next W==w edge via
+        the rank/select directories instead of a scalar walk."""
+        boss = self.boss
+        nodes = np.asarray(nodes, dtype=np.int64)
+        M = len(boss.W)
+        x = boss.bwd(nodes)
+        w = boss.node_last_char(nodes)
+        first_valid = (boss.valid[x] > 0) if self.masked \
+            else np.ones(len(nodes), dtype=bool)
+        rk = boss.rank_W(x, w)
+        total_w = boss.rank_W(np.full(len(nodes), M - 1, dtype=np.int64), w)
+        n1 = boss.select_W(w, rk + 1)
+        hi = np.where(total_w > rk, n1 - 1, M - 1)
+        walph = w + boss.alph_size
+        cnt = boss.rank_W(hi, walph) - boss.rank_W(x, walph)
+        single = np.where(first_valid, cnt == 0, cnt == 1)
+        single = np.where(x + 1 >= M, first_valid, single)
+        return np.where(nodes == 1, False, single)
+
     def has_multiple_outgoing(self, node: int) -> bool:
         """ref dbg_succinct.cpp:609-625."""
         boss = self.boss
@@ -242,6 +276,15 @@ class DBGSuccinct:
                 return [edge], self.k
         if match_size < min_match_length or not first:
             return [], 0
+        nodes = self.nodes_in_suffix_range(first, last,
+                                           max_num_allowed_matches)
+        return nodes, (match_size if nodes else 0)
+
+    def nodes_in_suffix_range(self, first: int, last: int,
+                              max_num_allowed_matches: int = 2 ** 63):
+        """Enumerate valid edges incoming to each node in the BOSS range
+        [first, last] (ref dbg_succinct.cpp:344-378); [] on overflow."""
+        boss = self.boss
         rank_first = int(boss.rank_last(np.array([first]))[0])
         rank_last = int(boss.rank_last(np.array([last]))[0])
         nodes = []
@@ -253,8 +296,8 @@ class DBGSuccinct:
                 if self._valid_node(inc):
                     nodes.append(inc)
             if len(nodes) > max_num_allowed_matches:
-                return [], 0
-        return nodes, match_size
+                return []
+        return nodes
 
     def get_node_sequence(self, node: int) -> bytes:
         if self._host_index is not None:

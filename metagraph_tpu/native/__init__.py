@@ -55,6 +55,9 @@ def get_lib():
     lib.pack_windows_boss32.restype = None
     lib.pack_windows_boss32.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
+    lib.dust_low_complexity.restype = ctypes.c_int
+    lib.dust_low_complexity.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
     _lib = lib
     return lib
 
@@ -102,3 +105,11 @@ def pack_windows_boss(codes: np.ndarray, k: int, bits: int = 64):
                                 len(codes), k,
                                 out.ctypes.data_as(ctypes.c_void_p))
     return out
+
+
+def dust_low_complexity(window: bytes, T: int = 20, W: int = 64):
+    """Symmetric DUST check; None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    return bool(lib.dust_low_complexity(window, len(window), T, W))

@@ -218,6 +218,43 @@ class BOSS:
             rl, ru, alive = self.tighten_range(rl, ru, s, alive)
         return np.where(alive, ru, 0)
 
+    def index_range_batch(self, codes: np.ndarray, starts: np.ndarray,
+                          lens: np.ndarray):
+        """Batched longest-prefix node-range match: for each i, match the
+        longest prefix of ``codes[starts[i] : starts[i] + lens[i]]``
+        (ref boss.hpp:720-764 index_range, run in lockstep over all query
+        positions).  A window containing an invalid character rejects the
+        whole position (matching index_range_host).  Returns
+        (first, last, matched) arrays; (0, 0, 0) where nothing matched."""
+        codes = np.asarray(codes, dtype=np.int64)
+        starts = np.asarray(starts, dtype=np.int64)
+        lens = np.asarray(lens, dtype=np.int64)
+        n = len(starts)
+        if not n:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        # reject windows containing invalid codes
+        bad = np.concatenate([[0], np.cumsum(codes >= self.alph_size)])
+        ends = np.minimum(starts + lens, len(codes))
+        valid0 = (lens > 0) & (bad[ends] - bad[starts] == 0)
+        s0 = np.where(valid0, codes[np.minimum(starts, len(codes) - 1)], 0)
+        rl, ru = self.initial_range(s0)
+        alive = valid0 & (rl <= ru)
+        matched = alive.astype(np.int64)
+        rl = np.where(alive, rl, 0)
+        ru = np.where(alive, ru, 0)
+        for t in range(1, int(lens.max())):
+            act = alive & (t < lens)
+            if not act.any():
+                break
+            s = np.where(act, codes[np.minimum(starts + t, len(codes) - 1)], 0)
+            rl, ru, ok = self.tighten_range(rl, ru, s, act)
+            matched += ok.astype(np.int64)
+            alive = alive & ~(act & ~ok)
+        first = np.where(matched > 0, self.succ_last(rl), 0)
+        last = np.where(matched > 0, ru, 0)
+        return first, last, matched
+
     def index_range_host(self, encoded: np.ndarray):
         """Match a node-string prefix; returns (first, last, matched_len)
         (ref boss.hpp:720-764 index_range)."""

@@ -147,4 +147,61 @@ void pack_windows_boss32(const uint8_t *codes, int64_t n, int32_t k,
     }
 }
 
+// Symmetric DUST low-complexity test over a raw byte window (Morgulis et
+// al. 2006; the reference seeder calls sdust with T=20 W=64,
+// aligner_seeder_methods.cpp:22).  Returns 1 if some interval of at most
+// W-2 triplets has pair score * 10 > T * (l - 1).
+int dust_low_complexity(const uint8_t *window, int64_t n, int32_t T,
+                        int32_t W) {
+    if (n < 3)
+        return 0;
+    static const int8_t NT4[256] = {
+        /* default -1 via init below */
+    };
+    (void)NT4;
+    int64_t max_span = W - 2;
+    // triplet codes per maximal ACGT run, processed run by run
+    int64_t run_start = 0;
+    int trips_buf[4096];
+    int64_t ri = 0;
+    int t = 0, valid = 0;
+    for (int64_t p = 0; p <= n; ++p) {
+        int b = -1;
+        if (p < n) {
+            uint8_t ch = window[p];
+            switch (ch) {
+                case 'A': case 'a': b = 0; break;
+                case 'C': case 'c': b = 1; break;
+                case 'G': case 'g': b = 2; break;
+                case 'T': case 't': b = 3; break;
+            }
+        }
+        if (b < 0) {
+            // end of run: scan trips_buf[0..ri)
+            for (int64_t i = 0; i < ri; ++i) {
+                int counts[64] = {0};
+                int64_t pairs = 0;
+                int64_t jend = i + max_span < ri ? i + max_span : ri;
+                for (int64_t j = i; j < jend; ++j) {
+                    int c = counts[trips_buf[j]];
+                    pairs += c;
+                    counts[trips_buf[j]] = c + 1;
+                    int64_t l = j - i + 1;
+                    if (l > 1 && pairs * 10 > (int64_t)T * (l - 1))
+                        return 1;
+                }
+            }
+            ri = 0;
+            valid = 0;
+            (void)run_start;
+            continue;
+        }
+        t = ((t << 2) | b) & 63;
+        ++valid;
+        if (valid >= 3 && ri < 4096)
+            trips_buf[ri++] = t;
+    }
+    return 0;
+}
+
 }  // extern "C"
