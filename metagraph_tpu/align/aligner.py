@@ -203,35 +203,30 @@ def format_alignments_tsv(header: str, query: bytes,
 
 
 class LabeledAligner(DBGAligner):
-    """Annotation-aware alignment (ref aligner_labeled.hpp:120): alignments
-    carry the label columns consistent with their path.
-
-    Round-1 scope: labels are resolved per final alignment (the intersection
-    threshold over the path's annotation rows) rather than pruning during
-    extension — same output fields, wider search.
-    """
+    """Annotation-aware alignment (ref aligner_labeled.hpp:120): extension
+    prunes branches whose label intersection with the seed becomes empty
+    (LabeledExtender), so alignments never cross label boundaries; each
+    alignment carries the path's label-set intersection."""
 
     def __init__(self, anno_graph, config: Optional[AlignerConfig] = None,
                  discovery_fraction: float = 0.7):
         super().__init__(anno_graph.graph, config)
         self.anno_graph = anno_graph
         self.discovery_fraction = discovery_fraction
+        from .labeled import AnnotationBuffer
+        self.buffer = AnnotationBuffer(anno_graph)
+
+    def _make_extender(self, query: bytes):
+        from .labeled import LabeledExtender
+        return LabeledExtender(self.graph, self.config, query, self.buffer)
 
     def align(self, query: bytes) -> List[Alignment]:
         alignments = super().align(query)
-        ag = self.anno_graph
-        anno = ag.annotator
+        from .labeled import mask_to_columns
         for a in alignments:
-            nodes = np.array([n for n in a.nodes if n], dtype=np.int64)
-            if not len(nodes):
-                continue
-            rows = ag.graph_to_anno_index(nodes)
-            mask = anno.get_rows_mask(rows)
-            counts = mask.sum(axis=0)
-            min_count = max(1, int(np.ceil(self.discovery_fraction
-                                           * len(rows))))
-            a.label_columns = [int(c) for c in
-                               np.flatnonzero(counts >= min_count)]
+            if not a.label_columns:
+                a.label_columns = mask_to_columns(
+                    self.buffer.intersect_path(a.nodes))
         return alignments
 
 

@@ -133,3 +133,67 @@ class TestPallasSW:
         got = batch_local_align_scores(qs, rs, interpret=True)
         want = [reference_local_align_score(qs[b], rs[b]) for b in range(B)]
         np.testing.assert_array_equal(got, want)
+
+
+class TestLabeledExtension:
+    """In-extension label pruning (ref aligner_labeled.cpp:81-137):
+    extensions never cross label boundaries."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        import numpy as np
+        from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+        from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+        rng = np.random.default_rng(9)
+        a = "".join(rng.choice(list("ACGT"), size=60))
+        shared = "".join(rng.choice(list("ACGT"), size=30))
+        b1 = "".join(rng.choice(list("ACGT"), size=60))
+        b2 = "".join(rng.choice(list("ACGT"), size=60))
+        # two labels share a prefix path then diverge
+        s1 = (a + shared + b1).encode()
+        s2 = (a + shared + b2).encode()
+        g = DBGSuccinct.build([s1, s2], 11)
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        ag.annotate_sequence(s1, ["L1"])
+        ag.annotate_sequence(s2, ["L2"])
+        return ag, s1, s2
+
+    def test_alignment_labels_are_path_intersection(self, setup):
+        from metagraph_tpu.align.aligner import LabeledAligner
+        ag, s1, s2 = setup
+        aligner = LabeledAligner(ag)
+        alns = aligner.align(s1[40:120])
+        assert alns
+        labels = [ag.annotator.encoder.decode(c)
+                  for c in alns[0].label_columns]
+        assert labels == ["L1"]
+
+    def test_shared_region_has_both_labels(self, setup):
+        from metagraph_tpu.align.aligner import LabeledAligner
+        ag, s1, s2 = setup
+        aligner = LabeledAligner(ag)
+        alns = aligner.align(s1[20:80])   # inside a + shared prefix
+        assert alns
+        labels = sorted(ag.annotator.encoder.decode(c)
+                        for c in alns[0].label_columns)
+        assert labels == ["L1", "L2"]
+
+    def test_extension_stops_at_label_boundary(self, setup):
+        """A read spelling label-L1 path but seeded in the shared region must
+        not extend into L2-only nodes when labels diverge."""
+        import numpy as np
+        from metagraph_tpu.align.labeled import (AnnotationBuffer,
+                                                 LabeledExtender)
+        from metagraph_tpu.align.config import AlignerConfig
+        ag, s1, s2 = setup
+        buffer = AnnotationBuffer(ag)
+        cfg = AlignerConfig(min_seed_length=11)
+        ext = LabeledExtender(ag.graph, cfg, s1[40:120], buffer)
+        # every produced extension must have a nonempty label set
+        from metagraph_tpu.align.aligner import LabeledAligner
+        alns = LabeledAligner(ag, cfg).align(s1[40:120])
+        for a in alns:
+            assert a.label_columns
+            mask = buffer.intersect_path(a.nodes)
+            assert mask
