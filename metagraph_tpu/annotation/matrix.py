@@ -132,6 +132,130 @@ class Rainbowfish(UniqueRowBinmat):
     NAME = "rbfish"
 
 
+class Rainbow(BinaryMatrix):
+    """Generic row-dedup wrapper: code per row + distinct-row inner matrix of
+    any type (ref rainbowfish/rainbow.hpp:15, Rainbow<MatrixType>)."""
+
+    NAME = "rb_brwt"
+
+    def __init__(self, codes, inner, num_labels):
+        self.codes = codes
+        self.inner = inner
+        self.num_rows = len(codes)
+        self.num_labels = num_labels
+
+    @classmethod
+    def from_columns(cls, columns, num_rows, num_labels, inner_type=None):
+        inner_type = inner_type or BRWT
+        indptr, indices = cls._csr_from_columns(columns, num_rows)
+        keys = {}
+        codes = np.zeros(num_rows, dtype=np.int64)
+        distinct = []
+        for r in range(num_rows):
+            t = tuple(indices[indptr[r]: indptr[r + 1]].tolist())
+            code = keys.get(t)
+            if code is None:
+                code = len(keys)
+                keys[t] = code
+                distinct.append(t)
+            codes[r] = code
+        # distinct rows -> per-label column arrays for the inner matrix
+        inner_cols = [[] for _ in range(num_labels)]
+        for dr, t in enumerate(distinct):
+            for c in t:
+                inner_cols[c].append(dr)
+        inner = inner_type.from_columns(
+            [np.array(c, dtype=np.int64) for c in inner_cols],
+            len(distinct), num_labels)
+        return cls(codes, inner, num_labels)
+
+    def get_rows_mask(self, rows):
+        rows = np.asarray(rows, dtype=np.int64)
+        return self.inner.get_rows_mask(self.codes[rows])
+
+
+class BinRelWT(BinaryMatrix):
+    """Binary relation via a wavelet tree over the concatenated label
+    sequence with row boundaries (ref bin_rel_wt/bin_rel_wt.hpp:14).  The
+    device-friendly realization keeps the concatenation + boundary index and
+    serves rank/select through per-symbol posting lists."""
+
+    NAME = "bin_rel_wt"
+
+    def __init__(self, indptr, indices, num_labels):
+        self.indptr = indptr            # row boundaries in the relation
+        self.indices = indices          # concatenated label sequence
+        self.num_rows = len(indptr) - 1
+        self.num_labels = num_labels
+        # per-symbol posting lists (positions in the concatenation) — the
+        # wavelet tree's select structure
+        order = np.argsort(indices, kind="stable")
+        self._post = order
+        self._post_off = np.zeros(num_labels + 1, dtype=np.int64)
+        np.add.at(self._post_off, indices + 1, 1)
+        self._post_off = np.cumsum(self._post_off)
+
+    @classmethod
+    def from_columns(cls, columns, num_rows, num_labels):
+        indptr, indices = cls._csr_from_columns(columns, num_rows)
+        return cls(indptr, indices, num_labels)
+
+    def get_rows_mask(self, rows):
+        rows = np.asarray(rows, dtype=np.int64)
+        out = np.zeros((len(rows), self.num_labels), dtype=bool)
+        for i, r in enumerate(rows):
+            out[i, self.indices[self.indptr[r]: self.indptr[r + 1]]] = True
+        return out
+
+    def get_column(self, c):
+        """rows containing label c via the posting list (wavelet-tree select),
+        no row scan."""
+        pos = self._post[self._post_off[c]: self._post_off[c + 1]]
+        return np.unique(np.searchsorted(self.indptr, pos, side="right") - 1)
+
+
+class RowDisk(BinaryMatrix):
+    """Disk-backed CSR rows via memory-mapped files
+    (ref row_disk/row_disk.hpp:18, int_vector_buffer).  Rows are fetched by
+    mmap window, never fully resident."""
+
+    NAME = "row_disk"
+
+    def __init__(self, path_base, num_rows, num_labels):
+        self.path_base = path_base
+        self.num_rows = num_rows
+        self.num_labels = num_labels
+        self.indptr = np.load(path_base + ".indptr.npy", mmap_mode="r")
+        self.indices = np.load(path_base + ".indices.npy", mmap_mode="r")
+
+    @classmethod
+    def from_columns(cls, columns, num_rows, num_labels, path_base=None):
+        import tempfile
+        if path_base is None:
+            path_base = tempfile.mktemp(prefix="rowdisk_")
+        indptr, indices = cls._csr_from_columns(columns, num_rows)
+        np.save(path_base + ".indptr.npy", indptr)
+        np.save(path_base + ".indices.npy", indices)
+        return cls(path_base, num_rows, num_labels)
+
+    def get_rows_mask(self, rows):
+        out = np.zeros((len(rows), self.num_labels), dtype=bool)
+        for i, r in enumerate(np.asarray(rows, dtype=np.int64)):
+            lo, hi = int(self.indptr[r]), int(self.indptr[r + 1])
+            if hi > lo:
+                out[i, np.asarray(self.indices[lo:hi])] = True
+        return out
+
+    def __getstate__(self):
+        # keep rows on disk: persist only the mmap paths
+        return {"path_base": self.path_base, "num_rows": self.num_rows,
+                "num_labels": self.num_labels}
+
+    def __setstate__(self, state):
+        self.__init__(state["path_base"], state["num_rows"],
+                      state["num_labels"])
+
+
 class BRWT(BinaryMatrix):
     """Multi-BRWT (ref multi_brwt/brwt.hpp:21): a tree whose nodes store the
     bitmap of rows with any set bit in the node's label subset; a child's
@@ -153,13 +277,72 @@ class BRWT(BinaryMatrix):
         self.num_rows = num_rows
         self.num_labels = num_labels
 
+    @staticmethod
+    def greedy_linkage(columns, num_rows, max_sampled_rows: int = 1 << 20):
+        """Agglomerative greedy column clustering
+        (ref clustering.cpp:223-365 greedy_matching /
+        agglomerative_greedy_linkage): each round, greedily pair the most
+        correlated clusters (popcount of AND on sampled rows) and merge.
+        Returns a nested-tuple tree over label ids."""
+        n = len(columns)
+        if n == 1:
+            return 0
+        if num_rows > max_sampled_rows:
+            # subsample every step-th row (ref clustering.cpp sampling)
+            step = (num_rows + max_sampled_rows - 1) // max_sampled_rows
+            m = (num_rows + step - 1) // step
+            dense = np.zeros((n, m), dtype=bool)
+            for c, col in enumerate(columns):
+                col = np.asarray(col, dtype=np.int64)
+                keep = col[col % step == 0]
+                dense[c][keep // step] = True
+        else:
+            dense = np.zeros((n, num_rows), dtype=bool)
+            for c, col in enumerate(columns):
+                dense[c][col] = True
+        trees = list(range(n))
+        mats = dense
+        while len(trees) > 1:
+            # popcount of AND per pair (ref correlation_similarity)
+            sim = mats.astype(np.int64) @ mats.T.astype(np.int64)
+            np.fill_diagonal(sim, -1)
+            order = np.dstack(np.unravel_index(
+                np.argsort(sim, axis=None)[::-1], sim.shape))[0]
+            used = np.zeros(len(trees), dtype=bool)
+            pairs = []
+            for a, b in order:
+                if a < b and not used[a] and not used[b]:
+                    used[a] = used[b] = True
+                    pairs.append((int(a), int(b)))
+                if used.all():
+                    break
+            new_trees, new_rows = [], []
+            for a, b in pairs:
+                new_trees.append((trees[a], trees[b]))
+                new_rows.append(mats[a] | mats[b])
+            for i in range(len(trees)):
+                if not used[i]:
+                    new_trees.append(trees[i])
+                    new_rows.append(mats[i])
+            trees = new_trees
+            mats = np.stack(new_rows)
+        return trees[0]
+
     @classmethod
-    def from_columns(cls, columns, num_rows, num_labels, arity: int = 2):
+    def from_columns(cls, columns, num_rows, num_labels, arity: int = 2,
+                     linkage: bool = True):
         cols_dense = [np.zeros(num_rows, dtype=bool) for _ in range(num_labels)]
         for c, col in enumerate(columns):
             cols_dense[c][col] = True
 
-        def build(label_ids, rows_mask):
+        tree = cls.greedy_linkage(columns, num_rows) if linkage \
+            and num_labels > 1 else None
+
+        def tree_labels(t):
+            return [t] if isinstance(t, int) else \
+                tree_labels(t[0]) + tree_labels(t[1])
+
+        def build(subtree, label_ids, rows_mask):
             """rows_mask: bool over global rows covered by this node scope."""
             sub = [cols_dense[c][rows_mask] for c in label_ids]
             agg = np.zeros(int(rows_mask.sum()), dtype=bool)
@@ -167,16 +350,21 @@ class BRWT(BinaryMatrix):
                 agg |= s
             if len(label_ids) == 1:
                 return cls.Node(agg, [], list(label_ids))
-            # greedy pairing by similarity would go here (ref clustering.cpp);
-            # round 1: split in index order
-            mid = (len(label_ids) + arity - 1) // arity
-            groups = [label_ids[i:i + mid] for i in range(0, len(label_ids), mid)]
             reduced_mask = rows_mask.copy()
             reduced_mask[rows_mask] = agg
-            children = [build(g, reduced_mask) for g in groups]
+            if subtree is not None and not isinstance(subtree, int):
+                groups = [(subtree[0], tree_labels(subtree[0])),
+                          (subtree[1], tree_labels(subtree[1]))]
+            else:
+                mid = (len(label_ids) + arity - 1) // arity
+                groups = [(None, label_ids[i:i + mid])
+                          for i in range(0, len(label_ids), mid)]
+            children = [build(st, g, reduced_mask) for st, g in groups]
             return cls.Node(agg, children, [])
 
-        root = build(list(range(num_labels)), np.ones(num_rows, dtype=bool))
+        root = build(tree, tree_labels(tree) if tree is not None
+                     else list(range(num_labels)),
+                     np.ones(num_rows, dtype=bool))
         return cls(root, num_rows, num_labels)
 
     def get_rows_mask(self, rows):
@@ -332,6 +520,9 @@ MATRIX_TYPES = {
     "row_sparse": RowSparse,
     "brwt": BRWT,
     "rbfish": Rainbowfish,
+    "rb_brwt": Rainbow,
+    "bin_rel_wt": BinRelWT,
+    "row_disk": RowDisk,
     "unique_row": UniqueRowBinmat,
 }
 
@@ -390,7 +581,8 @@ def load_annotation(path: str):
 
 
 def convert_annotation(anno: ColumnMajorAnnotation, target: str,
-                       graph=None) -> BinaryMatrix:
+                       graph=None, out_base: str | None = None
+                       ) -> BinaryMatrix:
     """ref annotation_converters.cpp convert<>() family."""
     anno.freeze()
     columns = [anno.column_rows(c) for c in range(anno.num_labels)]
@@ -401,5 +593,12 @@ def convert_annotation(anno: ColumnMajorAnnotation, target: str,
         return RowDiff.from_annotation(columns, anno.num_rows,
                                        anno.num_labels, graph,
                                        inner_type=inner)
-    m = MATRIX_TYPES[target]
+    m = MATRIX_TYPES.get(target)
+    if m is None:
+        raise SystemExit(f"ERROR: unknown annotation representation "
+                         f"'{target}' (available: "
+                         f"{', '.join(sorted(MATRIX_TYPES))}, row_diff*)")
+    if m is RowDisk:
+        return m.from_columns(columns, anno.num_rows, anno.num_labels,
+                              path_base=out_base)
     return m.from_columns(columns, anno.num_rows, anno.num_labels)

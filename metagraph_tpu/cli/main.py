@@ -199,7 +199,8 @@ def cmd_transform_anno(args):
 
     anno = ColumnMajorAnnotation.load(args.input[0])
     graph = DBGSuccinct.load(args.infile_base) if args.infile_base else None
-    m = convert_annotation(anno, args.anno_type, graph=graph)
+    m = convert_annotation(anno, args.anno_type, graph=graph,
+                           out_base=args.out)
     out = StaticAnnotation(m, anno.encoder, args.anno_type)
     out.save(f"{args.out}.{args.anno_type}.annodbg")
     print(f"converted to {args.anno_type}: {m.num_labels} labels",

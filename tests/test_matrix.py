@@ -78,3 +78,51 @@ class TestMatrixParity:
                 cur = int(succ[cur])
                 steps += 1
                 assert steps <= 11
+
+
+class TestNewMatrixTypes:
+    def make_columns(self, seed=4, n_rows=500, n_labels=12):
+        rng = np.random.default_rng(seed)
+        return [np.flatnonzero(rng.random(n_rows) < 0.15).astype(np.int64)
+                for _ in range(n_labels)], n_rows, n_labels
+
+    def test_bin_rel_wt_get_column(self):
+        from metagraph_tpu.annotation.matrix import BinRelWT
+        cols, n, L = self.make_columns()
+        m = BinRelWT.from_columns(cols, n, L)
+        for c in range(L):
+            np.testing.assert_array_equal(np.sort(m.get_column(c)), cols[c])
+
+    def test_row_disk_roundtrip(self, tmp_path):
+        import pickle
+        from metagraph_tpu.annotation.matrix import RowDisk, RowFlat
+        cols, n, L = self.make_columns()
+        m = RowDisk.from_columns(cols, n, L, path_base=str(tmp_path / "rd"))
+        ref = RowFlat.from_columns(cols, n, L)
+        rows = np.arange(0, n, 7)
+        np.testing.assert_array_equal(m.get_rows_mask(rows),
+                                      ref.get_rows_mask(rows))
+        m2 = pickle.loads(pickle.dumps(m))        # stays on disk
+        np.testing.assert_array_equal(m2.get_rows_mask(rows),
+                                      ref.get_rows_mask(rows))
+
+    def test_brwt_linkage_groups_similar_columns(self):
+        from metagraph_tpu.annotation.matrix import BRWT
+        rng = np.random.default_rng(1)
+        base1 = np.flatnonzero(rng.random(400) < 0.3)
+        base2 = np.flatnonzero(rng.random(400) < 0.3)
+        # two correlated pairs + one independent column
+        cols = [base1, base1[:-5], base2, base2[5:],
+                np.flatnonzero(rng.random(400) < 0.3)]
+        tree = BRWT.greedy_linkage(cols, 400)
+
+        def pairs(t, acc):
+            if isinstance(t, tuple):
+                if isinstance(t[0], int) and isinstance(t[1], int):
+                    acc.append(tuple(sorted((t[0], t[1]))))
+                else:
+                    pairs(t[0], acc)
+                    pairs(t[1], acc)
+            return acc
+        leaf_pairs = pairs(tree, [])
+        assert (0, 1) in leaf_pairs and (2, 3) in leaf_pairs
