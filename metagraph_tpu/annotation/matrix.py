@@ -515,6 +515,219 @@ class RowDiff(BinaryMatrix):
         return out
 
 
+class CSRIntMatrix(BinaryMatrix):
+    """Integer matrix: per-row (label, value) pairs in CSR
+    (ref csr_matrix/csr_matrix.hpp:18, csc_matrix.hpp:22 for the
+    rank-extended count store).  Presence = value > 0."""
+
+    NAME = "int_brwt"
+
+    def __init__(self, indptr, indices, values, num_labels):
+        self.indptr = indptr
+        self.indices = indices
+        self.values = values
+        self.num_rows = len(indptr) - 1
+        self.num_labels = num_labels
+
+    @classmethod
+    def from_pairs(cls, cols, vals, num_rows, num_labels):
+        """cols/vals: per-label sorted row arrays + aligned values."""
+        pairs_r = np.concatenate(cols) if cols else np.zeros(0, np.int64)
+        pairs_c = np.concatenate(
+            [np.full(len(c), i, np.int64) for i, c in enumerate(cols)]) \
+            if cols else np.zeros(0, np.int64)
+        pairs_v = np.concatenate(vals) if vals else np.zeros(0, np.int64)
+        order = np.lexsort((pairs_c, pairs_r))
+        r, c, v = pairs_r[order], pairs_c[order], pairs_v[order]
+        indptr = np.zeros(num_rows + 1, dtype=np.int64)
+        np.add.at(indptr, r + 1, 1)
+        return cls(np.cumsum(indptr), c, v.astype(np.int64), num_labels)
+
+    @classmethod
+    def from_annotation_values(cls, anno):
+        anno.freeze()
+        return cls.from_pairs(
+            [anno.column_rows(c) for c in range(anno.num_labels)],
+            [anno._values[c] for c in range(anno.num_labels)],
+            anno.num_rows, anno.num_labels)
+
+    def get_rows_mask(self, rows):
+        out = np.zeros((len(rows), self.num_labels), dtype=bool)
+        for i, r in enumerate(rows):
+            out[i, self.indices[self.indptr[r]: self.indptr[r + 1]]] = True
+        return out
+
+    def get_row_values(self, rows):
+        out = []
+        for r in np.asarray(rows, dtype=np.int64):
+            lo, hi = int(self.indptr[r]), int(self.indptr[r + 1])
+            out.append([(int(c), int(v)) for c, v in
+                        zip(self.indices[lo:hi], self.values[lo:hi])])
+        return out
+
+
+class IntRowDiff(BinaryMatrix):
+    """Count values stored as deltas vs the row-diff successor
+    (ref row_diff/int_row_diff.hpp:45): every row stores
+    value(row) - value(succ(row)) per label (anchors diff against zero), so
+    reconstruction sums deltas along the chain to the anchor."""
+
+    NAME = "row_diff_int_brwt"
+
+    def __init__(self, deltas: CSRIntMatrix, succ, anchors, num_labels):
+        self.deltas = deltas
+        self.succ = succ
+        self.anchors = anchors
+        self.num_rows = deltas.num_rows
+        self.num_labels = num_labels
+
+    @classmethod
+    def from_annotation(cls, anno, graph, max_length: int = 100):
+        # build_routing returns ROW-indexed succ/anchor arrays
+        succ, anchors = RowDiff.build_routing(graph, max_length)
+        anno.freeze()
+        num_rows, num_labels = anno.num_rows, anno.num_labels
+        dense = np.zeros((num_rows, num_labels), dtype=np.int64)
+        for c in range(num_labels):
+            dense[anno.column_rows(c), c] = anno._values[c]
+        shifted = np.zeros_like(dense)
+        ok = succ >= 0
+        shifted[ok] = dense[succ[ok]]
+        delta = np.where(anchors[:, None], dense, dense - shifted)
+        cols = [np.flatnonzero(delta[:, c]) for c in range(num_labels)]
+        deltas = CSRIntMatrix.from_pairs(
+            cols, [delta[cols[c], c] for c in range(num_labels)],
+            num_rows, num_labels)
+        return cls(deltas, succ, anchors, num_labels)
+
+    def _reconstruct(self, r):
+        vals = np.zeros(self.num_labels, dtype=np.int64)
+        cur = int(r)
+        while True:
+            lo, hi = int(self.deltas.indptr[cur]), \
+                int(self.deltas.indptr[cur + 1])
+            vals[self.deltas.indices[lo:hi]] += self.deltas.values[lo:hi]
+            if self.anchors[cur] or self.succ[cur] < 0:
+                break
+            cur = int(self.succ[cur])
+        return vals
+
+    def get_rows_mask(self, rows):
+        out = np.zeros((len(rows), self.num_labels), dtype=bool)
+        for i, r in enumerate(rows):
+            out[i] = self._reconstruct(r) > 0
+        return out
+
+    def get_row_values(self, rows):
+        out = []
+        for r in np.asarray(rows, dtype=np.int64):
+            vals = self._reconstruct(r)
+            out.append([(int(c), int(vals[c])) for c in np.flatnonzero(vals)])
+        return out
+
+
+class TupleCSCMatrix(BinaryMatrix):
+    """Coordinate matrix: per-row (label, coord tuple) lists
+    (ref rank_extended/tuple_csc_matrix.hpp:24)."""
+
+    NAME = "brwt_coord"
+
+    def __init__(self, rows, num_labels):
+        self.rows = rows          # list per row: [(label, (coords...))]
+        self.num_rows = len(rows)
+        self.num_labels = num_labels
+
+    @classmethod
+    def from_annotation(cls, anno):
+        anno.freeze()
+        rows = [[] for _ in range(anno.num_rows)]
+        tuples = anno.get_row_tuples(np.arange(anno.num_rows))
+        for r, row in enumerate(tuples):
+            rows[r] = [(int(c), tuple(int(x) for x in t)) for c, t in row]
+        return cls(rows, anno.num_labels)
+
+    def get_rows_mask(self, rows):
+        out = np.zeros((len(rows), self.num_labels), dtype=bool)
+        for i, r in enumerate(rows):
+            for c, _t in self.rows[r]:
+                out[i, c] = True
+        return out
+
+    def get_row_tuples(self, rows):
+        return [[(c, list(t)) for c, t in self.rows[int(r)]] for r in rows]
+
+
+class TupleRowDiff(BinaryMatrix):
+    """Coordinate sets stored as symmetric difference vs the successor's
+    coords shifted by -1 (ref row_diff/tuple_row_diff.hpp:27: the successor
+    k-mer sits one position later in every source, so
+    coords(row) ~ coords(succ) - 1); anchors store full sets."""
+
+    NAME = "row_diff_coord"
+
+    def __init__(self, diffs, succ, anchors, num_labels):
+        self.diffs = diffs        # list per row: [(label, frozenset coords)]
+        self.succ = succ
+        self.anchors = anchors
+        self.num_rows = len(diffs)
+        self.num_labels = num_labels
+
+    @classmethod
+    def from_annotation(cls, anno, graph, max_length: int = 100):
+        # build_routing returns ROW-indexed succ/anchor arrays
+        succ, anchors = RowDiff.build_routing(graph, max_length)
+        anno.freeze()
+        num_rows, num_labels = anno.num_rows, anno.num_labels
+        tuples = anno.get_row_tuples(np.arange(num_rows))
+        coord_sets = [{c: set(t) for c, t in row} for row in tuples]
+        diffs = []
+        for r in range(num_rows):
+            row = coord_sets[r]
+            if anchors[r] or succ[r] < 0:
+                diffs.append([(c, frozenset(s))
+                              for c, s in sorted(row.items())])
+                continue
+            succ_set = coord_sets[succ[r]]
+            out = []
+            for c in sorted(set(row) | set(succ_set)):
+                expected = {x - 1 for x in succ_set.get(c, ())}
+                d = row.get(c, set()) ^ expected
+                if d:
+                    out.append((c, frozenset(d)))
+            diffs.append(out)
+        return cls(diffs, succ, anchors, num_labels)
+
+    def _reconstruct(self, r):
+        chain = []
+        cur = int(r)
+        while True:
+            chain.append(cur)
+            if self.anchors[cur] or self.succ[cur] < 0:
+                break
+            cur = int(self.succ[cur])
+        sets: dict = {}
+        for cur in reversed(chain):
+            shifted = {c: {x - 1 for x in s} for c, s in sets.items()}
+            if self.anchors[cur] or self.succ[cur] < 0:
+                shifted = {}
+            merged: dict = dict(shifted)
+            for c, d in self.diffs[cur]:
+                merged[c] = merged.get(c, set()) ^ set(d)
+            sets = {c: s for c, s in merged.items() if s}
+        return sets
+
+    def get_rows_mask(self, rows):
+        out = np.zeros((len(rows), self.num_labels), dtype=bool)
+        for i, r in enumerate(rows):
+            for c in self._reconstruct(r):
+                out[i, c] = True
+        return out
+
+    def get_row_tuples(self, rows):
+        return [[(c, sorted(s)) for c, s in sorted(self._reconstruct(r).items())]
+                for r in rows]
+
+
 MATRIX_TYPES = {
     "flat": RowFlat,
     "row_sparse": RowSparse,
@@ -537,8 +750,8 @@ class StaticAnnotation:
         self.encoder = encoder
         self.representation = representation
         self.num_rows = matrix.num_rows
-        self.has_values = False
-        self.has_coords = False
+        self.has_values = hasattr(matrix, "get_row_values")
+        self.has_coords = hasattr(matrix, "get_row_tuples")
 
     @property
     def num_labels(self):
@@ -551,10 +764,14 @@ class StaticAnnotation:
         return self.matrix.sum_rows(row_counts, min_count)
 
     def get_row_values(self, rows):
+        if self.has_values:
+            return self.matrix.get_row_values(rows)
         raise ValueError(
             f"k-mer counts are not indexed in a {self.representation} annotator")
 
     def get_row_tuples(self, rows):
+        if self.has_coords:
+            return self.matrix.get_row_tuples(rows)
         raise ValueError(
             f"coordinates are not indexed in a {self.representation} annotator")
 
@@ -585,6 +802,17 @@ def convert_annotation(anno: ColumnMajorAnnotation, target: str,
                        ) -> BinaryMatrix:
     """ref annotation_converters.cpp convert<>() family."""
     anno.freeze()
+    # integer / coordinate targets (ref int_matrix converters)
+    if target == "int_brwt":
+        return CSRIntMatrix.from_annotation_values(anno)
+    if target == "row_diff_int_brwt":
+        assert graph is not None, "row_diff requires the graph"
+        return IntRowDiff.from_annotation(anno, graph)
+    if target == "brwt_coord":
+        return TupleCSCMatrix.from_annotation(anno)
+    if target in ("row_diff_coord", "row_diff_brwt_coord"):
+        assert graph is not None, "row_diff requires the graph"
+        return TupleRowDiff.from_annotation(anno, graph)
     columns = [anno.column_rows(c) for c in range(anno.num_labels)]
     if target.startswith("row_diff"):
         assert graph is not None, "row_diff requires the graph"

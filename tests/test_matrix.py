@@ -126,3 +126,59 @@ class TestNewMatrixTypes:
             return acc
         leaf_pairs = pairs(tree, [])
         assert (0, 1) in leaf_pairs and (2, 3) in leaf_pairs
+
+
+class TestIntCoordMatrices:
+    """Integer/coordinate matrices (ref int_row_diff.hpp:45,
+    tuple_row_diff.hpp:27, csr_matrix.hpp:18): conversion round-trips must
+    reproduce the column annotation's values/coords exactly."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+        from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        rng = np.random.default_rng(12)
+        seqs = ["".join(rng.choice(list("ACGT"), size=200)).encode()
+                for _ in range(3)]
+        g = DBGSuccinct.build(seqs, 11)
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        for i, s in enumerate(seqs):
+            ag.annotate_kmer_coords(s, [f"s{i}"], 0)
+            ag.annotate_kmer_counts(s, [f"s{i}"])
+        return g, anno
+
+    def test_int_matrices_match_column(self, setup):
+        from metagraph_tpu.annotation.matrix import convert_annotation
+        g, anno = setup
+        rows = np.arange(0, anno.num_rows, 3)
+        ref = anno.get_row_values(rows)
+        for target in ("int_brwt", "row_diff_int_brwt"):
+            m = convert_annotation(anno, target, graph=g)
+            assert m.get_row_values(rows) == ref
+            np.testing.assert_array_equal(m.get_rows_mask(rows),
+                                          anno.get_rows_mask(rows))
+
+    def test_coord_matrices_match_column(self, setup):
+        from metagraph_tpu.annotation.matrix import convert_annotation
+        g, anno = setup
+        rows = np.arange(0, anno.num_rows, 3)
+        ref = anno.get_row_tuples(rows)
+        for target in ("brwt_coord", "row_diff_coord", "row_diff_brwt_coord"):
+            m = convert_annotation(anno, target, graph=g)
+            assert m.get_row_tuples(rows) == ref
+
+    def test_static_annotation_delegates(self, setup, tmp_path):
+        from metagraph_tpu.annotation.matrix import (StaticAnnotation,
+                                                     convert_annotation,
+                                                     load_annotation)
+        g, anno = setup
+        m = convert_annotation(anno, "row_diff_coord", graph=g)
+        st = StaticAnnotation(m, anno.encoder, "row_diff_coord")
+        p = str(tmp_path / "x.row_diff_coord.annodbg")
+        st.save(p)
+        st2 = load_annotation(p)
+        assert st2.has_coords
+        rows = np.arange(0, anno.num_rows, 5)
+        assert st2.get_row_tuples(rows) == anno.get_row_tuples(rows)
