@@ -791,9 +791,16 @@ class StaticAnnotation:
 
 
 def load_annotation(path: str):
-    """Load any annotation file (.column.annodbg.npz or a static .annodbg)."""
+    """Load any annotation file: our .column.annodbg.npz / static pickle, or
+    a reference-format .column.annodbg (sdsl serialization)."""
     if path.endswith(".npz"):
         return ColumnMajorAnnotation.load(path)
+    if path.endswith(".column.annodbg"):
+        with open(path, "rb") as f:
+            head = f.read(2)
+        if head != b"\x80\x04" and head != b"\x80\x05":   # not a pickle
+            from ..seq_io.refformat import load_reference_column_annotation
+            return load_reference_column_annotation(path)
     return StaticAnnotation.load(path)
 
 

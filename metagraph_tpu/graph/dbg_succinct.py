@@ -321,6 +321,11 @@ class DBGSuccinct:
 
     @classmethod
     def load(cls, path: str, mode: str | None = None) -> "DBGSuccinct":
+        if path.endswith(".dbg"):
+            with open(path, "rb") as f:
+                if f.read(2) != b"PK":       # not an npz: reference format
+                    from ..seq_io.refformat import load_reference_boss
+                    return load_reference_boss(path)
         boss = BOSS.load(path)
         if mode is None:
             z = np.load(path if path.endswith(".npz") else path + ".npz")
