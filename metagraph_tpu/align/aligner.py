@@ -227,19 +227,62 @@ class LabeledAligner(DBGAligner):
             if not a.label_columns:
                 a.label_columns = mask_to_columns(
                     self.buffer.intersect_path(a.nodes))
+        if getattr(self.anno_graph.annotator, "has_coords", False):
+            self._attach_coordinates(alignments)
         return alignments
+
+    def _attach_coordinates(self, alignments: List[Alignment]):
+        """Resolve each alignment's start coordinates per label from the
+        coordinate annotation: a coordinate survives only if it is
+        path-consistent — every node j of the path carries coord + j
+        (the in-extension coordinate tracking of the reference's
+        AnnotationBuffer, ref annotation_buffer.hpp:19)."""
+        ag = self.anno_graph
+        anno = ag.annotator
+        for a in alignments:
+            if not a.label_columns:
+                continue
+            real = [(i, n) for i, n in enumerate(a.nodes) if n]
+            if not real:
+                continue
+            rows = ag.graph_to_anno_index(
+                np.array([n for _, n in real], dtype=np.int64))
+            tuples = anno.get_row_tuples(rows)
+            j0 = real[0][0]
+            cols, coords = [], []
+            for c in a.label_columns:
+                cands = None
+                for (i, _n), row_t in zip(real, tuples):
+                    by_col = dict(row_t)
+                    here = {int(x) - (i - j0) for x in by_col.get(c, ())}
+                    cands = here if cands is None else (cands & here)
+                    if not cands:
+                        break
+                if cands:
+                    cols.append(c)
+                    # shift to the alignment's first sequence char
+                    coords.append(sorted(x - (j0 - a.offset) for x in cands))
+            if cols:
+                a.label_columns = cols
+                a.label_coordinates = coords
 
 
 def format_labeled_alignments_tsv(header: str, query: bytes, alignments,
-                                  encoder, min_path_score: int = 0) -> str:
-    """ref cli/align.cpp:254-290 labeled branch: labels joined by ';'."""
+                                  encoder, min_path_score: int = 0,
+                                  k: int = 0, cth=None) -> str:
+    """ref cli/align.cpp:254-290 labeled branch: labels joined by ';';
+    coordinate-annotated alignments append label:start-end ranges, resolved
+    per sequence header when a CoordToHeader index is supplied."""
+    from ..annotation.coord_to_header import format_alignment_coords
     out = f"{header}\t{query.decode()}"
     if not alignments:
         out += f"\t*\t*\t{min_path_score}\t*\t*\t*\n"
     else:
         for a in alignments:
             out += "\t" + a.format_tsv()
-            if a.label_columns:
+            if a.label_coordinates:
+                out += "\t" + format_alignment_coords(a, encoder, k, cth)
+            elif a.label_columns:
                 out += "\t" + ";".join(encoder.decode(c)
                                         for c in a.label_columns)
         out += "\n"

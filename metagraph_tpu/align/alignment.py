@@ -34,6 +34,7 @@ class Alignment:
     offset: int = 0
     extra_score: int = 0
     label_columns: list = field(default_factory=list)
+    label_coordinates: list = field(default_factory=list)
 
     # ------------------------------------------------------------ accessors
     def empty(self) -> bool:

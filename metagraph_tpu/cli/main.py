@@ -166,6 +166,7 @@ def cmd_annotate(args):
     anno = ColumnMajorAnnotation(base_rows)
     ag = AnnotatedDBG(g, anno)
     coord_offsets = {}
+    header_index = {}
     for f in args.input:
         # reference uses the path as given for filename labels
         # (ref cli/annotate.cpp: config->refpath handling; tests pass paths)
@@ -188,7 +189,21 @@ def cmd_annotate(args):
                 ag.annotate_sequence(rec.seq, labels)
             if args.count_kmers:
                 ag.annotate_kmer_counts(rec.seq, labels)
+            if getattr(args, "index_header_coords", False):
+                header_index.setdefault(labels[0], []).append(
+                    (rec.name, max(len(rec.seq) - g.k + 1, 0)))
     anno.save(args.out + ".column.annodbg")
+    if getattr(args, "index_header_coords", False):
+        # per-column (header, num_kmers) index (ref cli/annotate.cpp:278,
+        # coord_to_header.hpp)
+        from ..annotation.coord_to_header import CoordToHeader
+        cols = [anno.encoder.decode(c) for c in range(anno.num_labels)]
+        cth = CoordToHeader(
+            [[h for h, _ in header_index.get(lab, [])] for lab in cols],
+            [[n for _, n in header_index.get(lab, [])] for lab in cols])
+        cth.save(args.out)
+        print(f"CoordToHeader mapping serialized to {args.out}.seqs",
+              file=sys.stderr)
     print(f"annotated: {anno.num_labels} labels", file=sys.stderr)
 
 
@@ -343,13 +358,28 @@ def cmd_align(args):
                         rec.name, rec.seq, alns, anno.encoder,
                         cfg.min_path_score))
             return
+        # CoordToHeader index (ref cli/align.cpp:462): resolves coordinate
+        # labels to per-sequence headers unless --no-coord-mapping
+        cth = None
+        if not getattr(args, "no_coord_mapping", False):
+            import os
+            from ..annotation.coord_to_header import CoordToHeader
+            seqs_path = args.annotation
+            for ext in (".column.annodbg.npz", ".column.annodbg",
+                        ".annodbg.npz", ".annodbg"):
+                if seqs_path.endswith(ext):
+                    seqs_path = seqs_path[: -len(ext)]
+                    break
+            seqs_path += ".seqs"
+            if os.path.exists(seqs_path):
+                cth = CoordToHeader.load(seqs_path)
         aligner = LabeledAligner(ag, cfg)
         for f in args.input:
             for rec in read_fasta(f):
                 alns = aligner.align(rec.seq)
                 sys.stdout.write(format_labeled_alignments_tsv(
                     rec.name, rec.seq, alns, anno.encoder,
-                    cfg.min_path_score))
+                    cfg.min_path_score, k=g.k, cth=cth))
         return
     aligner = DBGAligner(g, cfg)
     for f in args.input:
@@ -663,6 +693,7 @@ def main(argv=None):
     p.add_argument("--anno-type", default="column")
     p.add_argument("--count-kmers", action="store_true")
     p.add_argument("--coordinates", action="store_true")
+    p.add_argument("--index-header-coords", action="store_true")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_annotate)
 
@@ -775,6 +806,7 @@ def main(argv=None):
     p.add_argument("--align-edit-distance", action="store_true")
     p.add_argument("--align-post-chain", action="store_true")
     p.add_argument("--align-chain", action="store_true")
+    p.add_argument("--no-coord-mapping", action="store_true")
     p.add_argument("--map", action="store_true")
     p.add_argument("--align-length", type=int, default=None)
     p.add_argument("--count-kmers", action="store_true")

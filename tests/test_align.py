@@ -197,3 +197,61 @@ class TestLabeledExtension:
             assert a.label_columns
             mask = buffer.intersect_path(a.nodes)
             assert mask
+
+
+@pytest.mark.anchors
+class TestCoordToHeader:
+    """ref integration_tests/test_align.py TestAlignCoordToHeader: the .seqs
+    index resolves global coords to per-sequence header:start-end ranges."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        from metagraph_tpu.cli.main import main
+        d = tmp_path_factory.mktemp("cth")
+        (d / "seqs.fa").write_text(
+            ">seq1\nGTATCGATCG\n>seq2\nGCTAGCTAGCTAGCTA\n"
+            ">seq3\nATCGATCGAAAAACCCCCGGGGGTTTTT\n")
+        (d / "query.fa").write_text(
+            ">query1\nTATCGATCG\n>query2\nGCTAGCTAGCTAG\n"
+            ">query3\nAAAAACCCCC\n")
+        import os
+        cwd = os.getcwd()
+        os.chdir(d)
+        try:
+            main(["build", "-k", "5", "-o", "g", "seqs.fa"])
+            main(["annotate", "-i", "g.dbg.npz", "--coordinates",
+                  "--index-header-coords", "-o", "a", "seqs.fa"])
+        finally:
+            os.chdir(cwd)
+        return d
+
+    def run_align(self, d, extra=()):
+        import os
+        import io
+        import contextlib
+        from metagraph_tpu.cli.main import main
+        cwd = os.getcwd()
+        os.chdir(d)
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                main(["align", "--align-only-forwards", "-i", "g.dbg.npz",
+                      "-a", "a.column.annodbg.npz", *extra, "query.fa"])
+        finally:
+            os.chdir(cwd)
+        return [line.split("\t") for line in
+                buf.getvalue().rstrip().split("\n")]
+
+    def test_seqs_maps_coords_to_headers(self, setup):
+        rows = self.run_align(setup)
+        assert rows[0][8] == "seq1:2-10"     # ref test_align.py:505
+        assert rows[1][8] == "seq2:1-13"     # ref test_align.py:513
+        assert rows[2][8] == "seq3:9-18"     # ref test_align.py:521
+        assert [r[6] for r in rows] == ["9=", "13=", "10="]
+
+    def test_no_coord_mapping(self, setup):
+        rows = self.run_align(setup, ("--no-coord-mapping",))
+        # global file offsets (ref test_align.py:540-552)
+        assert rows[0][8] == "seqs.fa:2-10"
+        assert rows[1][8] == "seqs.fa:7-19"
+        assert rows[2][8] == "seqs.fa:27-36"
