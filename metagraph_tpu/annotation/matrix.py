@@ -793,6 +793,9 @@ class StaticAnnotation:
 def load_annotation(path: str):
     """Load any annotation file: our .column.annodbg.npz / static pickle, or
     a reference-format .column.annodbg (sdsl serialization)."""
+    import os
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path += ".npz"
     if path.endswith(".npz"):
         return ColumnMajorAnnotation.load(path)
     if path.endswith(".column.annodbg"):

@@ -114,12 +114,22 @@ def cmd_stats(args):
     from ..graph.dbg_succinct import DBGSuccinct
     from ..annotation.column import ColumnMajorAnnotation
 
-    for f in args.input:
+    files = list(args.input)
+    if args.annotation:
+        files.append(args.annotation)
+    for f in files:
         if f.endswith(".annodbg.npz") or f.endswith(".annodbg"):
             from ..annotation.matrix import load_annotation
             a = load_annotation(f)
             print(f"labels: {a.num_labels}")
             print(f"objects: {a.num_rows}")
+            if hasattr(a, "column_rows"):
+                nnz = sum(len(a.column_rows(c)) for c in range(a.num_labels))
+            else:
+                import numpy as _np
+                nnz = int(a.get_rows_mask(
+                    _np.arange(a.num_rows)).sum())
+            print(f"density: {nnz / max(a.num_labels * a.num_rows, 1):.6g}")
             print(f"representation: "
                   f"{getattr(a, 'representation', 'column')}")
             if args.print_col_names:
@@ -208,9 +218,61 @@ def cmd_annotate(args):
 
 
 def cmd_transform_anno(args):
+    import numpy as np
     from ..graph.dbg_succinct import DBGSuccinct
     from ..annotation.column import ColumnMajorAnnotation
-    from ..annotation.matrix import StaticAnnotation, convert_annotation
+    from ..annotation.matrix import (StaticAnnotation, convert_annotation,
+                                     load_annotation)
+
+    if getattr(args, "compute_overlap", None):
+        # inner product of columns (ref transform_annotation.cpp:556-590)
+        base = load_annotation(args.compute_overlap)
+        for f in args.input:
+            other = load_annotation(f)
+            for c in range(base.num_labels):
+                base_label = base.encoder.decode(c)
+                rows = base.column_rows(c) if hasattr(base, "column_rows")                     else np.flatnonzero(base.get_rows_mask(
+                        np.arange(base.num_rows))[:, c])
+                col = [(int(r), 1) for r in rows]
+                row_sum = other.sum_rows(col, max(args.min_count, 1))
+                line = f"({args.compute_overlap}<{base_label}>, {f}<*>):"
+                for j, total in row_sum:
+                    line += f"\t<{other.encoder.decode(j)}>:{total}"
+                print(line)
+        return
+
+    if getattr(args, "aggregate_columns", False):
+        # sum columns into one mask column with value/count filters
+        # (ref transform_annotation.cpp:415-553)
+        anno = ColumnMajorAnnotation.load(args.input[0])
+        anno.freeze()
+        num_rows = anno.num_rows
+        total = np.zeros(num_rows, dtype=np.int64)
+        max_value = args.max_value if args.max_value is not None else 2 ** 63
+        min_value = max(args.min_value, 1)
+        filter_values = min_value > 1 or max_value < 2 ** 63
+        for c in range(anno.num_labels):
+            rows = anno.column_rows(c)
+            if filter_values or args.count_kmers:
+                vals = anno._values[c]
+                keep = (vals >= min_value) & (vals <= max_value)
+                if args.count_kmers:
+                    total[rows[keep]] += vals[keep]
+                else:
+                    total[rows[keep]] += 1
+            else:
+                total[rows] += 1
+        max_count = args.max_count if args.max_count is not None else 2 ** 63
+        # rows with zero sum are never selected (ref behavior: threshold >= 1)
+        mask = (total >= max(args.min_count, 1)) & (total <= max_count)
+        out = ColumnMajorAnnotation(num_rows)
+        label = args.anno_label or "mask"
+        out._col(label)
+        out._rows[0].append(np.flatnonzero(mask).astype(np.int64))
+        out.save(args.out + ".column.annodbg")
+        print(f"aggregated {anno.num_labels} columns -> "
+              f"{int(mask.sum())} rows", file=sys.stderr)
+        return
 
     anno = ColumnMajorAnnotation.load(args.input[0])
     graph = DBGSuccinct.load(args.infile_base) if args.infile_base else None
@@ -681,7 +743,7 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("-a", "--annotation", default=None)
     p.add_argument("--print-col-names", action="store_true")
-    p.add_argument("input", nargs="+")
+    p.add_argument("input", nargs="*")
     p.set_defaults(func=cmd_stats)
 
     p = sub.add_parser("annotate")
@@ -789,7 +851,15 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("-i", "--infile-base", default=None,
                    help="graph (required for row_diff targets)")
-    p.add_argument("--anno-type", required=True)
+    p.add_argument("--anno-type", default="column")
+    p.add_argument("--compute-overlap", default=None)
+    p.add_argument("--aggregate-columns", action="store_true")
+    p.add_argument("--count-kmers", action="store_true")
+    p.add_argument("--min-count", type=int, default=1)
+    p.add_argument("--max-count", type=int, default=None)
+    p.add_argument("--min-value", type=int, default=1)
+    p.add_argument("--max-value", type=int, default=None)
+    p.add_argument("--anno-label", default=None)
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_transform_anno)
 

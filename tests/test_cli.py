@@ -92,3 +92,57 @@ class TestAugmentAnchors:
         if cur:
             total += max(len("".join(cur)) - 19, 0)
         assert total == 58787
+
+
+@pytest.mark.anchors
+class TestTransformAnnoColumnOps:
+    """ref integration_tests/test_transform_anno.py TestColumnOperations:
+    --compute-overlap stdout bytes and --aggregate-columns densities."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("colops"))
+        r = run_cli(["build", "-k", "20", "-o", "graph",
+                     f"{REF}/transcripts_100.fa"], d)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(["annotate", "-i", "graph.dbg.npz", "--anno-header",
+                     "--count-kmers", "-o", "annotation",
+                     f"{REF}/transcripts_100.fa"], d)
+        assert r.returncode == 0, r.stderr
+        return d
+
+    def density(self, d, fname):
+        out = run_cli(["stats", "-a", fname], d).stdout
+        for line in out.splitlines():
+            if line.startswith("density:"):
+                return line.split()[1]
+        return None
+
+    def test_overlap_byte_count(self, setup):
+        r = run_cli(["transform_anno", "annotation.column.annodbg",
+                     "--compute-overlap", "annotation.column.annodbg",
+                     "-o", "out"], setup)
+        assert r.returncode == 0, r.stderr
+        assert len(r.stdout.encode()) == 156421  # ref test_transform_anno.py:75
+
+    @pytest.mark.parametrize("min_count,expected", [
+        (1, "0.985871"), (5, "0.0704973"), (10, "0.003401"), (20, "0")])
+    def test_aggregate_columns(self, setup, min_count, expected):
+        # ref test_transform_anno.py:93-98 (densities scaled to rows)
+        r = run_cli(["transform_anno", "annotation.column.annodbg",
+                     "--aggregate-columns", "--min-count", str(min_count),
+                     "-o", f"agg{min_count}"], setup)
+        assert r.returncode == 0, r.stderr
+        assert self.density(setup, f"agg{min_count}.column.annodbg") == expected
+
+    @pytest.mark.parametrize("min_count,max_value,expected", [
+        (1, 0, "0"), (2, 1, "0.387441"), (3, 1, "0.180715"),
+        (5, 1, "0.0704973"), (2, 2, "0.389247"), (2, 1000, "0.389751")])
+    def test_aggregate_columns_filtered(self, setup, min_count, max_value,
+                                        expected):
+        # ref test_transform_anno.py:117-146
+        r = run_cli(["transform_anno", "annotation.column.annodbg",
+                     "--aggregate-columns", "--min-count", str(min_count),
+                     "--max-value", str(max_value), "-o", "aggv"], setup)
+        assert r.returncode == 0, r.stderr
+        assert self.density(setup, "aggv.column.annodbg") == expected
