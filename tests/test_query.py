@@ -206,3 +206,116 @@ class TestCanonicalGraphQuery:
         host = [eng.execute(n, "matches", discovery_fraction=1.0)
                 for n in eng.map_batch(reads)]
         assert [r for r in res] == host
+
+
+@pytest.mark.anchors
+class TestQueryCountsConformance:
+    """ref integration_tests/test_query.py TestQueryCounts (:640-830):
+    counts-sum and counts query modes against brute-force expectations,
+    and the coords byte anchors on transcripts_100."""
+
+    KC1 = {'AAA': 1, 'AAC': 2, 'ACC': 3, 'CCC': 4, 'CCG': 5, 'CGG': 6,
+           'GGG': 7, 'GGT': 8, 'GTT': 9, 'TTT': 10, 'TTA': 11, 'TAA': 12}
+    KC2 = {'AAA': 11, 'AAC': 12, 'ACC': 13, 'CCC': 14, 'CCG': 15, 'CGG': 16,
+           'GGG': 17, 'GGT': 18, 'GTT': 19, 'TTT': 20}
+    QUERIES = ['AAA', 'AAAA', 'AAAAAAAAAAAAA', 'CCC', 'CCCC',
+               'CCCCCCCCCCCCC', 'TTT', 'AAACCCGGGTTT', 'AAACCCGGGTTTTTT',
+               'AAACCCGGGTTTAAA', 'TTTAAACCCGGG', 'ACACACACACACATTTAAACCCGGG']
+
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+        d = tmp_path_factory.mktemp("qc")
+        f1, f2 = str(d / "file_1.fa"), str(d / "file_2.fa")
+        with open(f1, "w") as f:
+            for km, c in self.KC1.items():
+                f.write(f">L1\n{km}\n" * c)
+        with open(f2, "w") as f:
+            for km, c in self.KC2.items():
+                f.write(f">L2\n{km}\n" * c)
+        from metagraph_tpu.seq_io.fasta import read_fasta
+        seqs = [r.seq for r in read_fasta(f1)] + [r.seq for r in read_fasta(f2)]
+        g = DBGSuccinct.build(seqs, 3)
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        for path, recs in ((f1, read_fasta(f1)), (f2, read_fasta(f2))):
+            for r in recs:
+                ag.annotate_sequence(r.seq, [path])
+                ag.annotate_kmer_counts(r.seq, [path])
+        return ag, f1, f2
+
+    def expected(self, mode, discovery):
+        import math
+        out = []
+        for i, s in enumerate(self.QUERIES):
+            nk = len(s) - 2
+            line = [f"{i}", f"s{i}"]
+            for counts, label in ((self.KC1, "F1"), (self.KC2, "F2")):
+                per = [counts.get(s[j:j + 3], 0) for j in range(nk)]
+                n = sum(1 for c in per if c > 0)
+                if n >= discovery * nk:
+                    if mode == "counts-sum":
+                        line.append(f"<{label}>:{sum(per)}")
+                    else:
+                        line.append(f"<{label}>:" + ":".join(map(str, per)))
+            out.append(line)
+        return out
+
+    @pytest.mark.parametrize("discovery", [0.0, 0.25, 0.5, 0.75, 1.0])
+    @pytest.mark.parametrize("mode", ["counts-sum", "counts"])
+    def test_counts_modes(self, setup, mode, discovery):
+        from metagraph_tpu.query.pipeline import QueryEngine
+        from metagraph_tpu.seq_io.fasta import FastaRecord
+        ag, f1, f2 = setup
+        eng = QueryEngine(ag)
+        recs = [FastaRecord(f"s{i}", s.encode())
+                for i, s in enumerate(self.QUERIES)]
+        got = []
+        for res in eng.query_records(recs, mode, 2 ** 63, discovery, 0.0):
+            got.append(res.to_string(verbose=(mode == "counts"))
+                       .replace(f"<{f1}>", "<F1>").replace(f"<{f2}>", "<F2>")
+                       .split("\t"))
+        exp = self.expected(mode, discovery)
+        assert len(got) == len(exp)
+        for g_line, e_line in zip(got, exp):
+            assert sorted(g_line) == sorted(e_line), (g_line, e_line)
+
+
+@pytest.mark.anchors
+class TestQueryCoordsByteAnchors:
+    """ref test_query.py:359-404: coords-mode stdout byte counts on
+    transcripts_100 (collapsed and --verbose-output expanded)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        import subprocess
+        import sys
+        import os
+        d = str(tmp_path_factory.mktemp("qcoords"))
+        env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
+
+        def run(argv):
+            r = subprocess.run([sys.executable, "-m", "metagraph_tpu.cli"]
+                               + argv, capture_output=True, text=True,
+                               env=env, cwd=d)
+            assert r.returncode == 0, r.stderr
+            return r
+        fa = "/root/reference/metagraph/tests/data/transcripts_100.fa"
+        run(["build", "-k", "20", "-o", "graph", fa])
+        run(["annotate", "-i", "graph.dbg.npz", "--anno-header",
+             "--coordinates", "-o", "anno", fa])
+        return d, run, fa
+
+    @pytest.mark.parametrize("fraction,verbose,expected", [
+        (0.05, False, 139268), (0.95, False, 31522),
+        (0.05, True, 1619883), (0.95, True, 492788)])
+    def test_byte_counts(self, setup, fraction, verbose, expected):
+        d, run, fa = setup
+        argv = ["query", "--query-mode", "coords", "-i", "graph.dbg.npz",
+                "-a", "anno.column.annodbg",
+                "--min-kmers-fraction-label", str(fraction), fa]
+        if verbose:
+            argv.insert(3, "--verbose-output")
+        r = run(argv)
+        assert len(r.stdout.encode()) == expected
