@@ -901,7 +901,20 @@ def main(argv=None):
     p.set_defaults(func=cmd_clean)
 
     args = ap.parse_args(argv)
-    return args.func(args)
+    try:
+        return args.func(args)
+    except BrokenPipeError:
+        sys.exit(0)
+    except FileNotFoundError as e:
+        # error lines name the offending path (ref integration error contract)
+        path = getattr(e, "filename", None) or str(e)
+        print(f"[error] File not found: {path}", file=sys.stderr)
+        sys.exit(1)
+    except PermissionError as e:
+        path = getattr(e, "filename", None) or str(e)
+        print(f"[error] Permission denied, cannot read: {path}",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

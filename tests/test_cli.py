@@ -146,3 +146,28 @@ class TestTransformAnnoColumnOps:
                      "--max-value", str(max_value), "-o", "aggv"], setup)
         assert r.returncode == 0, r.stderr
         assert self.density(setup, "aggv.column.annodbg") == expected
+
+
+class TestErrorContract:
+    """ref integration_tests/test_query.py:1599-1674: failures exit nonzero
+    with an [error] line naming the offending path."""
+
+    def test_missing_graph_mentions_path(self, tmp_path):
+        missing = str(tmp_path / "does_not_exist.dbg")
+        r = run_cli(["stats", missing], str(tmp_path))
+        assert r.returncode != 0
+        assert any("[error]" in l and missing in l
+                   for l in r.stderr.splitlines())
+
+    def test_missing_annotation_mentions_path(self, tmp_path):
+        missing = str(tmp_path / "does_not_exist.column.annodbg")
+        r = run_cli(["stats", "-a", missing], str(tmp_path))
+        assert r.returncode != 0
+        assert any("[error]" in l and missing in l
+                   for l in r.stderr.splitlines())
+
+    def test_corrupt_graph_fails(self, tmp_path):
+        bad = tmp_path / "bad.dbg"
+        bad.write_bytes(b"garbage-not-a-graph")
+        r = run_cli(["stats", str(bad)], str(tmp_path))
+        assert r.returncode != 0
