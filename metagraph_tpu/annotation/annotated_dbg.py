@@ -55,12 +55,15 @@ class AnnotatedDBG:
         rows = self.graph_to_anno_index(nodes[nodes > 0])
         self.annotator.add_labels(rows, labels)
 
-    def annotate_kmer_counts(self, sequence: bytes | str, labels: Sequence[str]):
-        """Count k-mer multiplicities within the labeled source sequence."""
+    def annotate_kmer_counts(self, sequence: bytes | str, labels: Sequence[str],
+                             abundance: int = 1):
+        """Count k-mer multiplicities within the labeled source sequence,
+        scaled by the sequence abundance (ref cli/annotate.cpp:122-137,
+        Logan ka:f headers)."""
         nodes = self.graph.map_to_nodes(sequence)
         rows = self.graph_to_anno_index(nodes[nodes > 0])
         uniq, counts = np.unique(rows, return_counts=True)
-        self.annotator.add_label_counts(uniq, counts, labels)
+        self.annotator.add_label_counts(uniq, counts * int(abundance), labels)
 
     def annotate_kmer_coords(self, sequence: bytes | str, labels: Sequence[str],
                              start_coord: int = 0):

@@ -198,7 +198,9 @@ def cmd_annotate(args):
             else:
                 ag.annotate_sequence(rec.seq, labels)
             if args.count_kmers:
-                ag.annotate_kmer_counts(rec.seq, labels)
+                from ..seq_io.fasta import parse_abundance
+                ab = parse_abundance(rec.comment) if rec.comment else None
+                ag.annotate_kmer_counts(rec.seq, labels, abundance=ab or 1)
             if getattr(args, "index_header_coords", False):
                 header_index.setdefault(labels[0], []).append(
                     (rec.name, max(len(rec.seq) - g.k + 1, 0)))

@@ -20,6 +20,20 @@ class FastaRecord:
     name: str
     seq: bytes
     quality: bytes | None = None
+    comment: str = ""          # header text after the first token
+
+
+def parse_abundance(comment: str):
+    """ka:f:/km:f: k-mer abundance from a Logan-style header
+    (ref common/utils/string_utils.cpp:26-36); None if absent."""
+    import re
+    m = re.search(r"(ka|km):f:([0-9.eE+-]+)", comment)
+    if not m:
+        return None
+    try:
+        return max(1, round(float(m.group(2))))
+    except ValueError:
+        return None
 
 
 def _open(path: str) -> bytes:
@@ -53,8 +67,12 @@ def _parse_fasta(data: bytes) -> List[FastaRecord]:
             header, body = chunk, b""
         else:
             header, body = chunk[:nl], chunk[nl + 1:]
-        name = header.split()[0].decode() if header.split() else ""
-        records.append(FastaRecord(name, body.replace(b"\n", b"").replace(b"\r", b"")))
+        parts = header.split(None, 1)
+        name = parts[0].decode() if parts else ""
+        comment = parts[1].decode() if len(parts) > 1 else ""
+        records.append(FastaRecord(
+            name, body.replace(b"\n", b"").replace(b"\r", b""),
+            comment=comment))
     return records
 
 

@@ -171,3 +171,34 @@ class TestErrorContract:
         bad.write_bytes(b"garbage-not-a-graph")
         r = run_cli(["stats", str(bad)], str(tmp_path))
         assert r.returncode != 0
+
+
+@pytest.mark.anchors
+class TestHeaderCounts:
+    """ref integration_tests/test_query.py TestHeaderCounts (:585-630):
+    Logan ka:f header abundances scale annotated k-mer counts."""
+
+    def test_header_counts_query(self, tmp_path):
+        import re
+        d = str(tmp_path)
+        fa = f"{REF}/logan_30.fa"
+        r = run_cli(["build", "-k", "31", "-o", "g", fa], d)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(["annotate", "-i", "g.dbg.npz", "--anno-header",
+                     "--count-kmers", "-o", "a", fa], d)
+        assert r.returncode == 0, r.stderr
+        expected = {}
+        for line in open(fa):
+            if line.startswith(">"):
+                lab = line.split()[0][1:]
+                m = re.search(r"(ka|km):f:([0-9.eE+-]+)", line)
+                expected[lab] = max(1, round(float(m.group(2))))
+        r = run_cli(["query", "--query-mode", "counts", "-i", "g.dbg.npz",
+                     "-a", "a.column.annodbg", fa], d)
+        assert r.returncode == 0, r.stderr
+        got = {}
+        for line in r.stdout.strip().split("\n"):
+            parts = line.split("\t")
+            assert parts[1] not in got
+            got[parts[1]] = int(parts[2].split("=")[-1])
+        assert got == expected
