@@ -395,23 +395,38 @@ class RowDiff(BinaryMatrix):
     succ[r] = successor row along the graph's row-diff routing (-1 = anchor);
     diff rows store the symmetric difference vs the successor row.
     Reconstruction XOR-accumulates diffs until an anchor is reached.
-    """
+
+    When built via the staged pipeline (--row-diff-stage 0/1/2) the routing
+    lives in `.rd_succ` / `.anchors` sidecar files next to the graph
+    (ref row_diff.hpp:33-34) and is attached at load time."""
 
     NAME = "row_diff"
 
-    def __init__(self, inner: BinaryMatrix, succ: np.ndarray,
-                 anchors: np.ndarray, num_labels: int):
+    def __init__(self, inner: BinaryMatrix, succ: np.ndarray | None,
+                 anchors: np.ndarray | None, num_labels: int):
         self.inner = inner
         self.succ = succ
         self.anchors = anchors
         self.num_rows = inner.num_rows
         self.num_labels = num_labels
+        self.needs_sidecars = succ is None
+
+    def attach_sidecars(self, graph_base: str):
+        """Load .rd_succ/.anchors written by the staged builder
+        (ref IRowDiff::load_anchor / load_fork_succ)."""
+        rd_succ = graph_base + ".rd_succ"
+        anchors = graph_base + ".anchors"
+        self.succ = np.load(rd_succ)["succ"]
+        self.anchors = np.load(anchors)["anchors"]
+        self.needs_sidecars = False
 
     @classmethod
     def from_annotation(cls, columns, num_rows, num_labels, graph,
                         max_length: int = 100,
-                        inner_type: type = RowFlat) -> "RowDiff":
-        succ, anchors = cls.build_routing(graph, max_length)
+                        inner_type: type = RowFlat,
+                        routing=None, external_routing=False) -> "RowDiff":
+        succ, anchors = routing if routing is not None \
+            else cls.build_routing(graph, max_length)
         # annotation pairs (r, c)
         dense = [np.zeros(num_rows, dtype=bool) for _ in range(num_labels)]
         for c, col in enumerate(columns):
@@ -425,6 +440,8 @@ class RowDiff(BinaryMatrix):
             diff = np.where(anchors, col, col ^ shifted)
             diff_cols.append(np.flatnonzero(diff))
         inner = inner_type.from_columns(diff_cols, num_rows, num_labels)
+        if external_routing:
+            return cls(inner, None, None, num_labels)
         return cls(inner, succ, anchors, num_labels)
 
     @staticmethod
@@ -498,6 +515,10 @@ class RowDiff(BinaryMatrix):
         return succ_row, anchor_row
 
     def get_rows_mask(self, rows):
+        if getattr(self, "needs_sidecars", False):
+            raise ValueError(
+                "row_diff annotation requires the graph's .rd_succ/.anchors "
+                "sidecar files (staged build); attach_sidecars() first")
         rows = np.asarray(rows, dtype=np.int64)
         out = np.zeros((len(rows), self.num_labels), dtype=bool)
         for i, r in enumerate(rows):

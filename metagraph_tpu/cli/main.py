@@ -276,6 +276,49 @@ def cmd_transform_anno(args):
               f"{int(mask.sum())} rows", file=sys.stderr)
         return
 
+    stage = getattr(args, "row_diff_stage", None)
+    if stage is not None and args.anno_type.startswith("row_diff"):
+        # staged row-diff pipeline (ref row_diff_builder.hpp:15-42,
+        # transform_annotation.cpp:290): stage 0 builds the successor
+        # routing, stage 1 assigns anchors, stage 2 diffs the columns;
+        # routing lives in .rd_succ/.anchors next to the graph
+        from ..annotation.matrix import MATRIX_TYPES, RowDiff, RowFlat
+        graph = DBGSuccinct.load(args.infile_base)
+        base = args.infile_base
+        if stage == 0:
+            succ, _ = RowDiff.build_routing(graph)
+            np.savez_compressed(base + ".rd_succ.npz", succ=succ)
+            import os
+            os.replace(base + ".rd_succ.npz", base + ".rd_succ")
+            print(f"row-diff successors serialized to {base}.rd_succ",
+                  file=sys.stderr)
+            return
+        if stage == 1:
+            _, anchors = RowDiff.build_routing(graph)
+            np.savez_compressed(base + ".anchors.npz", anchors=anchors)
+            import os
+            os.replace(base + ".anchors.npz", base + ".anchors")
+            print(f"row-diff anchors serialized to {base}.anchors",
+                  file=sys.stderr)
+            return
+        # stage 2: build diffs against the serialized routing
+        succ = np.load(base + ".rd_succ")["succ"]
+        anchors = np.load(base + ".anchors")["anchors"]
+        anno = ColumnMajorAnnotation.load(args.input[0])
+        anno.freeze()
+        columns = [anno.column_rows(c) for c in range(anno.num_labels)]
+        inner_name = args.anno_type[len("row_diff"):].lstrip("_") or "flat"
+        m = RowDiff.from_annotation(columns, anno.num_rows, anno.num_labels,
+                                    graph, routing=(succ, anchors),
+                                    external_routing=True,
+                                    inner_type=MATRIX_TYPES.get(inner_name,
+                                                                RowFlat))
+        out = StaticAnnotation(m, anno.encoder, args.anno_type)
+        out.save(f"{args.out}.{args.anno_type}.annodbg")
+        print(f"converted to {args.anno_type} (staged): "
+              f"{m.num_labels} labels", file=sys.stderr)
+        return
+
     anno = ColumnMajorAnnotation.load(args.input[0])
     graph = DBGSuccinct.load(args.infile_base) if args.infile_base else None
     m = convert_annotation(anno, args.anno_type, graph=graph,
@@ -298,6 +341,10 @@ def cmd_query(args):
         from ..graph.canonical import CanonicalDBG
         g = CanonicalDBG(g)
     anno = load_annotation(args.annotation)
+    if getattr(getattr(anno, "matrix", None), "needs_sidecars", False):
+        # staged row-diff: routing sidecars live next to the graph
+        # (ref IRowDiff::load_anchor / load_fork_succ)
+        anno.matrix.attach_sidecars(args.infile_base)
     engine = QueryEngine(AnnotatedDBG(g, anno), use_device=args.device)
 
     aligner_config = None
@@ -862,6 +909,7 @@ def main(argv=None):
     p.add_argument("--min-value", type=int, default=1)
     p.add_argument("--max-value", type=int, default=None)
     p.add_argument("--anno-label", default=None)
+    p.add_argument("--row-diff-stage", type=int, default=None)
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_transform_anno)
 

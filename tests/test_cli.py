@@ -202,3 +202,43 @@ class TestHeaderCounts:
             assert parts[1] not in got
             got[parts[1]] = int(parts[2].split("=")[-1])
         assert got == expected
+
+
+class TestRowDiffStaged:
+    """Staged row-diff pipeline (ref transform_annotation.cpp:290,
+    row_diff_builder stages 0-2) with .rd_succ/.anchors sidecars and the
+    missing-sidecar error contract (ref test_query.py:1641-1655)."""
+
+    @pytest.fixture()
+    def setup(self, tmp_path):
+        d = str(tmp_path)
+        (tmp_path / "s.fa").write_text(">s1\nACGTACGTAGGACCTTAGCAT\n"
+                                       ">s2\nTTGGCCAATTGGCCAATTGG\n")
+        (tmp_path / "q.fa").write_text(">q\nACGTACGTAGGACCTTAGCAT\n")
+        assert run_cli(["build", "-k", "11", "-o", "g", "s.fa"],
+                       d).returncode == 0
+        assert run_cli(["annotate", "-i", "g.dbg.npz", "--anno-header",
+                        "-o", "a", "s.fa"], d).returncode == 0
+        for stage in (0, 1, 2):
+            r = run_cli(["transform_anno", "--anno-type", "row_diff",
+                         "-i", "g.dbg.npz", "-o", "rd", "--row-diff-stage",
+                         str(stage), "a.column.annodbg.npz"], d)
+            assert r.returncode == 0, r.stderr
+        return d
+
+    def test_staged_query_matches(self, setup):
+        r = run_cli(["query", "-i", "g.dbg.npz", "-a", "rd.row_diff.annodbg",
+                     "--query-mode", "matches", "q.fa"], setup)
+        assert r.returncode == 0, r.stderr
+        assert "<s1>:11" in r.stdout
+
+    @pytest.mark.parametrize("sidecar", ["g.dbg.npz.anchors",
+                                         "g.dbg.npz.rd_succ"])
+    def test_missing_sidecar_mentions_path(self, setup, sidecar):
+        import os
+        os.remove(os.path.join(setup, sidecar))
+        r = run_cli(["query", "-i", "g.dbg.npz", "-a", "rd.row_diff.annodbg",
+                     "--query-mode", "matches", "q.fa"], setup)
+        assert r.returncode != 0
+        assert any("[error]" in l and sidecar in l
+                   for l in r.stderr.splitlines())
