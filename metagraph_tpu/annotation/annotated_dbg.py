@@ -30,15 +30,27 @@ def get_min_count(discovery_fraction: float, presence_fraction: float,
     return int(max(1.0, math.ceil(discovery_fraction * num_kmers)))
 
 
+def _top_n_sorted_keyed(items, n):
+    """top-n by count desc, first-seen order on ties (VectorMap semantics)."""
+    idx = {id(it): i for i, it in enumerate(items)}
+    items.sort(key=lambda t: (-t[1], idx[id(t)]))
+    if len(items) > n:
+        del items[n:]
+
+
 def _top_n_sorted(code_counts: List[Tuple[int, int]], n: int):
     code_counts.sort(key=lambda p: (-p[1], p[0]))
     del code_counts[n:]
 
 
 class AnnotatedDBG:
-    def __init__(self, graph, annotator: ColumnMajorAnnotation):
+    def __init__(self, graph, annotator: ColumnMajorAnnotation,
+                 coord_to_header=None):
         self.graph = graph
         self.annotator = annotator
+        # optional .seqs index: per-file columns split into per-sequence
+        # results at query time (ref annotated_dbg.cpp:254,357,528,620)
+        self.coord_to_header = coord_to_header
 
     # ---------------------------------------------------------- annotation
     def graph_to_anno_index(self, node: int | np.ndarray):
@@ -101,8 +113,78 @@ class AnnotatedDBG:
         order = np.argsort(first, kind="stable")
         return list(zip(uniq[order].tolist(), counts[order].tolist()))
 
+    def _cth_aggregate(self, sequence, num_top_labels, discovery_fraction,
+                       presence_fraction, kind):
+        """Split per-file columns into per-sequence results via the
+        CoordToHeader index (ref annotated_dbg.cpp:620-695): each k-mer's
+        coordinates map to (column, seq_id, local coord); counting,
+        thresholds, and top-n run per sequence."""
+        cth = self.coord_to_header
+        num_kmers, rows, pos = self._index_counts(sequence)
+        if num_kmers == 0:
+            return []
+        min_count = get_min_count(discovery_fraction, presence_fraction,
+                                  num_kmers, len(rows))
+        if len(rows) < min_count:
+            return []
+        tuples = self.annotator.get_row_tuples(rows)
+        # per-row mapped coords: {(col, seq): [local...]}
+        mapped = []
+        order = []                       # first-seen header order
+        match_counts = {}
+        for row_t in tuples:
+            here = {}
+            for col, coords in row_t:
+                for coord in coords:
+                    seq_id, local = cth.map_single_coord(col, int(coord))
+                    here.setdefault((col, seq_id), []).append(local)
+            for h in here:
+                if h not in match_counts:
+                    match_counts[h] = 0
+                    order.append(h)
+                match_counts[h] += 1
+            mapped.append(here)
+        selected = [(h, match_counts[h]) for h in order
+                    if match_counts[h] >= min_count]
+        # ref: sorted only when the top-n cap actually filters
+        if kind != "labels" and len(selected) > num_top_labels:
+            _top_n_sorted_keyed(selected, num_top_labels)
+        result = []
+        for h, n in selected:
+            col, seq_id = h
+            header = cth.get_headers(col)[seq_id]
+            if kind == "labels":
+                result.append(header)
+                continue
+            if kind in ("matches", "counts-sum"):
+                if kind == "counts-sum":
+                    n = sum(len(m.get(h, ())) for m in mapped)
+                result.append((header, n))
+                continue
+            if kind == "signature":
+                bits = np.zeros(num_kmers, dtype=bool)
+                for i, m in enumerate(mapped):
+                    if h in m:
+                        bits[pos[i]] = True
+                result.append((header, n, bits))
+            elif kind == "counts":
+                ab = np.zeros(num_kmers, dtype=np.int64)
+                for i, m in enumerate(mapped):
+                    ab[pos[i]] = len(m.get(h, ()))
+                result.append((header, n, ab))
+            elif kind == "coords":
+                coords = [[] for _ in range(num_kmers)]
+                for i, m in enumerate(mapped):
+                    if h in m:
+                        coords[pos[i]] = sorted(m[h])
+                result.append((header, n, coords))
+        return result
+
     def get_labels(self, sequence, discovery_fraction: float = 0.7,
                    presence_fraction: float = 0.0) -> List[str]:
+        if self.coord_to_header is not None:
+            return self._cth_aggregate(sequence, 2 ** 63, discovery_fraction,
+                                       presence_fraction, "labels")
         num_kmers, rows, _ = self._index_counts(sequence)
         if num_kmers == 0:
             return []
@@ -119,6 +201,11 @@ class AnnotatedDBG:
                        presence_fraction: float = 0.0,
                        with_kmer_counts: bool = False
                        ) -> List[Tuple[str, int]]:
+        if self.coord_to_header is not None:
+            return self._cth_aggregate(
+                sequence, num_top_labels, discovery_fraction,
+                presence_fraction,
+                "counts-sum" if with_kmer_counts else "matches")
         num_kmers, rows, _ = self._index_counts(sequence)
         if num_kmers == 0:
             return []
@@ -155,6 +242,10 @@ class AnnotatedDBG:
                               discovery_fraction, presence_fraction, kind):
         """Common path of COUNTS / SIGNATURE / COORDS
         (ref annotated_dbg.cpp:414-470 filter_and_aggregate)."""
+        if self.coord_to_header is not None:
+            return self._cth_aggregate(sequence, num_top_labels,
+                                       discovery_fraction, presence_fraction,
+                                       kind)
         num_kmers, rows, pos = self._index_counts(sequence)
         if num_kmers == 0:
             return []

@@ -345,7 +345,20 @@ def cmd_query(args):
         # staged row-diff: routing sidecars live next to the graph
         # (ref IRowDiff::load_anchor / load_fork_succ)
         anno.matrix.attach_sidecars(args.infile_base)
-    engine = QueryEngine(AnnotatedDBG(g, anno), use_device=args.device)
+    cth = None
+    if not getattr(args, "no_coord_mapping", False):
+        import os
+        from ..annotation.coord_to_header import CoordToHeader
+        seqs_path = args.annotation
+        for ext in (".column.annodbg.npz", ".column.annodbg",
+                    ".annodbg.npz", ".annodbg"):
+            if seqs_path.endswith(ext):
+                seqs_path = seqs_path[: -len(ext)]
+                break
+        if os.path.exists(seqs_path + ".seqs"):
+            cth = CoordToHeader.load(seqs_path + ".seqs")
+    engine = QueryEngine(AnnotatedDBG(g, anno, coord_to_header=cth),
+                         use_device=args.device)
 
     aligner_config = None
     if args.align:
@@ -817,6 +830,7 @@ def main(argv=None):
                             "signature", "coords"])
     p.add_argument("--min-kmers-fraction-label", type=float, default=0.7)
     p.add_argument("--min-kmers-fraction-graph", type=float, default=0.0)
+    p.add_argument("--no-coord-mapping", action="store_true")
     p.add_argument("--num-top-labels", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=100_000_000)
     p.add_argument("--fwd-and-reverse", action="store_true")

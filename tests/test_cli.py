@@ -242,3 +242,76 @@ class TestRowDiffStaged:
         assert r.returncode != 0
         assert any("[error]" in l and sidecar in l
                    for l in r.stderr.splitlines())
+
+
+@pytest.mark.anchors
+class TestQueryFiltersWithHeaderIndex:
+    """ref integration_tests/test_query.py:1309-1424 test_query_with_filters:
+    all six query modes with --num-top-labels / fraction filters, per-file
+    columns split into per-sequence results via the .seqs index."""
+
+    CASES = [
+        ("--num-top-labels 1", "coords",
+         "0\tquery1\t<seq2>:1-10-13:1-6-13:9-2-5:5-2-9:0-1-13"),
+        ("--num-top-labels 2", "coords",
+         "0\tquery1\t<seq2>:1-10-13:1-6-13:9-2-5:5-2-9:0-1-13"
+         "\t<seq3>:1-0-3:5-0-3:9-0-3"),
+        ("--min-kmers-fraction-label 0.5", "coords",
+         {"0", "query1", "<seq2>:1-10-13:1-6-13:9-2-5:5-2-9:0-1-13",
+          "<seq3>:1-0-3:5-0-3:9-0-3", "<seq1>:0-0-3:5-1-3:9-1-3"}),
+        ("--min-kmers-fraction-label 1.0", "coords",
+         "0\tquery1\t<seq2>:1-10-13:1-6-13:9-2-5:5-2-9:0-1-13"),
+        ("--num-top-labels 1", "matches", "0\tquery1\t<seq2>:13"),
+        ("--num-top-labels 2", "matches", "0\tquery1\t<seq2>:13\t<seq3>:12"),
+        ("--min-kmers-fraction-label 0.5", "matches",
+         {"0", "query1", "<seq2>:13", "<seq3>:12", "<seq1>:10"}),
+        ("--num-top-labels 1", "counts", "0\tquery1\t<seq2>:0=1:1-12=3"),
+        ("--num-top-labels 2", "counts",
+         "0\tquery1\t<seq2>:0=1:1-12=3\t<seq3>:1-12=1"),
+        ("--min-kmers-fraction-label 0.5", "counts",
+         {"0", "query1", "<seq2>:0=1:1-12=3", "<seq3>:1-12=1",
+          "<seq1>:0-3=1:5-7=1:9-11=1"}),
+        ("--num-top-labels 1", "counts-sum", "0\tquery1\t<seq2>:37"),
+        ("--num-top-labels 2", "counts-sum", "0\tquery1\t<seq2>:37\t<seq3>:12"),
+        ("--num-top-labels 1", "signature", "0\tquery1\t<seq2>:13:x13:17"),
+        ("--num-top-labels 2", "signature",
+         "0\tquery1\t<seq2>:13:x13:17\t<seq3>:12:o1x12:16"),
+        ("--num-top-labels 1 --verbose-output", "signature",
+         "0\tquery1\t<seq2>:13:1111111111111:17"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("filters"))
+        with open(f"{d}/test_filter.fa", "w") as f:
+            f.write(">seq1\nTATCGATC\n>seq2\nGTATCGATCGATCGATCG\n"
+                    ">seq3\nATCGATCG\n")
+        with open(f"{d}/query_filter.fa", "w") as f:
+            f.write(">query1\nTATCGATCGATCGATCG\n")
+        assert run_cli(["build", "-k", "5", "-o", "graph", "test_filter.fa"],
+                       d).returncode == 0
+        r = run_cli(["annotate", "-i", "graph.dbg.npz", "--coordinates",
+                     "--index-header-coords", "-o", "annotation",
+                     "test_filter.fa"], d)
+        assert r.returncode == 0, r.stderr
+        return d
+
+    @pytest.mark.parametrize("flags,mode,expected", CASES)
+    def test_filters(self, setup, flags, mode, expected):
+        r = run_cli(["query", "--query-mode", mode, "-i", "graph.dbg.npz",
+                     "-a", "annotation.column.annodbg.npz"] + flags.split()
+                    + ["query_filter.fa"], setup)
+        assert r.returncode == 0, r.stderr
+        out = r.stdout.strip()
+        if isinstance(expected, str):
+            assert out == expected
+        else:
+            assert set(out.split("\t")) == expected
+
+    def test_labels_mode_threshold(self, setup):
+        r = run_cli(["query", "--query-mode", "labels", "-i", "graph.dbg.npz",
+                     "-a", "annotation.column.annodbg.npz",
+                     "--min-kmers-fraction-label", "1.0", "query_filter.fa"],
+                    setup)
+        parts = sum((p.split(":") for p in r.stdout.strip().split("\t")), [])
+        assert set(parts) == {"0", "query1", "seq2"}
