@@ -315,3 +315,29 @@ class TestQueryFiltersWithHeaderIndex:
                     setup)
         parts = sum((p.split(":") for p in r.stdout.strip().split("\t")), [])
         assert set(parts) == {"0", "query1", "seq2"}
+
+
+@pytest.mark.anchors
+class TestQuerySingleLabelSha:
+    """ref integration_tests/test_query.py:558-576: sha224 of query stdout
+    with a single '1' label over transcripts_100, querying transcripts_1000."""
+
+    def test_sha224_anchors(self, tmp_path):
+        import hashlib
+        d = str(tmp_path)
+        assert run_cli(["build", "-k", "20", "-o", "graph",
+                        f"{REF}/transcripts_100.fa"], d).returncode == 0
+        assert run_cli(["annotate", "-i", "graph.dbg.npz", "--anno-label",
+                        "1", "-o", "anno1",
+                        f"{REF}/transcripts_100.fa"], d).returncode == 0
+        expected = {
+            "labels": "254d173abb255a81a4ab8a685201a73de8dbad4546c378e0a645d454",
+            "matches": "1bd6c24373812064c3e17e73533de7b1e30baa3cca3a64b460e83cb4",
+        }
+        for mode, sha in expected.items():
+            r = run_cli(["query", "--query-mode", mode, "-i", "graph.dbg.npz",
+                         "-a", "anno1.column.annodbg",
+                         "--min-kmers-fraction-label", "1.0",
+                         f"{REF}/transcripts_1000.fa"], d)
+            assert r.returncode == 0, r.stderr
+            assert hashlib.sha224(r.stdout.encode()).hexdigest() == sha
