@@ -168,8 +168,13 @@ class ColumnMajorAnnotation:
                 if totals[c] >= min_count]
 
     def get_row_values(self, rows: np.ndarray) -> List[List[Tuple[int, int]]]:
-        """per row: [(label code, value)] (ref int_matrix get_row_values)."""
+        """per row: [(label code, value)] (ref int_matrix get_row_values).
+        For coordinate-only annotations the value is the number of
+        coordinates (occurrences), as in the reference's tuple matrices."""
         self.freeze()
+        if not self.has_values and self.has_coords:
+            return [[(c, len(t)) for c, t in row]
+                    for row in self.get_row_tuples(rows)]
         out = [[] for _ in range(len(rows))]
         for c in range(self.num_labels):
             col = self._rows[c]

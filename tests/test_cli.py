@@ -341,3 +341,56 @@ class TestQuerySingleLabelSha:
                          f"{REF}/transcripts_1000.fa"], d)
             assert r.returncode == 0, r.stderr
             assert hashlib.sha224(r.stdout.encode()).hexdigest() == sha
+
+
+@pytest.mark.anchors
+class TestFiveFilesHeaderEquivalence:
+    """ref test_query.py:1426-1490: with one sequence per file, header-mapped
+    query output equals the unmapped output with filenames replaced by
+    headers, for every mode and threshold combination."""
+
+    SEQS = [("seq1", "GTATCGATCGATCGATCG"),
+            ("seq2", "GCTAGCTAGCTAGTATCGCTAGCTA"),
+            ("seq3", "ATCGATCGAAAAACCCCC"),
+            ("seq4", "TATCGATCGATCGATCG"),
+            ("seq5", "CGCGCGCGCGCGCGCGCGGTATC")]
+
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("five"))
+        files = []
+        for i, (h, s) in enumerate(self.SEQS, 1):
+            p = f"{d}/file_{i}.fa"
+            open(p, "w").write(f">{h}\n{s}\n")
+            files.append(f"file_{i}.fa")
+        open(f"{d}/query.fa", "w").write(
+            ">query\nGTATCGATTGATCGATCGGTATCGATTGATCGATCG\n")
+        assert run_cli(["build", "-k", "5", "-o", "graph"] + files,
+                       d).returncode == 0
+        r = run_cli(["annotate", "-i", "graph.dbg.npz", "--coordinates",
+                     "--index-header-coords", "-o", "annotation"] + files, d)
+        assert r.returncode == 0, r.stderr
+        return d
+
+    @pytest.mark.parametrize("mode", ["labels", "matches", "counts",
+                                      "counts-sum", "signature"])
+    @pytest.mark.parametrize("discovery", [0.0, 0.2, 1.0])
+    def test_header_equivalence(self, setup, mode, discovery):
+        base = ["query", "--query-mode", mode, "-i", "graph.dbg.npz",
+                "-a", "annotation.column.annodbg.npz",
+                "--min-kmers-fraction-label", str(discovery), "query.fa"]
+        r_with = run_cli(base, setup)
+        r_without = run_cli(base[:-1] + ["--no-coord-mapping", "query.fa"],
+                            setup)
+        assert r_with.returncode == 0 and r_without.returncode == 0
+        out_with = r_with.stdout.strip()
+        out_without = r_without.stdout.strip()
+        for i, (h, _) in enumerate(self.SEQS, 1):
+            out_without = out_without.replace(f"file_{i}.fa", h)
+        if mode == "labels":
+            a = out_with.split("\t")[-1].split(":")
+            b = out_without.split("\t")[-1].split(":")
+        else:
+            a = out_with.split("\t")
+            b = out_without.split("\t")
+        assert set(a) == set(b)
