@@ -65,6 +65,10 @@ class AnnotatedDBG:
     def annotate_sequence(self, sequence: bytes | str, labels: Sequence[str]):
         nodes = self.graph.map_to_nodes(sequence)
         rows = self.graph_to_anno_index(nodes[nodes > 0])
+        if not len(rows):
+            # no k-mers mapped: the label's column is not created
+            # (ref ColumnCompressed lazy column creation)
+            return
         self.annotator.add_labels(rows, labels)
 
     def annotate_kmer_counts(self, sequence: bytes | str, labels: Sequence[str],
@@ -81,6 +85,8 @@ class AnnotatedDBG:
                              start_coord: int = 0):
         nodes = self.graph.map_to_nodes(sequence)
         pos = np.flatnonzero(nodes > 0)
+        if not len(pos):
+            return
         rows = self.graph_to_anno_index(nodes[pos])
         self.annotator.add_label_coords(rows, start_coord + pos, labels)
         self.annotator.add_labels(rows, labels)

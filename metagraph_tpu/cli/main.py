@@ -118,6 +118,33 @@ def cmd_stats(args):
     if args.annotation:
         files.append(args.annotation)
     for f in files:
+        if f.endswith(".seqs"):
+            # CoordToHeader stats (ref cli/stats.cpp:373-427)
+            from ..annotation.coord_to_header import CoordToHeader
+            cth = CoordToHeader.load(f)
+            print(f"Statistics for CoordToHeader mapping '{f}'")
+            print("================ COORD-TO-HEADER STATS =================")
+            print(f"columns: {cth.num_columns()}")
+            total_seqs = sum(cth.num_sequences(c)
+                             for c in range(cth.num_columns()))
+            total_kmers = sum(int(cth.offsets[c][-1])
+                              for c in range(cth.num_columns()))
+            print(f"total sequences: {total_seqs}")
+            print(f"total k-mers: {total_kmers}")
+            if args.verbose:
+                print("=================== PER-COLUMN STATS "
+                      "===================")
+                for c in range(cth.num_columns()):
+                    n = cth.num_sequences(c)
+                    km = int(cth.offsets[c][-1])
+                    print(f"column {c}:")
+                    print(f"  sequences: {n} "
+                          f"({chr(9).join(cth.get_headers(c))})")
+                    print(f"  k-mers: {km}")
+                    print(f"  k-mers per sequence: "
+                          f"{km / n if n else 0:.1f}")
+                print("=" * 56)
+            continue
         if f.endswith(".annodbg.npz") or f.endswith(".annodbg"):
             from ..annotation.matrix import load_annotation
             a = load_annotation(f)
@@ -201,14 +228,17 @@ def cmd_annotate(args):
                 from ..seq_io.fasta import parse_abundance
                 ab = parse_abundance(rec.comment) if rec.comment else None
                 ag.annotate_kmer_counts(rec.seq, labels, abundance=ab or 1)
-            if getattr(args, "index_header_coords", False):
+            if getattr(args, "index_header_coords", False) \
+                    and len(rec.seq) >= g.k:
+                # only sequences long enough to hold a k-mer are indexed
                 header_index.setdefault(labels[0], []).append(
-                    (rec.name, max(len(rec.seq) - g.k + 1, 0)))
+                    (rec.name, len(rec.seq) - g.k + 1))
     anno.save(args.out + ".column.annodbg")
     if getattr(args, "index_header_coords", False):
         # per-column (header, num_kmers) index (ref cli/annotate.cpp:278,
         # coord_to_header.hpp)
         from ..annotation.coord_to_header import CoordToHeader
+        anno.freeze()
         cols = [anno.encoder.decode(c) for c in range(anno.num_labels)]
         cth = CoordToHeader(
             [[h for h, _ in header_index.get(lab, [])] for lab in cols],

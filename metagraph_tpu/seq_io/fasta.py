@@ -46,7 +46,7 @@ def _open(path: str) -> bytes:
 
 
 def read_fasta(path: str) -> List[FastaRecord]:
-    data = _open(path)
+    data = _open(path).lstrip()
     if not data:
         return []
     if data[:1] == b">":

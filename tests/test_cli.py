@@ -394,3 +394,65 @@ class TestFiveFilesHeaderEquivalence:
             a = out_with.split("\t")
             b = out_without.split("\t")
         assert set(a) == set(b)
+
+
+@pytest.mark.anchors
+class TestMultiFileSeqsStats:
+    """ref test_query.py:1177-1268 test_multiple_files: .seqs stats exact
+    format, lazy column creation (empty/sub-k files get no column), and
+    header-resolved coords query."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("multi"))
+        open(f"{d}/file1.fa", "w").write(
+            ">seq1\nGTATCGATCG\n>seq2\nGCTAGCTAGCTAGCTA\n")
+        open(f"{d}/file2.fa", "w").write(">short\nAAA\n")
+        open(f"{d}/file3.fa", "w").write("\n")
+        open(f"{d}/file4.fa", "w").write(
+            ">seq3\nATCGATCGAAAAACCCCCGGGGGTTTTTGCTAGC\n>short\nAAA\n"
+            ">bad\n!A2AA\n>seq4\nTATCGATCGATCGATCG\n")
+        open(f"{d}/query_multi.fa", "w").write(
+            ">query1\nTATCGATCG\n>query2\nGCTAGCTA\n")
+        files = ["file1.fa", "file2.fa", "file3.fa", "file4.fa"]
+        assert run_cli(["build", "-k", "5", "-o", "graph"] + files,
+                       d).returncode == 0
+        r = run_cli(["annotate", "-i", "graph.dbg.npz", "--coordinates",
+                     "--index-header-coords", "-o", "annotation"] + files, d)
+        assert r.returncode == 0, r.stderr
+        return d
+
+    def test_seqs_stats(self, setup):
+        r = run_cli(["stats", "annotation.seqs"], setup)
+        lines = r.stdout.strip().split("\n")
+        assert lines[2] == "columns: 2"
+        assert lines[3] == "total sequences: 5"
+        assert lines[4] == "total k-mers: 62"
+
+    def test_seqs_stats_verbose(self, setup):
+        r = run_cli(["stats", "annotation.seqs", "-v"], setup)
+        lines = r.stdout.strip().split("\n")
+        assert lines[1] == "================ COORD-TO-HEADER STATS " \
+                           "================="
+        assert lines[5] == "=================== PER-COLUMN STATS " \
+                           "==================="
+        assert lines[7] == "  sequences: 2 (seq1\tseq2)"
+        assert lines[8] == "  k-mers: 18"
+        assert lines[9] == "  k-mers per sequence: 9.0"
+        assert lines[11] == "  sequences: 3 (seq3\tbad\tseq4)"
+        assert lines[12] == "  k-mers: 44"
+        assert lines[13] == "  k-mers per sequence: 14.7"
+
+    def test_coords_query_headers(self, setup):
+        r = run_cli(["query", "--query-mode", "coords", "-i", "graph.dbg.npz",
+                     "-a", "annotation.column.annodbg.npz",
+                     "--min-kmers-fraction-label", "0.0", "query_multi.fa"],
+                    setup)
+        out = r.stdout.split("\n")
+        assert out[0].split("\t")[:2] == ["0", "query1"]
+        assert set(out[0].split("\t")[2:]) == {
+            "<seq1>:0-1-5", "<seq3>:1-4:1-0-3",
+            "<seq4>:0-0-4:1-5-8:1-9-12"}
+        assert out[1].split("\t")[:2] == ["1", "query2"]
+        assert set(out[1].split("\t")[2:]) == {
+            "<seq2>:0-0-3:0-4-7:0-8-11", "<seq3>:0-28-29"}
