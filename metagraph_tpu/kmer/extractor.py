@@ -103,7 +103,8 @@ class KmerExtractor:
 
         fwd = self.window_codes(codes, K)[valid]
 
-        if mode == "basic":
+        packed = None            # canonical path packs directly, skipping a
+        if mode == "basic":      # char-matrix materialization + repack
             chars = fwd
         else:
             # complement table extended so the invalid separator maps to itself
@@ -115,18 +116,22 @@ class KmerExtractor:
             rc_all = np.lib.stride_tricks.sliding_window_view(rc_codes, K)
             rc = rc_all[::-1][valid]
             if mode == "both":
-                chars = np.concatenate([fwd, rc], axis=0)
+                order = packing.boss_priority_order(K)
+                packed = np.concatenate([packing.pack_codes(fwd, order),
+                                         packing.pack_codes(rc, order)],
+                                        axis=0)
             elif mode == "canonical":
                 order = packing.boss_priority_order(K)
                 kf = packing.pack_codes(fwd, order)
                 kr = packing.pack_codes(rc, order)
                 take_rc = _rows_greater(kf, kr)
-                chars = np.where(take_rc[:, None], rc, fwd)
+                packed = np.where(take_rc[:, None], kr, kf)
             else:
                 raise ValueError(f"unknown mode {mode!r}")
 
         order = packing.boss_priority_order(K)
-        packed = packing.pack_codes(chars, order)
+        if packed is None:
+            packed = packing.pack_codes(chars, order)
         if with_counts:
             if weights is None:
                 w = np.ones(packed.shape[0], dtype=np.uint64)

@@ -45,6 +45,13 @@ def pack_codes(chars: np.ndarray, order: np.ndarray | None = None) -> np.ndarray
     if chars.ndim == 1:
         chars = chars[None, :]
     N, K = chars.shape
+    if N > 1024 and chars.dtype == np.uint8:
+        from .. import native
+        out = native.pack_rows64(
+            chars, order if order is not None
+            else np.arange(K, dtype=np.int32))
+        if out is not None:
+            return out
     if order is not None:
         chars = chars[:, order]
     W = (K + 15) // 16

@@ -58,6 +58,10 @@ def get_lib():
     lib.dust_low_complexity.restype = ctypes.c_int
     lib.dust_low_complexity.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+    lib.pack_rows64.restype = None
+    lib.pack_rows64.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -113,3 +117,21 @@ def dust_low_complexity(window: bytes, T: int = 20, W: int = 64):
     if lib is None:
         return None
     return bool(lib.dust_low_complexity(window, len(window), T, W))
+
+
+def pack_rows64(chars, order):
+    """(N, K) uint8 codes + column order -> (N, W) uint64 nibble words;
+    None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+    chars = np.ascontiguousarray(chars, dtype=np.uint8)
+    order32 = np.ascontiguousarray(order, dtype=np.int32)
+    N, K = chars.shape
+    W = (K + 15) // 16
+    out = np.empty((N, W), dtype=np.uint64)
+    lib.pack_rows64(chars.ctypes.data_as(ctypes.c_void_p), N, K,
+                    order32.ctypes.data_as(ctypes.c_void_p),
+                    out.ctypes.data_as(ctypes.c_void_p))
+    return out

@@ -45,7 +45,10 @@ class MetaGraphServer:
         discovery = float(payload.get("discovery_fraction", 0.7))
         if not 0.0 <= discovery <= 1.0:
             raise ValueError("Discovery fraction should be within [0, 1.0]")
-        top = int(payload.get("top_labels", 10000))
+        try:
+            top = int(payload.get("top_labels", 10000))
+        except (TypeError, ValueError):
+            raise ValueError("Value is not convertible to Int.")
         if payload.get("query_coords", False):
             mode = "coords"
         elif payload.get("query_counts", False):
@@ -149,7 +152,11 @@ class MetaGraphServer:
             def do_POST(self):
                 try:
                     n = int(self.headers.get("Content-Length", 0))
-                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    body = self.rfile.read(n) or b"{}"
+                    try:
+                        payload = json.loads(body)
+                    except json.JSONDecodeError as e:
+                        raise ValueError(f"Bad json received: {e}")
                     if self.path.rstrip("/").endswith("search"):
                         self._reply(200, server.search(payload))
                     elif self.path.rstrip("/").endswith("align"):

@@ -204,4 +204,24 @@ int dust_low_complexity(const uint8_t *window, int64_t n, int32_t T,
     return 0;
 }
 
+// Pack (N, K) uint8 code matrices into (N, W) uint64 nibble words with an
+// arbitrary column priority order (most significant first) — the generic
+// batch variant of pack_windows_boss used by construction and host lookups.
+void pack_rows64(const uint8_t *chars, int64_t N, int32_t K,
+                 const int32_t *order, uint64_t *out /* N * W */) {
+    const int32_t W = (K + 15) / 16;
+    for (int64_t i = 0; i < N; ++i) {
+        const uint8_t *row = chars + i * K;
+        uint64_t *o = out + i * W;
+        int32_t p = 0;
+        for (int32_t w = 0; w < W; ++w) {
+            uint64_t acc = 0;
+            for (int32_t slot = 0; slot < 16 && p < K; ++slot, ++p) {
+                acc |= (uint64_t)row[order[p]] << (60 - 4 * slot);
+            }
+            o[w] = acc;
+        }
+    }
+}
+
 }  // extern "C"

@@ -1,5 +1,6 @@
 """HTTP server + Python client end-to-end (ref integration_tests/test_api.py)."""
 
+import json
 import time
 
 import numpy as np
@@ -76,3 +77,60 @@ class TestAPI:
         c = GraphClientJson("127.0.0.1", PORT)
         with pytest.raises(ValueError):
             c.search("ACGT", discovery_fraction=2.0)
+
+
+class TestApiErrorContract:
+    """ref integration_tests/test_api.py:78-150 raw-request error contract."""
+
+    def post(self, server_and_seqs, endpoint, body):
+        import http.client
+        host, port = "127.0.0.1", PORT
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        conn.request("POST", f"/{endpoint}", body,
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        data = json.loads(r.read().decode())
+        conn.close()
+        return r.status, data
+
+    def test_incomplete_json(self, server_and_seqs):
+        code, data = self.post(server_and_seqs, "search",
+                               '{"FASTA": ">q\\nACGT", "top_labels": 1,')
+        assert code == 400
+        assert "Bad json received:" in data["error"]
+
+    def test_invalid_top_labels(self, server_and_seqs):
+        code, data = self.post(server_and_seqs, "search", json.dumps(
+            {"FASTA": ">q\nACGT", "top_labels": "not_a_number",
+             "discovery_fraction": 0.01}))
+        assert code == 400
+        assert "Value is not convertible to Int." in data["error"]
+
+    def test_missing_fasta(self, server_and_seqs):
+        code, data = self.post(server_and_seqs, "search", json.dumps(
+            {"top_labels": 100, "discovery_fraction": 0.01}))
+        assert code == 400
+        assert "No input sequences received from client" in data["error"]
+
+    def test_invalid_discovery_fraction(self, server_and_seqs):
+        code, _ = self.post(server_and_seqs, "search", json.dumps(
+            {"FASTA": ">q\nTCGA", "discovery_fraction": 1.1,
+             "top_labels": 1}))
+        assert code == 400
+
+    def test_missing_top_labels_defaults(self, server_and_seqs):
+        code, _ = self.post(server_and_seqs, "search", json.dumps(
+            {"FASTA": ">q\nTCGA", "discovery_fraction": 0.1}))
+        assert code == 200
+
+    def test_invalid_url(self, server_and_seqs):
+        code, _ = self.post(server_and_seqs, "not_valid", "{}")
+        assert code == 404
+
+    def test_no_matching_sequence(self, server_and_seqs):
+        code, data = self.post(server_and_seqs, "search", json.dumps(
+            {"FASTA": ">q\nGGGGGGGGGGGGGGGGGG", "discovery_fraction": 0.01,
+             "top_labels": 1}))
+        assert code == 200
+        assert len(data) == 1
+        assert data[0]["results"] == []
