@@ -138,8 +138,8 @@ class DBGSuccinct:
         w = int(boss.W[node])
         if node > 1 and not w:
             return []
-        last = int(boss.fwd(np.array([node]), np.array([w % boss.alph_size]))[0])
-        first = int(boss.pred_last(np.array([last - 1]))[0]) + 1
+        last = boss.fwd_scalar(node, w % boss.alph_size)
+        first = boss.pred_last_scalar(last - 1) + 1
         out = []
         table = self.alphabet.decode_table
         for i in range(max(2, first), last + 1):
@@ -151,8 +151,8 @@ class DBGSuccinct:
     def call_incoming_kmers(self, node: int):
         """[(prev_node, char)] (ref dbg_succinct.cpp:141-164)."""
         boss = self.boss
-        x = int(boss.bwd(np.array([node]))[0])
-        d = int(boss.node_last_char(np.array([node]))[0])
+        x = boss.bwd_scalar(node)
+        d = boss.node_last_char_scalar(node)
         out = []
         table = self.alphabet.decode_table
         e = x
@@ -162,8 +162,8 @@ class DBGSuccinct:
                 # first char of the source node of e = bwd^(k-2) last char
                 ee = e
                 for _ in range(self.k - 2):
-                    ee = int(boss.bwd(np.array([ee]))[0])
-                c = int(boss.node_last_char(np.array([ee]))[0])
+                    ee = boss.bwd_scalar(ee)
+                c = boss.node_last_char_scalar(ee)
                 out.append((e, chr(table[c])))
             nxt = boss._next_W(e + 1, d + boss.alph_size) if e + 1 < M else 0
             stop = boss._next_W(e + 1, d) if e + 1 < M else 0
@@ -180,8 +180,8 @@ class DBGSuccinct:
         w = int(boss.W[node])
         if node > 1 and not w:
             return 0
-        last = int(boss.fwd(np.array([node]), np.array([w % boss.alph_size]))[0])
-        e = int(boss.pick_edge(np.array([last]), np.array([code]))[0])
+        last = boss.fwd_scalar(node, w % boss.alph_size)
+        e = boss.pick_edge_scalar(last, code)
         return self._valid_node(e)
 
     def has_multiple_outgoing_batch(self, nodes: np.ndarray) -> np.ndarray:
@@ -222,12 +222,12 @@ class DBGSuccinct:
         """ref dbg_succinct.cpp:609-625."""
         boss = self.boss
         if node == 1:
-            return int(boss.succ_last(np.array([1]))[0]) > 2
+            return boss.succ_last_scalar(1) > 2
         d = int(boss.W[node]) % boss.alph_size
         if not d:
             return False
-        last = int(boss.fwd(np.array([node]), np.array([d]))[0])
-        first = int(boss.pred_last(np.array([last - 1]))[0]) + 1
+        last = boss.fwd_scalar(node, d)
+        first = boss.pred_last_scalar(last - 1) + 1
         return last - first + 1 > 1
 
     def has_single_incoming(self, node: int) -> bool:
@@ -236,8 +236,8 @@ class DBGSuccinct:
         boss = self.boss
         if node == 1:
             return False
-        x = int(boss.bwd(np.array([node]))[0])
-        w = int(boss.node_last_char(np.array([node]))[0])
+        x = boss.bwd_scalar(node)
+        w = boss.node_last_char_scalar(node)
         first_valid = (not self.masked) or bool(boss.valid[x])
         if x + 1 == len(boss.W):
             return first_valid

@@ -129,11 +129,11 @@ class _Traversal:
             for i in np.flatnonzero(np.asarray(self.mask, dtype=bool)):
                 if i == 0:
                     continue
-                last_e = int(boss.succ_last(np.array([i]))[0])
+                last_e = boss.succ_last_scalar(i)
                 if last_e in seen_nodes:
                     continue
                 seen_nodes.add(last_e)
-                j = int(boss.bwd(np.array([last_e]))[0])
+                j = boss.bwd_scalar(last_e)
                 j, _ = _pick_single_incoming(
                     boss, j, int(boss.W[j]) % boss.alph_size, self.mask)
                 if j:
@@ -148,7 +148,7 @@ class _Traversal:
             if self.visited[i]:
                 i += 1
                 continue
-            last_i = int(boss.succ_last(np.array([i]))[0])
+            last_i = boss.succ_last_scalar(i)
             edges = _outgoing(boss, last_i, self.mask)
             if len(edges) >= 2:
                 for e in edges:
@@ -171,7 +171,7 @@ class _Traversal:
         path = []
         while True:
             path.append(edge)
-            edge = int(boss.fwd(np.array([edge]))[0])
+            edge = boss.fwd_scalar(edge)
             edge, _ = _pick_single_outgoing(boss, edge, self.mask)
             assert edge
             if edge == start:
@@ -213,7 +213,7 @@ class _Traversal:
                     _, single = _pick_single_incoming(boss, e2, d, self.mask)
                     stop_even_if_single_outgoing = not single
 
-                edge = int(boss.fwd(np.array([edge]), np.array([d]))[0])
+                edge = boss.fwd_scalar(edge, d)
                 out_edges = _outgoing(boss, edge, self.mask)
                 if not out_edges:
                     break
@@ -272,7 +272,7 @@ class _Traversal:
             if not self.visited[e]:
                 self.visited[e] = True
                 if i + 1 == len(dual) or not dual[i + 1]:
-                    nxt = int(boss.fwd(np.array([e]))[0])
+                    nxt = boss.fwd_scalar(e)
                     nxt, single = _pick_single_outgoing(boss, nxt, self.mask)
                     if single and nxt and not self.visited[nxt]:
                         queue.appendleft((nxt, list(rc_seq[i + 1: i + 1 + boss.k])))
@@ -340,15 +340,15 @@ def _keep_unitig(boss: BOSS, path, seq, min_tip_size, mask) -> bool:
 
     last_fwd = 0
     if seq[-1] != 0:
-        last_fwd = int(boss.fwd(np.array([last_edge]), np.array([seq[-1]]))[0])
+        last_fwd = boss.fwd_scalar(last_edge, int(seq[-1]))
         last_fwd, single = _pick_single_outgoing(boss, last_fwd, mask)
         if not single and last_fwd:
             return True
 
     first_bwd = 0
     if seq[0] != 0:
-        first_bwd = int(boss.bwd(np.array([first_edge]))[0])
-        d = int(boss.node_last_char(np.array([first_edge]))[0])
+        first_bwd = boss.bwd_scalar(first_edge)
+        d = boss.node_last_char_scalar(first_edge)
         first_bwd, single = _pick_single_incoming(boss, first_bwd, d, mask)
         if not single and first_bwd:
             return True
@@ -363,7 +363,7 @@ def _keep_unitig(boss: BOSS, path, seq, min_tip_size, mask) -> bool:
     # then read the node-last char
     e = first_bwd
     for _ in range(boss.k - 1):
-        e = int(boss.bwd(np.array([e]))[0])
-    if not int(boss.node_last_char(np.array([e]))[0]):
+        e = boss.bwd_scalar(e)
+    if not boss.node_last_char_scalar(e):
         return False
     return True

@@ -141,6 +141,67 @@ class BOSS:
         target = self.NF[cc] + rank
         return self.select_last(target)
 
+    # -------------------------------------------------- scalar fast paths
+    # Pure-int variants of the hot navigation ops for the sequential
+    # traversal loops (no numpy array wrapping; ~20x faster per call).
+    def rank_W_scalar(self, i: int, c: int) -> int:
+        return int(self._cum_W[c, i]) - (1 if c == 0 else 0)
+
+    def select_W_scalar(self, c: int, r: int) -> int:
+        r += 1 if c == 0 else 0
+        idx = int(self._sel_W_off[c]) + r - 1
+        sw = self._sel_W
+        if idx < 0:
+            idx = 0
+        elif idx >= len(sw):
+            idx = len(sw) - 1
+        return int(sw[idx])
+
+    def select_last_scalar(self, r: int) -> int:
+        if r <= 0:
+            return 0
+        sl = self._sel_last
+        return int(sl[r - 1 if r - 1 < len(sl) else len(sl) - 1])
+
+    def rank_last_scalar(self, i: int) -> int:
+        return int(self._cum_last[i])
+
+    def succ_last_scalar(self, i: int) -> int:
+        return self.select_last_scalar(int(self._cum_last[max(i, 1) - 1]) + 1)
+
+    def pred_last_scalar(self, i: int) -> int:
+        return self.select_last_scalar(int(self._cum_last[i]))
+
+    def fwd_scalar(self, i: int, c: int | None = None) -> int:
+        if c is None:
+            c = int(self.W[i]) % self.alph_size
+        return self.select_last_scalar(
+            int(self.NF[c]) + self.rank_W_scalar(i, c))
+
+    def node_last_char_scalar(self, i: int) -> int:
+        idx = int(np.searchsorted(self.F, i, side="left"))
+        return idx - 1 if idx < self.alph_size else self.alph_size - 1
+
+    def bwd_scalar(self, i: int) -> int:
+        target = int(self._cum_last[i - 1]) + 1
+        if target == 1:
+            return 1
+        c = self.node_last_char_scalar(i)
+        return self.select_W_scalar(c, target - int(self.NF[c]))
+
+    def pick_edge_scalar(self, edge: int, c: int) -> int:
+        """edge labeled c out of the node ending at `edge`, or 0."""
+        begin = self.pred_last_scalar(max(edge - 1, 0)) + 1
+        lo = self.rank_W_scalar(max(begin - 1, 0), c)
+        hi = self.rank_W_scalar(edge, c)
+        if hi > lo:
+            return self.select_W_scalar(c, lo + 1)
+        lo = self.rank_W_scalar(max(begin - 1, 0), c + self.alph_size)
+        hi = self.rank_W_scalar(edge, c + self.alph_size)
+        if hi > lo:
+            return self.select_W_scalar(c + self.alph_size, lo + 1)
+        return 0
+
     def bwd(self, i):
         """last incoming edge of the source node of edge i (ref boss.cpp:623-637)."""
         i = np.asarray(i, dtype=np.int64)
