@@ -79,6 +79,13 @@ def cmd_build(args):
                             kmers=kmers, k=args.k, mode=args.mode)
         print(f"chunk {args.suffix}: {len(kmers)} k-mers", file=sys.stderr)
         return
+    if getattr(args, "graph", "succinct") != "succinct":
+        from ..graph import build_graph
+        g = build_graph(args.graph, seqs, args.k, mode=args.mode)
+        g.save(args.out)
+        print(f"graph built: k={args.k} nodes={g.num_nodes()}",
+              file=sys.stderr)
+        return
     g = DBGSuccinct.build(seqs, args.k, mode=args.mode,
                           with_counts=args.count_kmers,
                           bits_per_count=args.count_width,
@@ -169,12 +176,13 @@ def cmd_stats(args):
         print(f"nodes (k): {g.num_nodes()}")
         print(f"mode: {g.mode}")
         print(f"max index (k): {g.max_index()}")
-        if g.boss.weights is not None:
+        if getattr(g, "boss", None) is not None \
+                and g.boss.weights is not None:
             w = g.boss.weights[g.boss.valid > 0]
             nnz = int((w > 0).sum())
             print(f"nnz weights: {nnz}")
             print(f"avg weight: {float(w.sum()) / max(nnz, 1):.6g}")
-        if args.verbose:
+        if args.verbose and getattr(g, "boss", None) is not None:
             # W / last distributions (ref cli/stats.cpp:33-178)
             boss = g.boss
             W_vals, W_counts = np.unique(boss.W[1:], return_counts=True)
@@ -820,12 +828,14 @@ def main(argv=None):
     p.add_argument("-k", type=int, required=True)
     p.add_argument("--mode", choices=["basic", "canonical", "primary"],
                    default="basic")
+    p.add_argument("--graph", default="succinct",
+                   choices=["succinct", "bitmap", "hash", "hashfast",
+                            "hashstr", "sshash"])
     p.add_argument("--count-kmers", action="store_true")
     p.add_argument("--count-width", type=int, default=8)
     p.add_argument("--mask-dummy", action="store_true")
     p.add_argument("--in-ram", action="store_true")
     p.add_argument("--disk-swap", default="")
-    p.add_argument("--graph", default="succinct")
     p.add_argument("--suffix", default=None,
                    help="build only the chunk for this node-suffix")
     p.add_argument("input", nargs="+")

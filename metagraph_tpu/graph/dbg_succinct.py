@@ -326,6 +326,11 @@ class DBGSuccinct:
                 if f.read(2) != b"PK":       # not an npz: reference format
                     from ..seq_io.refformat import load_reference_boss
                     return load_reference_boss(path)
+        # non-succinct representations carry a graph_type tag
+        probe = np.load(path if path.endswith(".npz") else path + ".npz")
+        if "graph_type" in probe and str(probe["graph_type"]) != "succinct":
+            from .hash_graph import _KmerGraphBase
+            return _KmerGraphBase.load_generic(probe)
         boss = BOSS.load(path)
         if mode is None:
             z = np.load(path if path.endswith(".npz") else path + ".npz")

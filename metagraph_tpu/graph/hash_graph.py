@@ -104,6 +104,35 @@ class _KmerGraphBase:
     def indegree(self, node: int) -> int:
         return len(self.call_incoming_kmers(node))
 
+    # ------------------------------------------------------------- storage
+    GRAPH_TYPE = "hash"
+
+    def node_kmers_and_ids(self):
+        """(N, k) char matrix + node ids in id order (generic query index)."""
+        import numpy as _np
+        ids, chars = [], []
+        for i, km in self.call_kmers():
+            ids.append(i)
+            chars.append(km)
+        if not ids:
+            return (_np.zeros((0, self.k), dtype=_np.uint8),
+                    _np.zeros(0, dtype=_np.int64))
+        return _np.stack(chars), _np.array(ids, dtype=_np.int64)
+
+    def save(self, path: str):
+        import numpy as _np
+        chars, ids = self.node_kmers_and_ids()
+        out = path if path.endswith(".npz") else path + ".dbg.npz"
+        _np.savez_compressed(out, graph_type=self.GRAPH_TYPE, k=self.k,
+                             mode=self.mode, kmers=chars, ids=ids)
+
+    @classmethod
+    def load_generic(cls, z) -> "_KmerGraphBase":
+        from . import GRAPH_CLASSES
+        gcls = GRAPH_CLASSES[str(z["graph_type"])]
+        g = gcls.rebuild(z["kmers"], z["ids"], int(z["k"]), str(z["mode"]))
+        return g
+
 
 class DBGHashGraph(_KmerGraphBase):
     """Dynamic insertion-ordered k-mer dict (DBGHashOrdered analog)."""
@@ -158,6 +187,14 @@ class DBGHashGraph(_KmerGraphBase):
         for i, key in enumerate(self._kmers):
             yield i + 1, np.frombuffer(key, dtype=np.uint8)
 
+    @classmethod
+    def rebuild(cls, kmers, ids, k, mode) -> "DBGHashGraph":
+        g = cls(k, mode)
+        order = np.argsort(ids, kind="stable")
+        for i in order:
+            g._insert(np.asarray(kmers[i], dtype=np.uint8))
+        return g
+
 
 class DBGBitmapGraph(_KmerGraphBase):
     """Static sorted k-mer rank dictionary (DBGBitmap analog: node id =
@@ -197,6 +234,19 @@ class DBGBitmapGraph(_KmerGraphBase):
 
     def _node_chars(self, node: int) -> np.ndarray:
         return packing.unpack_codes(self._keys[node - 1][None, :], self.k)[0]
+
+    GRAPH_TYPE = "bitmap"
+
+    def call_kmers(self):
+        chars = packing.unpack_codes(self._keys, self.k)
+        for i in range(len(chars)):
+            yield i + 1, chars[i]
+
+    @classmethod
+    def rebuild(cls, kmers, ids, k, mode) -> "DBGBitmapGraph":
+        keys = packing.sort_rows(packing.pack_codes(
+            np.asarray(kmers, dtype=np.uint8)))
+        return cls(keys, k, mode)
 
     def num_nodes(self) -> int:
         return len(self._keys)

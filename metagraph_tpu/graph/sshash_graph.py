@@ -94,6 +94,21 @@ class DBGSSHashGraph(_KmerGraphBase):
         idx = int(np.flatnonzero(self._ids == node)[0])
         return packing.unpack_codes(self._keys[idx][None, :], self.k)[0]
 
+    GRAPH_TYPE = "sshash"
+
+    def call_kmers(self):
+        chars = packing.unpack_codes(self._keys, self.k)
+        for pos in range(len(chars)):
+            yield int(self._ids[pos]), chars[pos]
+
+    @classmethod
+    def rebuild(cls, kmers, ids, k, mode) -> "DBGSSHashGraph":
+        # rebuild from the raw k-mer set (bucket layout is derived)
+        table = DNA.decode_table
+        seqs = [table[np.asarray(km, dtype=np.uint8)].tobytes()
+                for km in kmers]
+        return cls.build(seqs, k, mode=mode)
+
     def num_nodes(self) -> int:
         return len(self._keys)
 

@@ -44,10 +44,18 @@ class QueryEngine:
     def _build_host_index(self):
         if self._host_index is not None:
             return
-        boss = self._base.boss
+        boss = getattr(self._base, "boss", None)
+        order = packing.boss_priority_order(self.graph.k)
+        if boss is None:
+            # generic representation: enumerate k-mers + node ids, sort keys
+            kchars, ids = self._base.node_kmers_and_ids()
+            keys = packing.pack_codes(kchars, order)
+            perm = packing.argsort_rows(keys) if hasattr(
+                packing, "argsort_rows") else np.lexsort(keys.T[::-1])
+            self._host_index = (keys[perm], ids[perm])
+            return
         valid_edges = np.flatnonzero(boss.valid).astype(np.int64)
         kchars = boss.get_edge_seq(valid_edges)
-        order = packing.boss_priority_order(self.graph.k)
         keys = packing.pack_codes(kchars, order)
         # construction emits valid edges in BOSS (sorted) order already
         self._host_index = (keys, valid_edges)
@@ -56,7 +64,12 @@ class QueryEngine:
         if self._device_index is not None:
             return
         from ..succinct import ops
-        boss = self._base.boss
+        boss = getattr(self._base, "boss", None)
+        if boss is None:
+            kchars, ids = self._base.node_kmers_and_ids()
+            self._device_index = ops.DeviceHashIndex.from_packed(
+                ops.pack_kmers32(kchars), ids.astype(np.uint32))
+            return
         valid_edges = np.flatnonzero(boss.valid)
         kchars = boss.get_edge_seq(valid_edges)
         self._device_index = ops.DeviceHashIndex.from_packed(

@@ -145,3 +145,50 @@ class TestTypedSuiteBehaviors:
         f = g.map_to_nodes(seqs[0])
         r = g.map_to_nodes(revcomp(seqs[0]))[::-1]
         np.testing.assert_array_equal(f, r)
+
+
+class TestGraphTypePersistenceCLI:
+    """build --graph TYPE -> save/load -> annotate -> query round trip for
+    every representation (ref CLI graph-type parameterization)."""
+
+    @pytest.mark.parametrize("gtype", ["hash", "bitmap", "sshash",
+                                       "hashfast", "hashstr"])
+    def test_roundtrip(self, gtype, tmp_path):
+        import subprocess
+        import sys
+        import os
+        d = str(tmp_path)
+        env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
+
+        def run(argv):
+            return subprocess.run(
+                [sys.executable, "-m", "metagraph_tpu.cli"] + argv,
+                capture_output=True, text=True, env=env, cwd=d)
+        (tmp_path / "s.fa").write_text(
+            ">a\nACGTACGTAGGACCTTAGCA\n>b\nTTGGCCAATTGGCCAATT\n")
+        r = run(["build", "--graph", gtype, "-k", "11", "-o", "g", "s.fa"])
+        assert r.returncode == 0, r.stderr
+        assert "nodes=18" in r.stderr
+        r = run(["annotate", "-i", "g.dbg.npz", "--anno-header", "-o", "a",
+                 "s.fa"])
+        assert r.returncode == 0, r.stderr
+        r = run(["query", "-i", "g.dbg.npz", "-a", "a.column.annodbg.npz",
+                 "--query-mode", "matches", "s.fa"])
+        assert r.returncode == 0, r.stderr
+        lines = r.stdout.strip().split("\n")
+        assert lines[0] == "0\ta\t<a>:10"
+        assert lines[1] == "1\tb\t<b>:8"
+
+    def test_library_save_load(self, tmp_path):
+        import numpy as np
+        from metagraph_tpu.graph import build_graph
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        seqs = [b"ACGTACGTAGGACCTTAGCA"]
+        for t in ("hash", "bitmap", "sshash"):
+            g = build_graph(t, seqs, 9)
+            p = str(tmp_path / f"{t}.dbg.npz")
+            g.save(p)
+            g2 = DBGSuccinct.load(p)
+            assert g2.num_nodes() == g.num_nodes()
+            np.testing.assert_array_equal(g2.map_to_nodes(seqs[0]),
+                                          g.map_to_nodes(seqs[0]))
