@@ -456,3 +456,28 @@ class TestMultiFileSeqsStats:
         assert out[1].split("\t")[:2] == ["1", "query2"]
         assert set(out[1].split("\t")[2:]) == {
             "<seq2>:0-0-3:0-4-7:0-8-11", "<seq3>:0-28-29"}
+
+
+@pytest.mark.anchors
+class TestWeightedBuildAnchors:
+    """ref integration_tests/test_build_weighted.py: canonical weighted stats
+    and tiny-k count saturation."""
+
+    def test_canonical_weighted(self, tmp_path):
+        d = str(tmp_path)
+        r = run_cli(["build", "-k", "20", "--mode", "canonical",
+                     "--count-kmers", "-o", "g",
+                     f"{REF}/transcripts_1000.fa"], d)
+        assert r.returncode == 0, r.stderr
+        out = run_cli(["stats", "g.dbg.npz"], d).stdout
+        assert "nodes (k): 1159851" in out          # ref :116
+        assert "avg weight: 2.53761" in out         # ref :119
+
+    def test_tiny_k_count_saturation(self, tmp_path):
+        d = str(tmp_path)
+        r = run_cli(["build", "-k", "2", "--count-kmers", "-o", "g",
+                     f"{REF}/transcripts_100.fa"], d)
+        assert r.returncode == 0, r.stderr
+        out = run_cli(["stats", "g.dbg.npz"], d).stdout
+        assert "nodes (k): 16" in out               # ref :124
+        assert "avg weight: 255" in out             # 8-bit count saturation
