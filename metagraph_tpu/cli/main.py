@@ -257,6 +257,28 @@ def cmd_annotate(args):
     print(f"annotated: {anno.num_labels} labels", file=sys.stderr)
 
 
+def _load_as_column(path):
+    """Load any annotation and materialize it as ColumnMajorAnnotation so it
+    can be re-converted (ref convert<> between static types)."""
+    import numpy as np
+    from ..annotation.column import ColumnMajorAnnotation
+    from ..annotation.matrix import load_annotation
+    try:
+        return ColumnMajorAnnotation.load(path)
+    except Exception:
+        pass
+    a = load_annotation(path)
+    if isinstance(a, ColumnMajorAnnotation):
+        return a
+    out = ColumnMajorAnnotation(a.num_rows)
+    mask = a.get_rows_mask(np.arange(a.num_rows))
+    for c in range(a.num_labels):
+        out._col(a.encoder.decode(c))
+        out._rows[c].append(np.flatnonzero(mask[:, c]).astype(np.int64))
+    out.freeze()
+    return out
+
+
 def cmd_transform_anno(args):
     import numpy as np
     from ..graph.dbg_succinct import DBGSuccinct
@@ -357,7 +379,7 @@ def cmd_transform_anno(args):
               f"{m.num_labels} labels", file=sys.stderr)
         return
 
-    anno = ColumnMajorAnnotation.load(args.input[0])
+    anno = _load_as_column(args.input[0])
     graph = DBGSuccinct.load(args.infile_base) if args.infile_base else None
     m = convert_annotation(anno, args.anno_type, graph=graph,
                            out_base=args.out)

@@ -481,3 +481,31 @@ class TestWeightedBuildAnchors:
         out = run_cli(["stats", "g.dbg.npz"], d).stdout
         assert "nodes (k): 16" in out               # ref :124
         assert "avg weight: 255" in out             # 8-bit count saturation
+
+
+class TestAnnotationReconversion:
+    """ref test_transform_anno.py:467-523: static annotations reconvert
+    between representations with identical query results."""
+
+    def test_round_trip_column_to_brwt_to_flat_to_disk(self, tmp_path):
+        d = str(tmp_path)
+        (tmp_path / "s.fa").write_text(
+            ">a\nACGTACGTAGGACCTTAGCA\n>b\nTTGGCCAATTGGCCAATT\n")
+        assert run_cli(["build", "-k", "11", "-o", "g", "s.fa"],
+                       d).returncode == 0
+        assert run_cli(["annotate", "-i", "g.dbg.npz", "--anno-header",
+                        "-o", "base", "s.fa"], d).returncode == 0
+        base_out = run_cli(["query", "-i", "g.dbg.npz",
+                            "-a", "base.column.annodbg.npz",
+                            "--query-mode", "matches", "s.fa"], d).stdout
+        chain = [("brwt", "base.column.annodbg.npz"),
+                 ("flat", "c_brwt.brwt.annodbg"),
+                 ("row_disk", "c_flat.flat.annodbg")]
+        for target, src in chain:
+            r = run_cli(["transform_anno", "--anno-type", target,
+                         "-o", f"c_{target}", src], d)
+            assert r.returncode == 0, r.stderr
+            q = run_cli(["query", "-i", "g.dbg.npz",
+                         "-a", f"c_{target}.{target}.annodbg",
+                         "--query-mode", "matches", "s.fa"], d).stdout
+            assert q == base_out, target
