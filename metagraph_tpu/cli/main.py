@@ -807,6 +807,30 @@ def cmd_transform(args):
     from ..graph import traversal
 
     g = DBGSuccinct.load(args.input[0])
+    if getattr(args, "to_adj_list", False):
+        # ref transform_graph.cpp:101-111 / BOSS::print_adj_list:1203-1209
+        boss = g.boss
+        out = args.out + ".adjlist"
+        with open(out, "w") as f:
+            for edge in range(1, len(boss.W)):
+                f.write(f"{1 + boss.rank_last_scalar(boss.fwd_scalar(edge) - 1)} ")
+                if boss.last[edge]:
+                    f.write("\n")
+        print(f"adjacency list written to {out}", file=sys.stderr)
+        return
+    if getattr(args, "mode", None) == "primary":
+        # relabel basic -> primary without rebuilding; idempotent on
+        # already-primary graphs, which are re-serialized unchanged
+        # (ref transform_graph.cpp:114-136)
+        if g.mode == "basic":
+            print("Changing graph mode from basic to primary",
+                  file=sys.stderr)
+            print("FYI: This doesn't rebuild the graph. Apply with caution"
+                  " and only to graphs constructed from primary contigs!",
+                  file=sys.stderr)
+            g.mode = "primary"
+        g.save(args.out)
+        return
     if args.initialize_bloom:
         # ref cli/transform_graph.cpp --initialize-bloom
         from ..kmer.bloom import KmerBloomFilter
@@ -912,6 +936,9 @@ def main(argv=None):
     p.add_argument("--unitigs", action="store_true")
     p.add_argument("--primary-kmers", action="store_true")
     p.add_argument("--initialize-bloom", action="store_true")
+    p.add_argument("--to-adj-list", action="store_true")
+    p.add_argument("--mode", default=None,
+                   choices=["basic", "canonical", "primary"])
     p.add_argument("--bloom-fpp", type=float, default=1.0)
     p.add_argument("--bloom-bpk", type=float, default=4.0)
     p.add_argument("input", nargs="+")

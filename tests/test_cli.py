@@ -509,3 +509,34 @@ class TestAnnotationReconversion:
                          "-a", f"c_{target}.{target}.annodbg",
                          "--query-mode", "matches", "s.fa"], d).stdout
             assert q == base_out, target
+
+
+class TestTransformExtras:
+    """transform --to-adj-list (ref BOSS::print_adj_list boss.cpp:1203-1209)
+    and --mode primary relabel (ref transform_graph.cpp:114-124)."""
+
+    def test_to_adj_list(self, tiny_fa, tmp_path):
+        d = str(tmp_path)
+        run_cli(["build", "-k", "11", "-o", "g", str(tiny_fa)], d)
+        r = run_cli(["transform", "--to-adj-list", "-o", "adj", "g.dbg.npz"],
+                    d)
+        assert r.returncode == 0, r.stderr
+        lines = (tmp_path / "adj.adjlist").read_text().strip().split("\n")
+        # one line per node; every token a valid 1-based node id
+        import numpy as np
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        g = DBGSuccinct.load(str(tmp_path / "g.dbg.npz"))
+        n_nodes_total = int(g.boss.last.sum())
+        assert len(lines) == n_nodes_total
+        for line in lines:
+            for tok in line.split():
+                assert 1 <= int(tok) <= n_nodes_total + 1
+
+    def test_mode_primary_relabel(self, tiny_fa, tmp_path):
+        d = str(tmp_path)
+        run_cli(["build", "-k", "11", "-o", "g", str(tiny_fa)], d)
+        r = run_cli(["transform", "--mode", "primary", "-o", "gp",
+                     "g.dbg.npz"], d)
+        assert r.returncode == 0, r.stderr
+        out = run_cli(["stats", "gp.dbg.npz"], d).stdout
+        assert "mode: primary" in out
