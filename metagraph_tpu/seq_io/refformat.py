@@ -420,6 +420,28 @@ def load_reference_boss(path: str):
     valid[1:] = ((kchars != 0).all(axis=1)) & (W[1:] % alph_size != 0)
     arrays.valid = valid
     boss = BOSS(arrays)
+    weights = load_reference_node_weights(path, M)
+    if weights is not None:
+        boss.weights = weights
     mode_name = {0: "basic", 1: "canonical", 2: "primary"}.get(int(mode),
                                                                "basic")
     return DBGSuccinct(boss, int(k_boss) + 1, mode_name)
+
+
+def load_reference_node_weights(graph_path: str, num_positions: int):
+    """Load a `<graph>.weights` sidecar (ref node_weights.cpp:36-61: a bare
+    sdsl::int_vector<> of size max_index+1, index 0 = npos).  Returns a
+    uint64 array aligned with BOSS edge positions, or None if absent or
+    incompatible (ref NodeWeights::is_compatible node_weights.cpp:73-82)."""
+    import os
+    wpath = graph_path + ".weights"
+    if not os.path.exists(wpath):
+        return None
+    cur = Cursor(open(wpath, "rb").read())
+    w, _width = read_int_vector(cur)
+    if len(w) != num_positions:
+        import sys
+        print(f"[warning] weights file {wpath} does not match number of "
+              f"nodes in graph; ignored", file=sys.stderr)
+        return None
+    return w.astype(np.uint64)

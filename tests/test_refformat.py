@@ -63,3 +63,41 @@ class TestReferenceAnnodbg:
         assert ag.get_labels(b"ACGTACGTACGTACGTACGTACGTACGT", 1.0) \
             == ["test_DNA_sequences.fa"]
         assert ag.get_labels(b"A" * 28, 1.0) == []
+
+
+class TestReferenceWeights:
+    """`.dbg.weights` sidecar: bare sdsl::int_vector<> aligned with BOSS
+    edge positions (ref node_weights.cpp:36-61, is_compatible:73-82)."""
+
+    def _write_weights(self, path, vals, width=8):
+        import struct
+        payload = bytes(int(v) & 0xFF for v in vals)
+        payload += b"\x00" * ((-len(payload)) % 8)
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", len(vals) * width))
+            f.write(struct.pack("B", width))
+            f.write(payload)
+
+    def test_load_weights_sidecar(self, tmp_path):
+        import shutil
+        import numpy as np
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        dbg = tmp_path / "g.dbg"
+        shutil.copy(f"{EX}/graphs/test_DNA_graph.dbg", dbg)
+        g = DBGSuccinct.load(str(dbg))
+        M = len(g.boss.W)
+        vals = [(i % 250) + 1 for i in range(M)]
+        self._write_weights(str(dbg) + ".weights", vals)
+        g2 = DBGSuccinct.load(str(dbg))
+        assert g2.boss.weights is not None
+        assert np.array_equal(g2.boss.weights,
+                              np.array(vals, dtype=np.uint64))
+
+    def test_incompatible_weights_ignored(self, tmp_path):
+        import shutil
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        dbg = tmp_path / "g.dbg"
+        shutil.copy(f"{EX}/graphs/test_DNA_graph.dbg", dbg)
+        self._write_weights(str(dbg) + ".weights", list(range(1, 11)))
+        g = DBGSuccinct.load(str(dbg))
+        assert g.boss.weights is None
