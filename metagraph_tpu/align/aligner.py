@@ -22,36 +22,102 @@ SuffixUniMEMSeeder = make_suffix_seeder(UniMEMSeeder)
 
 
 class AlignmentAggregator:
-    """Top-k alignments (ref aligner_aggregator.hpp)."""
+    """Top-k alignments with per-label buckets (ref aligner_aggregator.hpp:
+    labeled alignments are kept in one capped queue per label column, sharing
+    the alignment objects; the unlabeled queue doubles as a global-best
+    tracker once labeled alignments arrive)."""
 
     def __init__(self, config: AlignerConfig):
         self.config = config
-        self.alignments: List[Alignment] = []
+        self.unlabeled: List[Alignment] = []          # sorted best-first
+        self.path_queue: dict = {}                    # label -> [Alignment]
+
+    @staticmethod
+    def _same(a: Alignment, b: Alignment) -> bool:
+        return (a.score == b.score and a.cigar == b.cigar
+                and a.nodes == b.nodes and a.orientation == b.orientation)
+
+    def _push(self, queue: List[Alignment], aln: Alignment) -> bool:
+        """ref aligner_aggregator.hpp:86-104 push_to_queue."""
+        cfg = self.config
+        for existing in queue:
+            if self._same(existing, aln):
+                return cfg.post_chain_alignments
+        if cfg.post_chain_alignments \
+                or len(queue) < cfg.num_alternative_paths:
+            queue.append(aln)
+            queue.sort(key=lambda a: a.sort_key())
+            return True
+        if aln.sort_key() >= queue[-1].sort_key():
+            return False
+        queue[-1] = aln
+        queue.sort(key=lambda a: a.sort_key())
+        return True
 
     def add(self, aln: Alignment) -> bool:
-        keep_all = self.config.post_chain_alignments
-        if not keep_all and self.alignments \
+        labels = list(getattr(aln, "label_columns", ()) or ())
+        if not self.unlabeled:
+            self.unlabeled.append(aln)
+            for c in labels:
+                self.path_queue.setdefault(c, []).append(aln)
+            return True
+        if not self.config.post_chain_alignments \
                 and aln.score < self.get_global_cutoff():
             return False
-        for existing in self.alignments:
-            if (existing.score == aln.score and existing.cigar == aln.cigar
-                    and existing.nodes == aln.nodes
-                    and existing.orientation == aln.orientation):
-                return False
-        self.alignments.append(aln)
-        self.alignments.sort(key=lambda a: a.sort_key())
-        if not keep_all \
-                and len(self.alignments) > self.config.num_alternative_paths:
-            self.alignments = self.alignments[: self.config.num_alternative_paths]
+        if not labels:
+            return self._push(self.unlabeled, aln)
+        if not self.path_queue and len(self.unlabeled) > 1:
+            # first labeled alignment: shrink the unlabeled queue to the
+            # global-max tracker (ref aligner_aggregator.hpp:110-120)
+            self.unlabeled = [self.unlabeled[0]]
+        added = False
+        for c in labels:
+            added |= self._push(self.path_queue.setdefault(c, []), aln)
+        if not added:
+            return False
+        if aln.sort_key() < self.unlabeled[0].sort_key():
+            self.unlabeled[0] = aln
         return True
 
     def get_global_cutoff(self) -> int:
-        if len(self.alignments) < self.config.num_alternative_paths:
+        if not self.unlabeled:
             return NINF
-        return self.alignments[-1].score
+        cur_max = self.unlabeled[0].score
+        return int(cur_max * self.config.rel_score_cutoff) \
+            if cur_max > 0 else cur_max
+
+    def get_score_cutoff(self, labels) -> int:
+        """ref aligner_aggregator.hpp:152-166: min over the seed's labels of
+        each label queue's cutoff, floored by the global cutoff."""
+        if not labels:
+            return self.get_global_cutoff()
+        global_min = self.get_global_cutoff()
+        min_score = None
+        for c in labels:
+            q = self.path_queue.get(c)
+            cut = NINF if (q is None
+                           or len(q) < self.config.num_alternative_paths
+                           or self.config.post_chain_alignments) \
+                else q[-1].score
+            min_score = cut if min_score is None else min(min_score, cut)
+            if min_score < global_min:
+                return global_min
+        return min_score
 
     def get_alignments(self) -> List[Alignment]:
-        return list(self.alignments)
+        seen = []
+        out = []
+        for q in self.path_queue.values():
+            for a in q:
+                if not any(a is s for s in seen):
+                    seen.append(a)
+                    out.append(a)
+        for a in self.unlabeled:
+            if not any(a is s for s in seen):
+                seen.append(a)
+                out.append(a)
+        out.sort(key=lambda a: a.sort_key())
+        return out
 
 
 class DBGAligner:
@@ -82,8 +148,12 @@ class DBGAligner:
             aggregator.add(aln)
 
         def get_min_path_score(aln: Alignment) -> int:
-            return max(self.config.min_path_score,
-                       aggregator.get_global_cutoff())
+            # labeled seeds are pruned against their own label buckets
+            # (ref dbg_aligner.cpp:277-281)
+            labels = getattr(aln, "label_columns", None)
+            cutoff = aggregator.get_score_cutoff(labels) if labels \
+                else aggregator.get_global_cutoff()
+            return max(self.config.min_path_score, cutoff)
 
         fwd_seeder = self._make_seeder(query, False)
         fwd_extender = self._make_extender(query)

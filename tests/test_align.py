@@ -255,3 +255,50 @@ class TestCoordToHeader:
         assert rows[0][8] == "seqs.fa:2-10"
         assert rows[1][8] == "seqs.fa:7-19"
         assert rows[2][8] == "seqs.fa:27-36"
+
+
+class TestAggregatorLabelBuckets:
+    """Per-label top-k buckets (ref aligner_aggregator.hpp:25-138)."""
+
+    def _aln(self, score, labels=(), node=1):
+        from metagraph_tpu.align.alignment import Alignment
+        from metagraph_tpu.align.cigar import Cigar
+        c = Cigar()
+        c.append("=", 5)
+        return Alignment(query=b"ACGTA", nodes=[node], sequence=b"ACGTA",
+                         score=score, cigar=c,
+                         label_columns=list(labels))
+
+    def test_per_label_topk(self):
+        from metagraph_tpu.align.aligner import AlignmentAggregator
+        from metagraph_tpu.align.config import AlignerConfig
+        cfg = AlignerConfig(num_alternative_paths=1, rel_score_cutoff=0.0)
+        agg = AlignmentAggregator(cfg)
+        # one queue per label: the best alignment of EACH label survives
+        assert agg.add(self._aln(10, [0], node=1))
+        assert agg.add(self._aln(8, [1], node=2))   # worse globally, kept
+        assert not agg.add(self._aln(7, [1], node=3))  # label 1 bucket full
+        out = agg.get_alignments()
+        assert sorted(a.score for a in out) == [8, 10]
+
+    def test_shared_alignment_emitted_once(self):
+        from metagraph_tpu.align.aligner import AlignmentAggregator
+        from metagraph_tpu.align.config import AlignerConfig
+        cfg = AlignerConfig(num_alternative_paths=2, rel_score_cutoff=0.0)
+        agg = AlignmentAggregator(cfg)
+        agg.add(self._aln(10, [0, 1], node=1))
+        agg.add(self._aln(9, [0], node=2))
+        out = agg.get_alignments()
+        assert [a.score for a in out] == [10, 9]
+
+    def test_label_cutoff(self):
+        from metagraph_tpu.align.aligner import AlignmentAggregator
+        from metagraph_tpu.align.config import AlignerConfig
+        from metagraph_tpu.align.config import NINF
+        cfg = AlignerConfig(num_alternative_paths=1, rel_score_cutoff=0.0)
+        agg = AlignmentAggregator(cfg)
+        agg.add(self._aln(10, [0], node=1))
+        # label 0 bucket is full -> cutoff is its min; label 1 empty -> NINF
+        assert agg.get_score_cutoff([0]) == 10
+        assert agg.get_score_cutoff([1]) == max(NINF,
+                                                agg.get_global_cutoff())
