@@ -230,9 +230,11 @@ class RowDisk(BinaryMatrix):
 
     @classmethod
     def from_columns(cls, columns, num_rows, num_labels, path_base=None):
+        import os
         import tempfile
         if path_base is None:
-            path_base = tempfile.mktemp(prefix="rowdisk_")
+            path_base = os.path.join(tempfile.mkdtemp(prefix="rowdisk_"),
+                                     "rows")
         indptr, indices = cls._csr_from_columns(columns, num_rows)
         np.save(path_base + ".indptr.npy", indptr)
         np.save(path_base + ".indices.npy", indices)
@@ -531,7 +533,10 @@ class RowDiff(BinaryMatrix):
                     break
                 cur = int(self.succ[cur])
                 steps += 1
-                assert steps <= self.num_rows, "row-diff walk did not terminate"
+                if steps > self.num_rows:
+                    raise ValueError(
+                        "row-diff successor walk did not terminate — "
+                        "inconsistent .rd_succ/.anchors sidecars")
             out[i] = acc
         return out
 

@@ -35,10 +35,21 @@ def query_epoch(table: jnp.ndarray, bitmap: jnp.ndarray, queries: jnp.ndarray,
                 seq_ids: jnp.ndarray, num_seqs: int, num_labels: int,
                 chunk: int = 1 << 17):
     """Whole-workload query in ONE dispatch: lax.scan over fixed chunks keeps
-    the bit-expansion intermediate bounded while XLA pipelines the chunks."""
+    the bit-expansion intermediate bounded while XLA pipelines the chunks.
+
+    The batch is padded internally to a chunk multiple with 0xFFFFFFFF
+    sentinel keys (never a valid packed k-mer -> lookup miss) and seq_id 0,
+    so misses contribute nothing to counts/present."""
+    pad = (-queries.shape[0]) % chunk
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.full((pad, queries.shape[1]),
+                               jnp.iinfo(jnp.uint32).max, queries.dtype)])
+        seq_ids = jnp.concatenate(
+            [seq_ids, jnp.zeros(pad, seq_ids.dtype)])
     n = queries.shape[0] // chunk
-    qs = queries[: n * chunk].reshape(n, chunk, queries.shape[1])
-    ss = seq_ids[: n * chunk].reshape(n, chunk)
+    qs = queries.reshape(n, chunk, queries.shape[1])
+    ss = seq_ids.reshape(n, chunk)
 
     def body(acc, x):
         q, s = x

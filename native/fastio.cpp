@@ -160,11 +160,31 @@ int dust_low_complexity(const uint8_t *window, int64_t n, int32_t T,
     };
     (void)NT4;
     int64_t max_span = W - 2;
-    // triplet codes per maximal ACGT run, processed run by run
-    int64_t run_start = 0;
+    // triplet codes per maximal ACGT run, processed in overlapping slabs so
+    // runs longer than the buffer are still fully scanned (slab overlap
+    // max_span-1 keeps every start's full window intact)
     int trips_buf[4096];
+    if (max_span > 2048)
+        max_span = 2048;  // slab invariant: overlap < buffer (W<=64 in refs)
     int64_t ri = 0;
     int t = 0, valid = 0;
+    // scan starts [0, lim) of trips_buf[0..ri)
+    auto scan = [&](int64_t lim) -> int {
+        for (int64_t i = 0; i < lim; ++i) {
+            int counts[64] = {0};
+            int64_t pairs = 0;
+            int64_t jend = i + max_span < ri ? i + max_span : ri;
+            for (int64_t j = i; j < jend; ++j) {
+                int c = counts[trips_buf[j]];
+                pairs += c;
+                counts[trips_buf[j]] = c + 1;
+                int64_t l = j - i + 1;
+                if (l > 1 && pairs * 10 > (int64_t)T * (l - 1))
+                    return 1;
+            }
+        }
+        return 0;
+    };
     for (int64_t p = 0; p <= n; ++p) {
         int b = -1;
         if (p < n) {
@@ -177,29 +197,28 @@ int dust_low_complexity(const uint8_t *window, int64_t n, int32_t T,
             }
         }
         if (b < 0) {
-            // end of run: scan trips_buf[0..ri)
-            for (int64_t i = 0; i < ri; ++i) {
-                int counts[64] = {0};
-                int64_t pairs = 0;
-                int64_t jend = i + max_span < ri ? i + max_span : ri;
-                for (int64_t j = i; j < jend; ++j) {
-                    int c = counts[trips_buf[j]];
-                    pairs += c;
-                    counts[trips_buf[j]] = c + 1;
-                    int64_t l = j - i + 1;
-                    if (l > 1 && pairs * 10 > (int64_t)T * (l - 1))
-                        return 1;
-                }
-            }
+            // end of run: scan every remaining start
+            if (scan(ri))
+                return 1;
             ri = 0;
             valid = 0;
-            (void)run_start;
             continue;
         }
         t = ((t << 2) | b) & 63;
         ++valid;
-        if (valid >= 3 && ri < 4096)
+        if (valid >= 3) {
+            if (ri == 4096) {
+                // slab full: starts [0, ri-max_span] have complete windows;
+                // shift the unscanned tail down and keep filling
+                if (scan(ri - max_span + 1))
+                    return 1;
+                int64_t keep = max_span - 1;
+                memmove(trips_buf, trips_buf + (ri - keep),
+                        keep * sizeof(int));
+                ri = keep;
+            }
             trips_buf[ri++] = t;
+        }
     }
     return 0;
 }
