@@ -122,7 +122,7 @@ class AlignmentAggregator:
 
 class DBGAligner:
     def __init__(self, graph, config: Optional[AlignerConfig] = None,
-                 seeder_class=None):
+                 seeder_class=None, extender_class=None):
         self.graph = graph
         self.config = (config or AlignerConfig()).clamp_to_k(graph.k)
         if seeder_class is None:
@@ -131,16 +131,45 @@ class DBGAligner:
                             if self.config.min_seed_length < graph.k
                             else UniMEMSeeder)
         self.seeder_class = seeder_class
+        # None: per-read align() uses the inline extender; align_batch()
+        # uses the wave extender so every read's columns batch together
+        self.extender_class = extender_class
 
     def _make_seeder(self, query: bytes, orientation: bool):
         nodes = self.graph.map_to_nodes_sequentially(query)
         return self.seeder_class(self.graph, query, orientation, nodes,
                                  self.config)
 
-    def _make_extender(self, query: bytes):
-        return DefaultColumnExtender(self.graph, self.config, query)
+    def _make_extender(self, query: bytes, default=None):
+        cls = self.extender_class or default or DefaultColumnExtender
+        return cls(self.graph, self.config, query)
 
     def align(self, query: bytes) -> List[Alignment]:
+        """Single-query path: drive the alignment generator locally."""
+        from .wave_extender import compute_wave
+        gen = self.align_gen(query)
+        resp = None
+        while True:
+            try:
+                req = gen.send(resp)
+            except StopIteration as st:
+                return st.value
+            resp = compute_wave(*req)
+
+    def align_batch(self, queries: List[bytes], backend: str = "numpy"
+                    ) -> List[List[Alignment]]:
+        """Lockstep batch alignment: every query's extension waves are
+        computed together — one batched compute_wave per global step (the
+        TPU-shaped replacement for the reference's per-thread align loop,
+        ref dbg_aligner.cpp:358; per-read results identical to align())."""
+        from .batch import drive_batch
+        from .wave_extender import WaveExtender
+        return drive_batch(
+            [self.align_gen(q, extender_default=WaveExtender)
+             for q in queries], backend)
+
+    def align_gen(self, query: bytes, extender_default=None):
+        """Generator producing compute_wave requests; returns alignments."""
         query = bytes(query).upper()
         aggregator = AlignmentAggregator(self.config)
 
@@ -156,18 +185,19 @@ class DBGAligner:
             return max(self.config.min_path_score, cutoff)
 
         fwd_seeder = self._make_seeder(query, False)
-        fwd_extender = self._make_extender(query)
+        fwd_extender = self._make_extender(query, extender_default)
 
         if not self.config.forward_and_reverse_complement:
-            self._align_core(fwd_seeder, fwd_extender, add_alignment,
-                             get_min_path_score, False)
+            yield from self._align_core(fwd_seeder, fwd_extender,
+                                        add_alignment, get_min_path_score,
+                                        False)
         else:
             query_rc = revcomp(query)
             rc_seeder = self._make_seeder(query_rc, True)
-            rc_extender = self._make_extender(query_rc)
-            self._align_both(query, query_rc, fwd_seeder, rc_seeder,
-                             fwd_extender, rc_extender, add_alignment,
-                             get_min_path_score)
+            rc_extender = self._make_extender(query_rc, extender_default)
+            yield from self._align_both(query, query_rc, fwd_seeder,
+                                        rc_seeder, fwd_extender, rc_extender,
+                                        add_alignment, get_min_path_score)
 
         if self.config.post_chain_alignments:
             # chain collected partial alignments, then re-rank normally
@@ -187,6 +217,16 @@ class DBGAligner:
         return aggregator.get_alignments()
 
     # ------------------------------------------------------------ internals
+    @staticmethod
+    def _get_extensions_gen(extender, seed, min_path_score, force_fixed_seed):
+        """Delegate to the extender's wave generator when it has one (the
+        host extender computes inline and yields nothing)."""
+        fn = getattr(extender, "get_extensions_waves", None)
+        if fn is None:
+            return extender.get_extensions(seed, min_path_score,
+                                           force_fixed_seed)
+        return (yield from fn(seed, min_path_score, force_fixed_seed))
+
     def _align_core(self, seeder, extender, callback, get_min_path_score,
                     force_fixed_seed):
         """ref align_core (dbg_aligner.cpp:358-385)."""
@@ -195,8 +235,9 @@ class DBGAligner:
             if seeds[i].empty():
                 continue
             min_path_score = get_min_path_score(seeds[i])
-            for ext in extender.get_extensions(seeds[i], min_path_score,
-                                               force_fixed_seed):
+            exts = yield from self._get_extensions_gen(
+                extender, seeds[i], min_path_score, force_fixed_seed)
+            for ext in exts:
                 callback(ext)
             for j in range(i + 1, len(seeds)):
                 if seeds[j].size() and not extender.check_seed(seeds[j]):
@@ -217,8 +258,8 @@ class DBGAligner:
             for i in range(len(seeds)):
                 if seeds[i].empty():
                     continue
-                extensions = f_ext.get_extensions(seeds[i], cfg.min_cell_score,
-                                                  False)
+                extensions = yield from self._get_extensions_gen(
+                    f_ext, seeds[i], cfg.min_cell_score, False)
                 rc_alignments = []
                 for path in extensions:
                     if path.score >= get_min_path_score(path):
@@ -231,8 +272,8 @@ class DBGAligner:
                         continue
                     rc_alignments.append(rc)
                 for rc_seed in rc_alignments:
-                    exts = b_ext.get_extensions(rc_seed, get_min_path_score(rc_seed),
-                                                True)
+                    exts = yield from self._get_extensions_gen(
+                        b_ext, rc_seed, get_min_path_score(rc_seed), True)
                     for path in exts:
                         callback(path)
                 for j in range(i + 1, len(seeds)):
@@ -242,13 +283,17 @@ class DBGAligner:
         fwd_matches = fwd_seeder.get_num_matches()
         bwd_matches = rc_seeder.get_num_matches()
         if fwd_matches >= bwd_matches:
-            aln_both(query, query_rc, fwd_seeder, fwd_extender, rc_extender)
+            yield from aln_both(query, query_rc, fwd_seeder, fwd_extender,
+                                rc_extender)
             if bwd_matches >= fwd_matches * cfg.rel_score_cutoff:
-                aln_both(query_rc, query, rc_seeder, rc_extender, fwd_extender)
+                yield from aln_both(query_rc, query, rc_seeder, rc_extender,
+                                    fwd_extender)
         else:
-            aln_both(query_rc, query, rc_seeder, rc_extender, fwd_extender)
+            yield from aln_both(query_rc, query, rc_seeder, rc_extender,
+                                fwd_extender)
             if fwd_matches >= bwd_matches * cfg.rel_score_cutoff:
-                aln_both(query, query_rc, fwd_seeder, fwd_extender, rc_extender)
+                yield from aln_both(query, query_rc, fwd_seeder, fwd_extender,
+                                    rc_extender)
 
 
 def _copy_alignment(a: Alignment) -> Alignment:
@@ -286,7 +331,7 @@ class LabeledAligner(DBGAligner):
         from .labeled import AnnotationBuffer
         self.buffer = AnnotationBuffer(anno_graph)
 
-    def _make_extender(self, query: bytes):
+    def _make_extender(self, query: bytes, default=None):
         from .labeled import LabeledExtender
         return LabeledExtender(self.graph, self.config, query, self.buffer)
 

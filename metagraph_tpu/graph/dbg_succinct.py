@@ -148,6 +148,37 @@ class DBGSuccinct:
                 out.append((i, chr(table[c])))
         return out
 
+    def call_outgoing_batch(self, nodes: np.ndarray):
+        """Vectorized call_outgoing_kmers over an edge-index array.
+
+        Returns (owner, child, char_code): flat parallel arrays where
+        owner[i] indexes into ``nodes``, child[i] is the successor edge and
+        char_code[i] its ASCII last character — the same (node, char) pairs
+        call_outgoing_kmers yields per node, in the same ascending order
+        (ref dbg_succinct.cpp:110-140, batched).
+        """
+        boss = self.boss
+        nodes = np.asarray(nodes, dtype=np.int64)
+        w = boss.W[nodes].astype(np.int64)
+        has_out = (nodes <= 1) | (w != 0)
+        safe = np.where(has_out, nodes, 1)
+        last = boss.fwd(safe, w % boss.alph_size)
+        first = np.maximum(boss.pred_last(np.maximum(last - 1, 0)) + 1, 2)
+        cnt = np.where(has_out, np.maximum(last - first + 1, 0), 0)
+        owner = np.repeat(np.arange(len(nodes)), cnt)
+        offs = np.concatenate([[0], np.cumsum(cnt)])
+        child = first[owner] + (np.arange(len(owner)) - offs[owner])
+        ch = boss.W[child].astype(np.int64) % boss.alph_size
+        keep = ch != 0                      # skip $ edges
+        if self.masked:
+            keep &= boss.valid[child] > 0
+        owner, child, ch = owner[keep], child[keep], ch[keep]
+        char_code = self.alphabet.decode_table[ch].astype(np.int64)
+        # decode_table yields lowercase? ensure uppercase ASCII
+        lower = (char_code >= 97) & (char_code <= 122)
+        char_code = np.where(lower, char_code - 32, char_code)
+        return owner, child, char_code
+
     def call_incoming_kmers(self, node: int):
         """[(prev_node, char)] (ref dbg_succinct.cpp:141-164)."""
         boss = self.boss

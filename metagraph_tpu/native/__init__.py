@@ -24,7 +24,8 @@ _lib = None
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-pthread", _SRC, "-o", _SO],
             check=True, capture_output=True)
         return True
     except Exception:
@@ -62,8 +63,60 @@ def get_lib():
     lib.pack_rows64.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
         ctypes.c_void_p]
+    lib.refbase_build.restype = None
+    lib.refbase_build.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.refbase_query.restype = None
+    lib.refbase_query.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
     _lib = lib
     return lib
+
+
+class RefBaseline:
+    """C-speed stand-in for the reference engine's per-core batch query path
+    (hash lookup + per-sequence label counting; see native/fastio.cpp for why
+    the actual reference binary cannot be built here)."""
+
+    def __init__(self, keys: np.ndarray, ids: np.ndarray, bitmap: np.ndarray):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native toolchain unavailable")
+        keys = np.ascontiguousarray(keys, dtype=np.uint32)
+        ids = np.ascontiguousarray(ids, dtype=np.uint32)
+        n, W = keys.shape
+        M = 1 << int(np.ceil(np.log2(max(n / 0.6, 2))))
+        self.tkeys = np.empty((M, W), dtype=np.uint32)
+        self.tids = np.empty(M, dtype=np.uint32)
+        lib.refbase_build(keys.ctypes.data_as(ctypes.c_void_p),
+                          ids.ctypes.data_as(ctypes.c_void_p), n, W,
+                          self.tkeys.ctypes.data_as(ctypes.c_void_p),
+                          self.tids.ctypes.data_as(ctypes.c_void_p), M)
+        self.M, self.W = M, W
+        self.bitmap = np.ascontiguousarray(bitmap, dtype=np.uint32)
+
+    def query(self, queries: np.ndarray, seq_ids: np.ndarray, num_seqs: int,
+              num_labels: int, n_threads: int = 1):
+        """-> (counts (S, L) int32, present (S,) int32)."""
+        lib = get_lib()
+        queries = np.ascontiguousarray(queries, dtype=np.uint32)
+        seq_ids = np.ascontiguousarray(seq_ids, dtype=np.int32)
+        counts = np.empty((num_seqs, num_labels), dtype=np.int32)
+        present = np.empty(num_seqs, dtype=np.int32)
+        lib.refbase_query(
+            self.tkeys.ctypes.data_as(ctypes.c_void_p),
+            self.tids.ctypes.data_as(ctypes.c_void_p), self.M, self.W,
+            queries.ctypes.data_as(ctypes.c_void_p),
+            seq_ids.ctypes.data_as(ctypes.c_void_p), len(queries),
+            self.bitmap.ctypes.data_as(ctypes.c_void_p),
+            self.bitmap.shape[0], self.bitmap.shape[1], num_labels, num_seqs,
+            counts.ctypes.data_as(ctypes.c_void_p),
+            present.ctypes.data_as(ctypes.c_void_p), n_threads)
+        return counts, present
 
 
 def fasta_encode(data: bytes):

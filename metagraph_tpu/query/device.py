@@ -64,6 +64,83 @@ def query_epoch(table: jnp.ndarray, bitmap: jnp.ndarray, queries: jnp.ndarray,
     return counts.astype(jnp.int32), present.astype(jnp.int32)
 
 
+TILE = 256   # windows per tile in the tiled count layout
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def query_epoch_tiled(table: jnp.ndarray, bitmap: jnp.ndarray,
+                      queries: jnp.ndarray, tile_seq: jnp.ndarray,
+                      num_seqs: int, num_labels: int):
+    """Whole-workload annotated query with the tiled count layout.
+
+    queries: (N, T, W) packed windows, each row one fixed-size tile of one
+    sequence (sentinel-padded); tile_seq: (N,) owning sequence per tile.
+
+    Counting per tile is a fused gather -> bit-expand -> axis-sum (pure
+    VPU/HBM work, no O(S*Q*L) one-hot matmul); folding tiles into sequences
+    is a tiny exact f32 matmul over (S, N) x (N, L).  Replaces the
+    reference's per-sequence sum_rows loop (annotated_dbg.cpp:246-280) with
+    two dense batched ops.
+    """
+    N, T, W = queries.shape
+    C = max(1, (1 << 17) // T)           # tiles per scan chunk
+    pad = (-N) % C
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.full((pad, T, W), jnp.iinfo(jnp.uint32).max,
+                               queries.dtype)])
+        tile_seq = jnp.concatenate([tile_seq, jnp.zeros(pad, tile_seq.dtype)])
+    nc = queries.shape[0] // C
+    qs = queries.reshape(nc, C, T, W)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    def body(carry, q):
+        nodes = graph_ops._hash_lookup(table, q.reshape(C * T, W))
+        nodes = nodes.reshape(C, T)
+        hit = nodes > 0
+        rows = jnp.where(hit, nodes - 1, 0)
+        words = bitmap[rows]                            # (C, T, Lw)
+        Lw = words.shape[-1]
+        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int32)
+        bits = bits.reshape(C, T, Lw * 32)[..., :num_labels]
+        bits = bits * hit[..., None]
+        return carry, (bits.sum(axis=1), hit.sum(axis=1, dtype=jnp.int32),
+                       nodes)
+    _, (tc, th, nodes) = jax.lax.scan(body, 0, qs)
+    tile_counts = tc.reshape(nc * C, num_labels).astype(jnp.float32)
+    tile_hit = th.reshape(nc * C).astype(jnp.float32)
+    # exact: tile counts < 2^24, sums < 2^24 -> f32 matmul is integral
+    onehot = (tile_seq[:, None]
+              == jnp.arange(num_seqs, dtype=tile_seq.dtype)[None, :]
+              ).astype(jnp.float32)
+    counts = jax.lax.dot_general(onehot, tile_counts, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    present = jnp.sum(onehot * tile_hit[:, None], axis=0)
+    return (counts.astype(jnp.int32), present.astype(jnp.int32),
+            nodes.reshape(nc * C, T))
+
+
+def tile_layout(queries: np.ndarray, seq_ids: np.ndarray, num_seqs: int,
+                tile: int = TILE):
+    """Pack flat (Q, W) windows + sorted seq_ids into the (N, T, W) tiled
+    layout (sentinel-padded) + per-tile owning sequence (N,)."""
+    W = queries.shape[1]
+    nwin = np.bincount(seq_ids, minlength=num_seqs) if len(seq_ids) \
+        else np.zeros(num_seqs, dtype=np.int64)
+    ntiles = -(-nwin // tile)                 # ceil; 0 for empty seqs
+    tile_base = np.concatenate([[0], np.cumsum(ntiles)])
+    N = int(tile_base[-1])
+    out = np.full((N * tile, W), np.iinfo(np.uint32).max, dtype=np.uint32)
+    if len(seq_ids):
+        seq_start = np.concatenate([[0], np.cumsum(nwin)])
+        idx = np.arange(len(seq_ids)) - seq_start[seq_ids]
+        flat = (tile_base[seq_ids] + idx // tile) * tile + idx % tile
+        out[flat] = queries
+    tile_seq = np.repeat(np.arange(num_seqs, dtype=np.int32),
+                         ntiles.astype(np.int64))
+    return out.reshape(N, tile, W), tile_seq
+
+
 def _rowmin_packed(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Rowwise lexicographic min of two (N, W) packed-word arrays."""
     lt = np.zeros(len(a), dtype=bool)
@@ -79,8 +156,11 @@ class DeviceQueryPipeline:
         boss = graph.boss
         valid_edges = np.flatnonzero(boss.valid)
         kchars = boss.get_edge_seq(valid_edges)
+        # host copies kept for CPU-baseline / debug cross-checks
+        self.index_keys = graph_ops.pack_kmers32(kchars)
+        self.index_ids = valid_edges.astype(np.uint32)
         self.index = graph_ops.DeviceHashIndex.from_packed(
-            graph_ops.pack_kmers32(kchars), valid_edges.astype(np.uint32))
+            self.index_keys, self.index_ids)
         self.annotation = anno_ops.DeviceAnnotation.from_column_annotation(
             annotation, graph.max_index())
         self.graph = graph

@@ -10,6 +10,8 @@
 #include <cstdint>
 #include <cstddef>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -240,6 +242,112 @@ void pack_rows64(const uint8_t *chars, int64_t N, int32_t K,
             }
             o[w] = acc;
         }
+    }
+}
+
+// --------------------------------------------------------------------------
+// C-speed reference-equivalent batch query baseline.
+//
+// The reference engine (ratschlab/metagraph) could not be built in this
+// environment (its external-libraries/ submodules are empty and there is no
+// network egress), so this implements the same per-core work its batch query
+// path performs (src/cli/query.cpp:1304 batched query + annotated_dbg.cpp
+// sum_rows label counting): open-addressing hash lookup per k-mer window,
+// then per-sequence per-label occurrence counting over a column-major row
+// bitmap.  Word-at-a-time popcount iteration makes this *faster* than the
+// reference's per-column bit tests — a conservative (hard-to-beat) baseline.
+
+static inline uint64_t refbase_hash(const uint32_t *key, int32_t W) {
+    uint64_t h = 0x9E3779B97F4A7C15ull;
+    for (int32_t w = 0; w < W; ++w) {
+        h ^= key[w];
+        h *= 0xFF51AFD7ED558CCDull;
+        h ^= h >> 33;
+    }
+    return h;
+}
+
+// Build an open-addressing (linear probing) table.  M must be a power of two
+// > n.  Empty slots are marked by tids == 0xFFFFFFFF.
+void refbase_build(const uint32_t *keys, const uint32_t *ids, int64_t n,
+                   int32_t W, uint32_t *tkeys, uint32_t *tids, int64_t M) {
+    memset(tids, 0xFF, M * sizeof(uint32_t));
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t slot = refbase_hash(keys + i * W, W) & (uint64_t)(M - 1);
+        while (tids[slot] != 0xFFFFFFFFu)
+            slot = (slot + 1) & (uint64_t)(M - 1);
+        memcpy(tkeys + slot * W, keys + i * W, W * sizeof(uint32_t));
+        tids[slot] = ids[i];
+    }
+}
+
+static void refbase_query_range(
+        const uint32_t *tkeys, const uint32_t *tids, int64_t M, int32_t W,
+        const uint32_t *queries, const int32_t *seq_ids, int64_t q0,
+        int64_t q1, const uint32_t *bitmap, int64_t R, int32_t Lw, int32_t L,
+        int32_t *counts /* S*L */, int32_t *present /* S */) {
+    for (int64_t q = q0; q < q1; ++q) {
+        const uint32_t *key = queries + q * W;
+        uint64_t slot = refbase_hash(key, W) & (uint64_t)(M - 1);
+        uint32_t row = 0xFFFFFFFFu;
+        while (tids[slot] != 0xFFFFFFFFu) {
+            if (memcmp(tkeys + slot * W, key, W * sizeof(uint32_t)) == 0) {
+                row = tids[slot];
+                break;
+            }
+            slot = (slot + 1) & (uint64_t)(M - 1);
+        }
+        if (row == 0xFFFFFFFFu)
+            continue;
+        // annotation row = node - 1 (annotated_dbg.hpp:50)
+        int64_t r = (int64_t)row - 1;
+        if (r < 0 || r >= R)
+            continue;
+        int32_t s = seq_ids[q];
+        ++present[s];
+        const uint32_t *rw = bitmap + r * Lw;
+        int32_t *cr = counts + (int64_t)s * L;
+        for (int32_t w = 0; w < Lw; ++w) {
+            uint32_t bits = rw[w];
+            while (bits) {
+                int b = __builtin_ctz(bits);
+                ++cr[w * 32 + b];
+                bits &= bits - 1;
+            }
+        }
+    }
+}
+
+void refbase_query(const uint32_t *tkeys, const uint32_t *tids, int64_t M,
+                   int32_t W, const uint32_t *queries, const int32_t *seq_ids,
+                   int64_t Q, const uint32_t *bitmap, int64_t R, int32_t Lw,
+                   int32_t L, int32_t S, int32_t *counts, int32_t *present,
+                   int32_t n_threads) {
+    memset(counts, 0, (int64_t)S * L * sizeof(int32_t));
+    memset(present, 0, S * sizeof(int32_t));
+    if (n_threads <= 1) {
+        refbase_query_range(tkeys, tids, M, W, queries, seq_ids, 0, Q, bitmap,
+                            R, Lw, L, counts, present);
+        return;
+    }
+    std::vector<std::vector<int32_t>> tc(n_threads), tp(n_threads);
+    std::vector<std::thread> threads;
+    int64_t per = (Q + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+        tc[t].assign((int64_t)S * L, 0);
+        tp[t].assign(S, 0);
+        int64_t q0 = t * per, q1 = q0 + per < Q ? q0 + per : Q;
+        threads.emplace_back(refbase_query_range, tkeys, tids, M, W, queries,
+                             seq_ids, q0, q1, bitmap, R, Lw, L, tc[t].data(),
+                             tp[t].data());
+    }
+    for (auto &th : threads)
+        th.join();
+    for (int32_t t = 0; t < n_threads; ++t) {
+        for (int64_t i = 0; i < (int64_t)S * L; ++i)
+            counts[i] += tc[t][i];
+        for (int32_t s = 0; s < S; ++s)
+            present[s] += tp[t][s];
     }
 }
 

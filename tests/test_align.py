@@ -302,3 +302,56 @@ class TestAggregatorLabelBuckets:
         assert agg.get_score_cutoff([0]) == 10
         assert agg.get_score_cutoff([1]) == max(NINF,
                                                 agg.get_global_cutoff())
+
+
+class TestWaveExtenderParity:
+    """Wave-parallel extender and lockstep batch driver reproduce the inline
+    extender's alignments exactly (scores, CIGARs, orientations)."""
+
+    def _noisy_reads(self, recs, n_reads, rate, seed=5):
+        import random
+        random.seed(seed)
+        reads = []
+        while len(reads) < n_reads:
+            src = random.choice(recs).seq
+            if len(src) < 160:
+                continue
+            a = random.randrange(0, len(src) - 150)
+            s = bytearray(src[a:a + 150])
+            for i in range(len(s)):
+                if random.random() < rate:
+                    s[i] = random.choice(b"ACGT")
+            reads.append(bytes(s))
+        return reads
+
+    def test_batch_matches_sequential(self):
+        from metagraph_tpu.seq_io.fasta import read_fasta
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        recs = read_fasta(
+            "/root/reference/metagraph/tests/data/transcripts_100.fa")
+        g = DBGSuccinct.build([r.seq for r in recs], 20)
+        reads = self._noisy_reads(recs, 12, 0.08)
+        al = DBGAligner(g, AlignerConfig(num_alternative_paths=2))
+
+        def key(rs):
+            return [[(a.score, a.cigar.to_string(), a.orientation)
+                     for a in r] for r in rs]
+        seq = [al.align(r) for r in reads]
+        assert key(al.align_batch(reads)) == key(seq)
+        assert key(al.align_batch(reads, backend="device")) == key(seq)
+
+    def test_wave_extender_matches_inline(self):
+        from metagraph_tpu.align.extender import DefaultColumnExtender
+        from metagraph_tpu.align.wave_extender import WaveExtender
+        from metagraph_tpu.seq_io.fasta import read_fasta
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        recs = read_fasta(
+            "/root/reference/metagraph/tests/data/transcripts_100.fa")
+        g = DBGSuccinct.build([r.seq for r in recs], 20)
+        reads = self._noisy_reads(recs, 8, 0.15, seed=9)
+        outs = []
+        for cls in (DefaultColumnExtender, WaveExtender):
+            al = DBGAligner(g, AlignerConfig(), extender_class=cls)
+            outs.append([[(a.score, a.cigar.to_string(), a.orientation)
+                          for a in al.align(r)] for r in reads])
+        assert outs[0] == outs[1]
