@@ -120,9 +120,27 @@ def main():
     dt = min(times)
     # honest numerator: real k-mer windows only (padding rows excluded)
     dev_kps = n_kmers_big / dt
-    log(f"device full query: {dt*1e3:.1f} ms/epoch (median "
+    log(f"device epoch (fused map+count): {dt*1e3:.1f} ms (median "
         f"{np.median(times)*1e3:.1f}) -> {dev_kps/1e6:.1f} M kmers/s "
         f"({S/dt:.0f} reads/s) on {jax.devices()[0].platform}")
+
+    # THE production path (cmd_query --device, query/pipeline.py): batched
+    # map + device counts + thresholds + payload formatting, end to end
+    from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+    from metagraph_tpu.query.pipeline import QueryEngine
+    engine = QueryEngine(AnnotatedDBG(g, anno), use_device=True)
+    engine._build_device_index()
+    engine._build_device_annotation()
+    nodes_warm = engine.map_batch(seqs_big[:10])
+    _ = engine.execute_batch(nodes_warm, "labels", 2 ** 63, 1.0, 0.0)
+    t0 = time.perf_counter()
+    nodes_list = engine.map_batch(seqs_big)
+    payloads = engine.execute_batch(nodes_list, "labels", 2 ** 63, 1.0, 0.0)
+    cli_dt = time.perf_counter() - t0
+    cli_kps = n_kmers_big / cli_dt
+    log(f"CLI query path (--device, labels): {cli_dt*1e3:.0f} ms -> "
+        f"{cli_kps/1e6:.1f} M kmers/s ({S/cli_dt:.0f} reads/s), "
+        f"{sum(len(p) for p in payloads)} labels emitted")
 
     # sanity vs host anchor: byte-exact query output
     payloads = pipe.query_labels(seqs, "labels", 2 ** 63, 1.0, 0.0)
@@ -169,11 +187,38 @@ def main():
         sys.exit(1)
     log("baseline/device counts identical")
 
+    # aligner throughput: the production batch path (cmd_align) on noisy
+    # 150bp reads vs the round-1 per-read inline extender
+    import random
+    random.seed(42)
+    reads = []
+    while len(reads) < 120:
+        src = random.choice(seqs)
+        if len(src) < 200:
+            continue
+        a = random.randrange(0, len(src) - 150)
+        b = bytearray(src[a: a + 150])
+        for i in range(len(b)):
+            if random.random() < 0.05:
+                b[i] = random.choice(b"ACGT")
+        reads.append(bytes(b))
+    from metagraph_tpu.align.aligner import DBGAligner
+    from metagraph_tpu.align.config import AlignerConfig
+    aligner = DBGAligner(g, AlignerConfig())
+    _ = aligner.align_batch(reads[:4])
+    t0 = time.perf_counter()
+    res = aligner.align_batch(reads)
+    al_dt = time.perf_counter() - t0
+    n_aligned = sum(1 for r in res if r)
+    log(f"aligner batch path: {len(reads)/al_dt:.0f} reads/s "
+        f"({al_dt*1e3/len(reads):.1f} ms/read, {n_aligned}/{len(reads)} "
+        f"aligned)")
+
     print(json.dumps({
         "metric": "annotated_query_throughput",
-        "value": round(dev_kps / 1e6, 2),
+        "value": round(cli_kps / 1e6, 2),
         "unit": "Mkmers/s",
-        "vs_baseline": round(dev_kps / cpu_kps, 2),
+        "vs_baseline": round(cli_kps / cpu_kps, 2),
     }))
 
 

@@ -566,9 +566,14 @@ def cmd_align(args):
                     cfg.min_path_score, k=g.k, cth=cth))
         return
     aligner = DBGAligner(g, cfg)
+    backend = "device" if getattr(args, "device", False) else "numpy"
     for f in args.input:
-        for rec in read_fasta(f):
-            alns = aligner.align(rec.seq)
+        recs = read_fasta(f)
+        # lockstep batch: all reads' extension waves are scored together
+        # (align/batch.py); per-read output identical to sequential align()
+        for rec, alns in zip(recs,
+                             aligner.align_batch([r.seq for r in recs],
+                                                 backend=backend)):
             sys.stdout.write(format_alignments_tsv(
                 rec.name, rec.seq, alns, cfg.min_path_score))
 
@@ -653,7 +658,8 @@ def cmd_server_query(args):
         from ..graph.canonical import CanonicalDBG
         g = CanonicalDBG(g)
     anno = load_annotation(args.annotation)
-    server = MetaGraphServer(AnnotatedDBG(g, anno))
+    server = MetaGraphServer(AnnotatedDBG(g, anno),
+                             use_device=getattr(args, "device", False))
     print(f"[Server] listening on {args.host}:{args.port}", file=sys.stderr)
     server.serve(args.host, args.port)
 
@@ -926,7 +932,8 @@ def main(argv=None):
     p.add_argument("--suppress-unlabeled", action="store_true")
     p.add_argument("--verbose-output", action="store_true")
     p.add_argument("--device", action="store_true",
-                   help="use the TPU hash index for k-mer mapping")
+                   help="run the full device (TPU) query pipeline: "
+                        "hash-index mapping + batched label counting")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_query)
 
@@ -985,6 +992,8 @@ def main(argv=None):
     p.add_argument("-a", "--annotation", required=True)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=5555)
+    p.add_argument("--device", action="store_true",
+                   help="serve queries through the device (TPU) pipeline")
     p.set_defaults(func=cmd_server_query)
 
     p = sub.add_parser("assemble")
@@ -1036,6 +1045,8 @@ def main(argv=None):
     p.add_argument("--json", action="store_true")
     p.add_argument("--compacted", action="store_true")
     p.add_argument("input", nargs="+")
+    p.add_argument("--device", action="store_true",
+                   help="score extension waves on the device backend")
     p.set_defaults(func=cmd_align)
 
     p = sub.add_parser("clean")

@@ -120,17 +120,60 @@ def query_epoch_tiled(table: jnp.ndarray, bitmap: jnp.ndarray,
             nodes.reshape(nc * C, T))
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def count_epoch_tiled(bitmap: jnp.ndarray, nodes: jnp.ndarray,
+                      tile_seq: jnp.ndarray, num_seqs: int, num_labels: int):
+    """query_epoch_tiled without the hash lookup: tiled annotation-row ids
+    (N, T) int32 (0 = miss) -> per-sequence label counts + presence.  Used
+    when node mapping already happened (e.g. canonical-mode folding on host,
+    ref annotated_dbg.hpp:50)."""
+    N, T = nodes.shape
+    C = max(1, (1 << 17) // T)
+    pad = (-N) % C
+    if pad:
+        nodes = jnp.concatenate([nodes, jnp.zeros((pad, T), nodes.dtype)])
+        tile_seq = jnp.concatenate([tile_seq, jnp.zeros(pad, tile_seq.dtype)])
+    nc = nodes.shape[0] // C
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    def body(carry, nn):
+        hit = nn > 0
+        rows = jnp.where(hit, nn - 1, 0)
+        words = bitmap[rows]
+        Lw = words.shape[-1]
+        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int32)
+        bits = bits.reshape(C, T, Lw * 32)[..., :num_labels]
+        bits = bits * hit[..., None]
+        return carry, (bits.sum(axis=1), hit.sum(axis=1, dtype=jnp.int32))
+    _, (tc, th) = jax.lax.scan(body, 0, nodes.reshape(nc, C, T))
+    tile_counts = tc.reshape(nc * C, num_labels).astype(jnp.float32)
+    tile_hit = th.reshape(nc * C).astype(jnp.float32)
+    onehot = (tile_seq[:, None]
+              == jnp.arange(num_seqs, dtype=tile_seq.dtype)[None, :]
+              ).astype(jnp.float32)
+    counts = jax.lax.dot_general(onehot, tile_counts, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    present = jnp.sum(onehot * tile_hit[:, None], axis=0)
+    return counts.astype(jnp.int32), present.astype(jnp.int32)
+
+
 def tile_layout(queries: np.ndarray, seq_ids: np.ndarray, num_seqs: int,
-                tile: int = TILE):
-    """Pack flat (Q, W) windows + sorted seq_ids into the (N, T, W) tiled
-    layout (sentinel-padded) + per-tile owning sequence (N,)."""
-    W = queries.shape[1]
+                tile: int = TILE, fill=None):
+    """Pack flat (Q, W) windows (or (Q,) row ids) + sorted seq_ids into the
+    (N, T, W) (or (N, T)) tiled layout (padded with sentinel misses) + the
+    per-tile owning sequence (N,)."""
     nwin = np.bincount(seq_ids, minlength=num_seqs) if len(seq_ids) \
         else np.zeros(num_seqs, dtype=np.int64)
     ntiles = -(-nwin // tile)                 # ceil; 0 for empty seqs
     tile_base = np.concatenate([[0], np.cumsum(ntiles)])
     N = int(tile_base[-1])
-    out = np.full((N * tile, W), np.iinfo(np.uint32).max, dtype=np.uint32)
+    if queries.ndim == 1:
+        shape = (N * tile,)
+        fill = 0 if fill is None else fill
+    else:
+        shape = (N * tile, queries.shape[1])
+        fill = np.iinfo(np.uint32).max if fill is None else fill
+    out = np.full(shape, fill, dtype=queries.dtype)
     if len(seq_ids):
         seq_start = np.concatenate([[0], np.cumsum(nwin)])
         idx = np.arange(len(seq_ids)) - seq_start[seq_ids]
@@ -138,7 +181,7 @@ def tile_layout(queries: np.ndarray, seq_ids: np.ndarray, num_seqs: int,
         out[flat] = queries
     tile_seq = np.repeat(np.arange(num_seqs, dtype=np.int32),
                          ntiles.astype(np.int64))
-    return out.reshape(N, tile, W), tile_seq
+    return out.reshape((N, tile) + shape[1:]), tile_seq
 
 
 def _rowmin_packed(a: np.ndarray, b: np.ndarray) -> np.ndarray:

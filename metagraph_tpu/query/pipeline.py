@@ -82,8 +82,16 @@ class QueryEngine:
             import jax.numpy as jnp
             from ..succinct import ops
             q = ops.pack_kmers32(sub)
+            # pad to the next power of two so lookup shapes (and therefore
+            # XLA compilations) are bounded across batch sizes
+            n = len(q)
+            npad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 6)
+            if npad != n:
+                q = np.concatenate(
+                    [q, np.full((npad - n, q.shape[1]),
+                                np.iinfo(np.uint32).max, q.dtype)])
             return np.asarray(self._device_index.lookup(jnp.asarray(q)),
-                              dtype=np.int64)
+                              dtype=np.int64)[:n]
         self._build_host_index()
         keys, edge_ids = self._host_index
         q = packing.pack_codes(sub, packing.boss_priority_order(k))
@@ -154,6 +162,161 @@ class QueryEngine:
             out.append(nodes_flat[offset: offset + nwin])
             offset += L + 1
         return out
+
+    # -------------------------------------------------------- device batch
+    _device_anno = None
+
+    def _build_device_annotation(self):
+        if self._device_anno is not None:
+            return self._device_anno
+        import jax.numpy as jnp
+        from ..annotation import ops as anno_ops
+        anno = self.anno_graph.annotator
+        R = self.graph.max_index() if not hasattr(self.graph, "get_base_node") \
+            else self.graph.graph.max_index()
+        if hasattr(anno, "column_rows"):
+            self._device_anno = anno_ops.DeviceAnnotation \
+                .from_column_annotation(anno, R)
+        else:
+            # generic matrices: pack the row bitmap in chunks
+            L = anno.num_labels
+            Lw = max((L + 31) // 32, 1)
+            bm = np.zeros((R, Lw), dtype=np.uint32)
+            step = 1 << 16
+            for lo in range(0, R, step):
+                rows = np.arange(lo, min(lo + step, R))
+                mask = np.asarray(anno.get_rows_mask(rows), dtype=bool)
+                pad = (-L) % 32
+                if pad:
+                    mask = np.concatenate(
+                        [mask, np.zeros((len(rows), pad), bool)], axis=1)
+                bits = np.packbits(mask.reshape(len(rows), Lw, 32)[:, :, ::-1],
+                                   axis=2, bitorder="little")
+                bm[lo: lo + len(rows)] = bits.view(np.uint32)[:, :, 0]
+            self._device_anno = anno_ops.DeviceAnnotation(jnp.asarray(bm), L)
+        return self._device_anno
+
+    def _device_counts(self, nodes_list):
+        """Per-sequence per-label occurrence counts + presence for a batch of
+        mapped node arrays, in one device dispatch (rows = folded node - 1,
+        ref annotated_dbg.hpp:50; counting semantics of A.3)."""
+        import jax.numpy as jnp
+        from .device import count_epoch_tiled, tile_layout
+        danno = self._build_device_annotation()
+        S = len(nodes_list)
+        # sequence-count axis is a static jit shape: bucket it to pow2
+        Spad = 1 << max(int(np.ceil(np.log2(max(S, 1)))), 3)
+        flat = np.concatenate(nodes_list) if nodes_list \
+            else np.zeros(0, np.int64)
+        seq_ids = np.repeat(np.arange(S, dtype=np.int32),
+                            [len(n) for n in nodes_list])
+        rows1 = np.where(
+            flat > 0,
+            self.anno_graph.graph_to_anno_index(np.maximum(flat, 1)) + 1,
+            0).astype(np.int32)
+        tiles, tile_seq = tile_layout(rows1, seq_ids, S, fill=0)
+        # bound XLA compilations: pad the tile count to a power of two
+        # (phantom all-miss tiles owned by sequence 0 contribute nothing)
+        n = len(tiles)
+        npad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 4)
+        if npad != n:
+            tiles = np.concatenate(
+                [tiles, np.zeros((npad - n,) + tiles.shape[1:], tiles.dtype)])
+            tile_seq = np.concatenate(
+                [tile_seq, np.zeros(npad - n, tile_seq.dtype)])
+        counts, present = count_epoch_tiled(
+            danno.bitmap, jnp.asarray(tiles), jnp.asarray(tile_seq), Spad,
+            danno.num_labels)
+        return np.asarray(counts)[:S], np.asarray(present)[:S]
+
+    def execute_batch(self, nodes_list, mode: str,
+                      num_top_labels: int = 2 ** 63,
+                      discovery_fraction: float = 0.7,
+                      presence_fraction: float = 0.0) -> list:
+        """Batched execute(): device map+count+threshold for the whole batch
+        (ref query.cpp:382-445); per-position payloads are assembled on host
+        from the hit rows only.  Results are byte-identical to execute()."""
+        ag = self.anno_graph
+        if (not self.use_device or ag.coord_to_header is not None
+                or not nodes_list):
+            return [self.execute(n, mode, num_top_labels, discovery_fraction,
+                                 presence_fraction) for n in nodes_list]
+        from ..annotation.annotated_dbg import (_top_n_sorted, get_min_count)
+        counts, present = self._device_counts(nodes_list)
+        enc = ag.annotator.encoder
+        out = []
+        for i, nodes in enumerate(nodes_list):
+            nk = len(nodes)
+            if nk == 0:
+                out.append([])
+                continue
+            n_present = int(present[i])
+            min_count = get_min_count(discovery_fraction, presence_fraction,
+                                      nk, n_present)
+            if n_present < min_count:
+                out.append([])
+                continue
+            sel = np.flatnonzero(counts[i] >= min_count)
+            if mode == "labels":
+                out.append([enc.decode(int(c)) for c in sel])
+                continue
+            if mode in ("matches", "counts-sum"):
+                if mode == "counts-sum":
+                    # IntMatrix::sum_row_values: presence-filtered value sums
+                    # (annotated_dbg.py:232)
+                    pairs = self._row_multiset_of(nodes)
+                    vals = ag.annotator.get_row_values(
+                        np.array([r for r, _ in pairs], dtype=np.int64))
+                    sums = np.zeros(ag.annotator.num_labels, dtype=np.int64)
+                    for (r, m), row_vals in zip(pairs, vals):
+                        for c, v in row_vals:
+                            sums[c] += v * m
+                    code_counts = [(int(c), int(sums[c])) for c in sel]
+                else:
+                    code_counts = [(int(c), int(counts[i][c])) for c in sel]
+                _top_n_sorted(code_counts, num_top_labels)
+                out.append([(enc.decode(c), n) for c, n in code_counts])
+                continue
+            # counts / signature / coords (annotated_dbg.py:247-294)
+            selected = [(int(c), int(counts[i][c])) for c in sel]
+            _top_n_sorted(selected, num_top_labels)
+            if not selected:
+                out.append([])
+                continue
+            pos = np.flatnonzero(nodes > 0)
+            rows = ag.graph_to_anno_index(nodes[pos])
+            result = []
+            if mode == "signature":
+                mask = ag.annotator.get_rows_mask(rows)
+                for c, n in selected:
+                    bits = np.zeros(nk, dtype=bool)
+                    bits[pos[mask[:, c]]] = True
+                    result.append((enc.decode(c), n, bits))
+            elif mode == "counts":
+                vals = ag.annotator.get_row_values(rows)
+                for c, n in selected:
+                    ab = np.zeros(nk, dtype=np.int64)
+                    for j, row_vals in enumerate(vals):
+                        for cc, v in row_vals:
+                            if cc == c:
+                                ab[pos[j]] = v
+                    result.append((enc.decode(c), n, ab))
+            elif mode == "coords":
+                tups = ag.annotator.get_row_tuples(rows)
+                for c, n in selected:
+                    coords = [[] for _ in range(nk)]
+                    for j, row_tups in enumerate(tups):
+                        for cc, t in row_tups:
+                            if cc == c:
+                                coords[pos[j]] = t
+                    result.append((enc.decode(c), n, coords))
+            out.append(result)
+        return out
+
+    def _row_multiset_of(self, nodes):
+        ag = self.anno_graph
+        rows = ag.graph_to_anno_index(nodes[nodes > 0])
+        return ag._row_multiset(rows)
 
     # --------------------------------------------------------------- query
     def execute(self, nodes: np.ndarray, mode: str,
@@ -236,10 +399,11 @@ class QueryEngine:
                     new_batch.append((sid, name, new_seq))
                 batch = new_batch
             nodes_list = self.map_batch([s for _, _, s in batch])
-            for (sid, name, seq), nodes, aln in zip(batch, nodes_list,
-                                                    alignments):
-                payload = self.execute(nodes, mode, num_top_labels,
-                                       discovery_fraction, presence_fraction)
+            payloads = self.execute_batch(nodes_list, mode, num_top_labels,
+                                          discovery_fraction,
+                                          presence_fraction)
+            for (sid, name, seq), payload, aln in zip(batch, payloads,
+                                                      alignments):
                 yield SeqSearchResult(
                     QuerySequence(sid, name, seq.decode()), kind, payload,
                     alignment=aln)

@@ -29,13 +29,20 @@ def _parse_fasta_string(fasta: str):
 
 
 class MetaGraphServer:
-    def __init__(self, anno_graph, aligner_config=None, name: str = "graph"):
+    def __init__(self, anno_graph, aligner_config=None, name: str = "graph",
+                 use_device: bool = False):
         from ..query.pipeline import QueryEngine
         self.anno_graph = anno_graph
-        self.engine = QueryEngine(anno_graph)
+        self.engine = QueryEngine(anno_graph, use_device=use_device)
         self.name = name
         self._aligner = None
         self._httpd: Optional[ThreadingHTTPServer] = None
+        self._engine_lock = threading.Lock()
+        if use_device:
+            # build the device index/annotation once, up front (requests are
+            # served from worker threads; the jitted calls are thread-safe)
+            self.engine._build_device_index()
+            self.engine._build_device_annotation()
 
     # -------------------------------------------------------------- search
     def search(self, payload: dict) -> list:
@@ -84,12 +91,16 @@ class MetaGraphServer:
                 payload.get("max_num_nodes_per_seq_char", 5.0)),
         )
         aligner = DBGAligner(self.anno_graph.graph, cfg)
+        records = _parse_fasta_string(fasta)
+        # lockstep batch: every read's extension waves batch into one kernel
+        # call per global step (align/batch.py)
+        results = aligner.align_batch([s.encode() for _, s in records])
         out = []
-        for name, seq in _parse_fasta_string(fasta):
+        for (name, seq), paths in zip(records, results):
             entry = {"seq_description": name, "alignments": []}
             max_score = cfg.match_score(seq) + cfg.left_end_bonus \
                 + cfg.right_end_bonus
-            for path in aligner.align(seq.encode()):
+            for path in paths:
                 entry["alignments"].append({
                     "score": path.score,
                     "max_score": max_score,

@@ -111,8 +111,9 @@ class TestFormats:
 class TestQueryByteAnchors:
     """Exact stdout byte counts (ref integration_tests/test_query.py)."""
 
-    @pytest.fixture(scope="class")
-    def engine(self, transcripts_100):
+    @pytest.fixture(scope="class", params=[False, True],
+                    ids=["host", "device"])
+    def engine(self, request, transcripts_100):
         from metagraph_tpu.seq_io.fasta import read_fasta
         recs = read_fasta("/root/reference/metagraph/tests/data/transcripts_100.fa")
         g = DBGSuccinct.build([r.seq for r in recs], 20)
@@ -120,7 +121,7 @@ class TestQueryByteAnchors:
         ag = AnnotatedDBG(g, anno)
         for r in recs:
             ag.annotate_sequence(r.seq, [r.name])
-        return QueryEngine(ag)
+        return QueryEngine(ag, use_device=request.param)
 
     def run_query(self, engine, mode, fwd_and_reverse=False):
         from metagraph_tpu.seq_io.fasta import read_fasta
@@ -143,6 +144,51 @@ class TestQueryByteAnchors:
 
     def test_matches_both(self, engine):
         assert self.run_query(engine, "matches", True) == 260215
+
+
+class TestDeviceExecuteBatch:
+    """execute_batch (the device query path) is byte-identical to the host
+    per-sequence path across all six modes (ref query.cpp:382-445)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        seqs = [b"ACGTACGTAGGACTGACTGATCGATGCA",
+                b"ACGTACGTAGGATTTACGCATGCATGCA",
+                b"TTTTTTTTTTTTTTGGGGGGGACGTACG"]
+        g = DBGSuccinct.build(seqs, 7)
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        for i, s in enumerate(seqs):
+            ag.annotate_kmer_coords(s, [f"L{i}"])
+            ag.annotate_kmer_counts(s, [f"L{i}"], abundance=i + 2)
+        reads = seqs + [b"ACGTACGTAGGACTTACGCAT", b"NNNNNNNNNN", b"ACG"]
+        return ag, reads
+
+    @pytest.mark.parametrize("mode", ["labels", "matches", "counts-sum",
+                                      "counts", "signature", "coords"])
+    @pytest.mark.parametrize("df,pf", [(1.0, 0.0), (0.7, 0.3), (0.0, 0.0)])
+    def test_modes_match_host(self, setup, mode, df, pf):
+        ag, reads = setup
+        host = QueryEngine(ag, use_device=False)
+        dev = QueryEngine(ag, use_device=True)
+        nl_h = host.map_batch(reads)
+        nl_d = dev.map_batch(reads)
+        for a, b in zip(nl_h, nl_d):
+            assert np.array_equal(a, b)
+        ph = host.execute_batch(nl_h, mode, 2, df, pf)
+        pd = dev.execute_batch(nl_d, mode, 2, df, pf)
+
+        def norm(p):
+            def third(t):
+                v = t[2]
+                if isinstance(v, np.ndarray):
+                    return v.tolist()
+                return [list(x) if isinstance(x, (list, np.ndarray)) else x
+                        for x in v]
+            return [[(t[0], t[1], third(t))
+                     if isinstance(t, tuple) and len(t) == 3 else t
+                     for t in seq_r] for seq_r in p]
+        assert norm(ph) == norm(pd)
 
 
 class TestJsonOutput:
