@@ -86,11 +86,13 @@ def cmd_build(args):
         print(f"graph built: k={args.k} nodes={g.num_nodes()}",
               file=sys.stderr)
         return
+    mem_cap = int(args.mem_cap_gb * (1 << 30)) if args.mem_cap_gb else None
     g = DBGSuccinct.build(seqs, args.k, mode=args.mode,
                           with_counts=args.count_kmers,
                           bits_per_count=args.count_width,
                           mask_dummy=True,
-                          window_weights=weights if have_weights else None)
+                          window_weights=weights if have_weights else None,
+                          disk_swap=args.disk_swap, mem_cap_bytes=mem_cap)
     g.save(args.out)
     print(f"graph built: k={args.k} nodes={g.num_nodes()}", file=sys.stderr)
 
@@ -887,9 +889,14 @@ def main(argv=None):
     p.add_argument("--count-width", type=int, default=8)
     p.add_argument("--mask-dummy", action="store_true")
     p.add_argument("--in-ram", action="store_true")
-    p.add_argument("--disk-swap", default="")
     p.add_argument("--suffix", default=None,
                    help="build only the chunk for this node-suffix")
+    p.add_argument("--disk-swap", default=None, metavar="DIR",
+                   help="directory for external-memory k-mer sort "
+                        "spill chunks (bounded-RAM build)")
+    p.add_argument("--mem-cap-gb", type=float, default=None,
+                   help="RAM cap for the k-mer buffer; implies "
+                        "disk spill when exceeded")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_build)
 

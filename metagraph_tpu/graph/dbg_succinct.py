@@ -36,18 +36,29 @@ class DBGSuccinct:
     def build(cls, sequences: Sequence[bytes | str], k: int, mode: str = BASIC,
               alphabet: Alphabet = DNA, with_counts: bool = False,
               bits_per_count: int = 8, mask_dummy: bool = True,
-              window_weights=None) -> "DBGSuccinct":
+              window_weights=None, disk_swap: str | None = None,
+              mem_cap_bytes: int | None = None) -> "DBGSuccinct":
         """Build from raw sequences (ref cli/build.cpp:53 pipeline).
 
         ``window_weights``: per-sequence per-window k-mer counts (from extended
         FASTA sidecars) used instead of occurrence counting.
+        ``disk_swap``: spill directory for the bounded-RAM external-memory
+        k-mer sort (the reference's --disk-swap, sorted_set_disk_base.hpp:34);
+        ``mem_cap_bytes`` bounds the in-RAM k-mer buffer.
         """
         ex = KmerExtractor(alphabet)
         collector_mode = {"basic": "basic", "canonical": "both",
                           "primary": "basic"}[mode]
-        kmers, counts = ex.extract(sequences, k, mode=collector_mode,
-                                   with_counts=with_counts,
-                                   window_weights=window_weights)
+        if disk_swap is not None or mem_cap_bytes is not None:
+            kmers, counts = ex.extract_disk(
+                sequences, k, mode=collector_mode, with_counts=with_counts,
+                window_weights=window_weights,
+                ram_cap_bytes=mem_cap_bytes or (1 << 28),
+                tmp_dir=disk_swap or None)
+        else:
+            kmers, counts = ex.extract(sequences, k, mode=collector_mode,
+                                       with_counts=with_counts,
+                                       window_weights=window_weights)
         arrays = build_boss_arrays(kmers, alph_size=alphabet.sigma,
                                    counts=counts if with_counts else None,
                                    bits_per_count=bits_per_count)

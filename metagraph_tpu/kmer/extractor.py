@@ -81,12 +81,31 @@ class KmerExtractor:
           chars  — (N, K) uint8 deduplicated sorted (BOSS order) code matrix
           counts — per-kmer multiplicities (uint64) if with_counts
         """
-        codes = self._concat_codes(seqs)
-        valid = self.valid_windows(codes, K)
-        n_valid = int(valid.sum())
-        if n_valid == 0:
+        packed, weights = self._packed_windows(seqs, K, mode, window_weights)
+        if packed.shape[0] == 0:
             empty = np.zeros((0, K), dtype=np.uint8)
             return empty, (np.zeros(0, dtype=np.uint64) if with_counts else None)
+        order = packing.boss_priority_order(K)
+        if with_counts:
+            w = np.ones(packed.shape[0], dtype=np.uint64) if weights is None \
+                else weights
+            upacked, counts = packing.unique_rows(packed, w)
+        else:
+            upacked, counts = packing.unique_rows(packed)
+        return packing.unpack_codes(upacked, K, order), counts
+
+    def _packed_windows(self, seqs, K: int, mode: str,
+                        window_weights=None):
+        """All (strand-expanded/canonicalized) windows as packed BOSS-order
+        keys + aligned weights (None when no weights given)."""
+        codes = self._concat_codes(seqs)
+        valid = self.valid_windows(codes, K)
+        order = packing.boss_priority_order(K)
+        if int(valid.sum()) == 0:
+            W = (K + 15) // 16
+            return (np.zeros((0, W), dtype=np.uint64),
+                    np.zeros(0, np.uint64) if window_weights is not None
+                    else None)
 
         weights = None
         if window_weights is not None:
@@ -102,48 +121,65 @@ class KmerExtractor:
             weights = weights[valid]
 
         fwd = self.window_codes(codes, K)[valid]
+        if mode == "basic":
+            return packing.pack_codes(fwd, order), weights
+        # complement table extended so the invalid separator maps to itself
+        comp = np.concatenate(
+            [self.alphabet.complement_table,
+             np.arange(self.alphabet.sigma, self._invalid + 1)]).astype(np.uint8)
+        # rc of window j of `codes` == window (n-K-j) of rc(codes)
+        rc_codes = comp[codes[::-1]]
+        rc_all = np.lib.stride_tricks.sliding_window_view(rc_codes, K)
+        rc = rc_all[::-1][valid]
+        if mode == "both":
+            packed = np.concatenate([packing.pack_codes(fwd, order),
+                                     packing.pack_codes(rc, order)], axis=0)
+            if weights is not None:
+                weights = np.concatenate([weights, weights])
+            return packed, weights
+        if mode == "canonical":
+            kf = packing.pack_codes(fwd, order)
+            kr = packing.pack_codes(rc, order)
+            take_rc = _rows_greater(kf, kr)
+            return np.where(take_rc[:, None], kr, kf), weights
+        raise ValueError(f"unknown mode {mode!r}")
 
-        packed = None            # canonical path packs directly, skipping a
-        if mode == "basic":      # char-matrix materialization + repack
-            chars = fwd
-        else:
-            # complement table extended so the invalid separator maps to itself
-            comp = np.concatenate(
-                [self.alphabet.complement_table,
-                 np.arange(self.alphabet.sigma, self._invalid + 1)]).astype(np.uint8)
-            # rc of window j of `codes` == window (n-K-j) of rc(codes)
-            rc_codes = comp[codes[::-1]]
-            rc_all = np.lib.stride_tricks.sliding_window_view(rc_codes, K)
-            rc = rc_all[::-1][valid]
-            if mode == "both":
-                order = packing.boss_priority_order(K)
-                packed = np.concatenate([packing.pack_codes(fwd, order),
-                                         packing.pack_codes(rc, order)],
-                                        axis=0)
-            elif mode == "canonical":
-                order = packing.boss_priority_order(K)
-                kf = packing.pack_codes(fwd, order)
-                kr = packing.pack_codes(rc, order)
-                take_rc = _rows_greater(kf, kr)
-                packed = np.where(take_rc[:, None], kr, kf)
-            else:
-                raise ValueError(f"unknown mode {mode!r}")
+    def extract_disk(self, seqs: Sequence[bytes | str], K: int,
+                     mode: str = "basic", with_counts: bool = False,
+                     window_weights=None, ram_cap_bytes: int = 1 << 28,
+                     tmp_dir: str | None = None, batch_bp: int = 1 << 24):
+        """Bounded-RAM extraction: stream sequence batches into a
+        SortedSetDisk (the reference's --disk-swap path,
+        ref kmer_collector.cpp:27 + sorted_set_disk_base.hpp:34), then
+        k-way-merge the spilled chunks.  Returns the same (chars, counts) as
+        extract()."""
+        from .disk_sort import SortedSetDisk
+        sink = SortedSetDisk(ram_cap_bytes=ram_cap_bytes, tmp_dir=tmp_dir,
+                             with_counts=with_counts)
+        batch, bp, woff = [], 0, 0
+        ww = window_weights
 
+        def flush(batch, woff):
+            w = ww[woff: woff + len(batch)] if ww is not None else None
+            packed, weights = self._packed_windows(batch, K, mode, w)
+            if len(packed):
+                sink.insert(packed, weights if with_counts else None)
+
+        for s in seqs:
+            batch.append(s)
+            bp += len(s)
+            if bp >= batch_bp:
+                flush(batch, woff)
+                woff += len(batch)
+                batch, bp = [], 0
+        if batch:
+            flush(batch, woff)
+        upacked, counts = sink.merge_all()
+        sink.cleanup()
         order = packing.boss_priority_order(K)
-        if packed is None:
-            packed = packing.pack_codes(chars, order)
-        if with_counts:
-            if weights is None:
-                w = np.ones(packed.shape[0], dtype=np.uint64)
-            elif mode == "both":
-                w = np.concatenate([weights, weights])
-            elif mode == "canonical":
-                w = weights
-            else:
-                w = weights
-            upacked, counts = packing.unique_rows(packed, w)
-        else:
-            upacked, counts = packing.unique_rows(packed)
+        if upacked.shape[0] == 0:
+            return (np.zeros((0, K), dtype=np.uint8),
+                    np.zeros(0, np.uint64) if with_counts else None)
         return packing.unpack_codes(upacked, K, order), counts
 
 

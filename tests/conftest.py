@@ -8,12 +8,18 @@ path).  Must be set before jax is imported anywhere.
 import os
 
 # Force CPU: the axon sitecustomize pins JAX_PLATFORMS=axon (remote TPU
-# tunnel); tests must not take the single tunnel grant.
+# tunnel) and imports jax at interpreter startup, so the env var alone is
+# too late — the config update below is what actually selects CPU.  Tests
+# must not take the single tunnel grant.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

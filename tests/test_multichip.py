@@ -1,0 +1,160 @@
+"""Multi-chip sharding coverage over the 8-virtual-device CPU mesh.
+
+Exercises the production shardings (parallel/sharding.py, parallel/build.py)
+across mesh shapes, uneven shard sizes, thresholds/count modes, and batches
+that don't divide the data axis — the code paths the driver's dryrun touches
+only once with an even split.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+from metagraph_tpu.kmer import packing
+from metagraph_tpu.parallel import sharding as sh
+from metagraph_tpu.parallel.build import (sharded_build_kmers,
+                                          sharded_sort_unique)
+from metagraph_tpu.query.device import DeviceQueryPipeline
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _mesh(data, model):
+    from jax.sharding import Mesh
+    devs = np.array(jax.devices()[: data * model]).reshape(data, model)
+    return Mesh(devs, ("data", "model"))
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    rng = np.random.default_rng(3)
+    seqs = ["".join(rng.choice(list("ACGT"), size=150 + 17 * i)).encode()
+            for i in range(5)]
+    g = DBGSuccinct.build(seqs, 11)
+    anno = ColumnMajorAnnotation(g.max_index())
+    ag = AnnotatedDBG(g, anno)
+    for i, s in enumerate(seqs):
+        ag.annotate_sequence(s, [f"s{i}"])
+        ag.annotate_sequence(s[: 60 + i], [f"extra{i % 2}"])
+    return g, anno, ag, seqs
+
+
+@pytest.mark.parametrize("data,model", [(1, 8), (2, 4), (8, 1), (4, 2)])
+def test_sharded_query_counts_match_host(tiny, data, model):
+    g, anno, ag, seqs = tiny
+    mesh = _mesh(data, model)
+    pipe = DeviceQueryPipeline(g, anno)
+    table_shard, rows_per_shard = sh.shard_hash_table(
+        np.asarray(pipe.index.table), mesh)
+    bitmap_shard, labels_per_shard = sh.shard_annotation(
+        np.asarray(pipe.annotation.bitmap), mesh)
+    # uneven per-shard batches: one query per data shard, differing lengths
+    qseqs = [seqs[i % len(seqs)][: 40 + 13 * (i % 3)] for i in range(data)]
+    q_parts, sid_parts = [], []
+    width = max(len(s) - g.k + 1 for s in qseqs)
+    for s in qseqs:
+        q, sid, _ = pipe.prepare_batch([s])
+        q = sh.pad_rows(q, width, fill=np.iinfo(np.uint32).max)
+        q_parts.append(q)
+        sid_parts.append(sh.pad_rows(sid, width, fill=0))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    q_d = jax.device_put(np.concatenate(q_parts),
+                         NamedSharding(mesh, P("data", None)))
+    sid_d = jax.device_put(np.concatenate(sid_parts),
+                           NamedSharding(mesh, P("data")))
+    step = sh.sharded_annotated_query_fn(mesh, rows_per_shard,
+                                         labels_per_shard, data)
+    counts, present = step(table_shard, bitmap_shard, q_d, sid_d)
+    counts, present = np.asarray(counts), np.asarray(present)
+    ref = pipe.query_labels(qseqs, "matches", 2 ** 63, 0.0, 0.0)
+    for i, expected in enumerate(ref):
+        got = {anno.encoder.decode(c): int(counts[i, c])
+               for c in range(anno.num_labels) if counts[i, c] > 0}
+        assert got == dict(expected), (data, model, i)
+
+
+@pytest.mark.parametrize("df,pf", [(1.0, 0.0), (0.7, 0.3)])
+def test_sharded_counts_feed_thresholds(tiny, df, pf):
+    """Sharded counts drive the same threshold decisions as the host path."""
+    from metagraph_tpu.annotation.annotated_dbg import get_min_count
+    g, anno, ag, seqs = tiny
+    mesh = _mesh(2, 4)
+    pipe = DeviceQueryPipeline(g, anno)
+    table_shard, rows_per_shard = sh.shard_hash_table(
+        np.asarray(pipe.index.table), mesh)
+    bitmap_shard, labels_per_shard = sh.shard_annotation(
+        np.asarray(pipe.annotation.bitmap), mesh)
+    qseqs = [seqs[0][:50], seqs[1][:70]]
+    q_parts, sid_parts = [], []
+    width = max(len(s) - g.k + 1 for s in qseqs)
+    for s in qseqs:
+        q, sid, _ = pipe.prepare_batch([s])
+        q_parts.append(sh.pad_rows(q, width, fill=np.iinfo(np.uint32).max))
+        sid_parts.append(sh.pad_rows(sid, width, fill=0))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    q_d = jax.device_put(np.concatenate(q_parts),
+                         NamedSharding(mesh, P("data", None)))
+    sid_d = jax.device_put(np.concatenate(sid_parts),
+                           NamedSharding(mesh, P("data")))
+    step = sh.sharded_annotated_query_fn(mesh, rows_per_shard,
+                                         labels_per_shard, 2)
+    counts, present = np.asarray(step(table_shard, bitmap_shard, q_d,
+                                      sid_d)[0]), None
+    for i, s in enumerate(qseqs):
+        expected = ag.get_labels(s, df, pf)
+        nk = len(s) - g.k + 1
+        npres = int(
+            (pipe.query_labels([s], "matches", 2 ** 63, 0.0, 0.0)[0]
+             and sum(n for _, n in pipe.query_labels(
+                 [s], "matches", 2 ** 63, 0.0, 0.0)[0][:1])) or 0)
+        # presence from the host map (the sharded step returns it too)
+        nodes = g.map_to_nodes(s)
+        npres = int((nodes > 0).sum())
+        mc = get_min_count(df, pf, nk, npres)
+        got = [anno.encoder.decode(c) for c in range(anno.num_labels)
+               if counts[i, c] >= mc] if npres >= mc else []
+        assert got == expected, (df, pf, i)
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (8, 1), (4, 2)])
+def test_sharded_lookup_mesh_shapes(tiny, shape):
+    g, anno, ag, seqs = tiny
+    mesh = _mesh(*shape)
+    boss = g.boss
+    valid_edges = np.flatnonzero(boss.valid)
+    from metagraph_tpu.succinct import ops
+    keys = ops.pack_kmers32(boss.get_edge_seq(valid_edges))
+    keys_d, ids_d = sh.shard_kmer_index(keys, valid_edges.astype(np.int64),
+                                        mesh)
+    fn = sh.sharded_lookup_fn(mesh)
+    # batch that does not divide the data axis: pad_rows handles it
+    q = keys[:: 3]
+    qpad = sh.pad_rows(q, mesh.shape["data"],
+                       fill=np.iinfo(np.uint32).max)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    q_d = jax.device_put(qpad, NamedSharding(mesh, P("data", None)))
+    got = np.asarray(fn(keys_d, ids_d, q_d))[: len(q)]
+    assert np.array_equal(got, valid_edges[:: 3])
+
+
+@pytest.mark.parametrize("n_devices", [8, 5, 3])
+def test_sharded_sort_unique_uneven(n_devices):
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 97, (12345, 3)).astype(np.uint32)
+    got = sharded_sort_unique(keys, n_devices=n_devices)
+    exp, _ = packing.unique_rows(keys)
+    assert np.array_equal(got, exp)
+
+
+def test_sharded_build_matches_single_device(tiny):
+    g, anno, ag, seqs = tiny
+    kmers = sharded_build_kmers(seqs, g.k, n_devices=8)
+    from metagraph_tpu.succinct.construct import build_boss_arrays
+    arrays = build_boss_arrays(kmers, 5)
+    for name in ("W", "last", "F", "valid"):
+        assert np.array_equal(getattr(arrays, name), getattr(g.boss, name))
