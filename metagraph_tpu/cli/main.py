@@ -17,6 +17,10 @@ def _add_common(p):
     p.add_argument("-o", "--outfile-base", dest="out", default="graph")
     p.add_argument("-p", "--parallel", type=int, default=1)
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--mmap", action="store_true",
+                   help="memory-map graph arrays instead of loading them "
+                        "(build: write the mmap on-disk layout) "
+                        "(ref --mmap, src/cli/config/config.cpp:122)")
 
 
 def cmd_build(args):
@@ -93,7 +97,7 @@ def cmd_build(args):
                           mask_dummy=True,
                           window_weights=weights if have_weights else None,
                           disk_swap=args.disk_swap, mem_cap_bytes=mem_cap)
-    g.save(args.out)
+    g.save(args.out, mmap_layout=args.mmap)
     print(f"graph built: k={args.k} nodes={g.num_nodes()}", file=sys.stderr)
 
 
@@ -1072,6 +1076,9 @@ def main(argv=None):
     p.set_defaults(func=cmd_clean)
 
     args = ap.parse_args(argv)
+    if getattr(args, "mmap", False):
+        from ..graph import dbg_succinct as _dbgmod
+        _dbgmod.DEFAULT_MMAP = True
     try:
         return args.func(args)
     except BrokenPipeError:

@@ -20,6 +20,9 @@ BASIC = "basic"
 CANONICAL = "canonical"
 PRIMARY = "primary"
 
+# process-wide default for memory-mapped graph loading (CLI --mmap)
+DEFAULT_MMAP = False
+
 
 class DBGSuccinct:
     def __init__(self, boss: BOSS, k: int, mode: str = BASIC,
@@ -67,7 +70,7 @@ class DBGSuccinct:
     # ---------------------------------------------------------------- stats
     def num_nodes(self) -> int:
         if self.masked:
-            return int(self.boss._cum_valid[-1])
+            return self.boss.num_valid
         return self.boss.num_edges
 
     def max_index(self) -> int:
@@ -357,17 +360,31 @@ class DBGSuccinct:
         return [table[row].tobytes().decode() for row in chars]
 
     # ------------------------------------------------------------- storage
-    def save(self, path: str):
-        self.boss.save(path if path.endswith(".npz") else path + ".dbg.npz",
-                       mode=self.mode)
+    def save(self, path: str, mmap_layout: bool = False):
+        out = path if path.endswith(".npz") else path + ".dbg.npz"
+        if mmap_layout:
+            self.boss.save_mmap(out, mode=self.mode)
+        else:
+            self.boss.save(out, mode=self.mode)
 
     @classmethod
-    def load(cls, path: str, mode: str | None = None) -> "DBGSuccinct":
-        if path.endswith(".dbg"):
+    def load(cls, path: str, mode: str | None = None,
+             mmap: bool | None = None) -> "DBGSuccinct":
+        import os
+        if mmap is None:
+            mmap = DEFAULT_MMAP
+        if path.endswith(".dbg") and os.path.exists(path):
             with open(path, "rb") as f:
                 if f.read(2) != b"PK":       # not an npz: reference format
                     from ..seq_io.refformat import load_reference_boss
                     return load_reference_boss(path)
+        base = path[:-4] if path.endswith(".npz") else path
+        if os.path.exists(base + ".meta.npz") and (
+                mmap or not os.path.exists(base + ".npz")):
+            boss = BOSS.load(path, mmap=mmap)
+            meta = np.load(base + ".meta.npz")
+            m = str(meta["mode"]) if "mode" in meta else BASIC
+            return cls(boss, boss.k + 1, mode or m)
         # non-succinct representations carry a graph_type tag
         probe = np.load(path if path.endswith(".npz") else path + ".npz")
         if "graph_type" in probe and str(probe["graph_type"]) != "succinct":

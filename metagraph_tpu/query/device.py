@@ -120,6 +120,97 @@ def query_epoch_tiled(table: jnp.ndarray, bitmap: jnp.ndarray,
             nodes.reshape(nc * C, T))
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def query_epoch_codes(table: jnp.ndarray, bitmap: jnp.ndarray,
+                      code_tiles: jnp.ndarray, tile_seq: jnp.ndarray,
+                      num_seqs: int, num_labels: int, K: int):
+    """Fully fused device query from RAW CODES: window packing + hash lookup
+    + tiled label counting in one dispatch.
+
+    code_tiles: (N, T + K - 1) uint8 — each row the code slice covering one
+    tile of T windows (invalid code 5 pads tails -> those windows miss).
+    Host->device traffic is ~1 byte/bp instead of ~16 bytes/window of packed
+    keys — the transfer-optimal layout for the query hot path
+    (ref query.cpp:1304 batched_query_fasta).
+    """
+    N, TK = code_tiles.shape
+    T = TK - (K - 1)
+    C = max(1, (1 << 17) // T)
+    pad = (-N) % C
+    if pad:
+        code_tiles = jnp.concatenate(
+            [code_tiles, jnp.full((pad, TK), 5, code_tiles.dtype)])
+        tile_seq = jnp.concatenate([tile_seq, jnp.zeros(pad, tile_seq.dtype)])
+    nc = code_tiles.shape[0] // C
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    def body(carry, chunk):
+        packed, valid = graph_ops.device_pack_windows(
+            chunk.astype(jnp.int32), K)                  # (C, T, W), (C, T)
+        W = packed.shape[-1]
+        nodes = graph_ops._hash_lookup(table, packed.reshape(C * T, W))
+        nodes = jnp.where(valid, nodes.reshape(C, T), 0)
+        hit = nodes > 0
+        rows = jnp.where(hit, nodes - 1, 0)
+        words = bitmap[rows]
+        Lw = words.shape[-1]
+        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int32)
+        bits = bits.reshape(C, T, Lw * 32)[..., :num_labels]
+        bits = bits * hit[..., None]
+        return carry, (bits.sum(axis=1), hit.sum(axis=1, dtype=jnp.int32),
+                       nodes)
+    _, (tc, th, nodes) = jax.lax.scan(body, 0, code_tiles.reshape(nc, C, TK))
+    tile_counts = tc.reshape(nc * C, num_labels).astype(jnp.float32)
+    tile_hit = th.reshape(nc * C).astype(jnp.float32)
+    onehot = (tile_seq[:, None]
+              == jnp.arange(num_seqs, dtype=tile_seq.dtype)[None, :]
+              ).astype(jnp.float32)
+    counts = jax.lax.dot_general(onehot, tile_counts, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    present = jnp.sum(onehot * tile_hit[:, None], axis=0)
+    return (counts.astype(jnp.int32), present.astype(jnp.int32),
+            nodes.reshape(nc * C, T))
+
+
+def tile_codes_layout(codes_list, K: int, tile: int = TILE):
+    """Per-sequence code arrays -> (N, T+K-1) uint8 code tiles + per-tile
+    sequence ids + per-seq window counts (for unpacking nodes later)."""
+    TK = tile + K - 1
+    rows = []
+    tile_seq = []
+    nwins = []
+    for i, c in enumerate(codes_list):
+        nwin = max(len(c) - K + 1, 0)
+        nwins.append(nwin)
+        for t in range(0, nwin, tile):
+            seg = c[t: t + tile + K - 1]
+            if len(seg) < TK:
+                seg = np.concatenate(
+                    [seg, np.full(TK - len(seg), 5, np.uint8)])
+            rows.append(seg)
+            tile_seq.append(i)
+    if rows:
+        return (np.stack(rows).astype(np.uint8),
+                np.array(tile_seq, np.int32), nwins)
+    return (np.zeros((0, TK), np.uint8), np.zeros(0, np.int32), nwins)
+
+
+def untile_nodes(nodes_tiled: np.ndarray, tile_seq: np.ndarray,
+                 nwins, tile: int = TILE):
+    """(N, T) tiled node ids -> per-sequence flat node arrays."""
+    out = []
+    base = 0
+    for i, nwin in enumerate(nwins):
+        nt = -(-nwin // tile) if nwin else 0
+        if nt:
+            flat = nodes_tiled[base: base + nt].reshape(-1)[:nwin]
+        else:
+            flat = np.zeros(0, dtype=nodes_tiled.dtype)
+        out.append(flat.astype(np.int64))
+        base += nt
+    return out
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def count_epoch_tiled(bitmap: jnp.ndarray, nodes: jnp.ndarray,
                       tile_seq: jnp.ndarray, num_seqs: int, num_labels: int):

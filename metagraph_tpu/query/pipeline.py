@@ -165,36 +165,64 @@ class QueryEngine:
 
     # -------------------------------------------------------- device batch
     _device_anno = None
+    _device_words = None
 
     def _build_device_annotation(self):
         if self._device_anno is not None:
             return self._device_anno
         import jax.numpy as jnp
         from ..annotation import ops as anno_ops
+        from ..annotation import device_matrix as dm
+        from ..annotation.matrix import BRWT, RowDiff
         anno = self.anno_graph.annotator
         R = self.graph.max_index() if not hasattr(self.graph, "get_base_node") \
             else self.graph.graph.max_index()
+        matrix = getattr(anno, "matrix", None)
+        if isinstance(matrix, BRWT):
+            # compressed on device: BRWT tree descend (no dense bitmap)
+            self._device_anno = dm.DeviceBRWT.from_host(matrix)
+            self._device_words = dm.brwt_words_fn
+            return self._device_anno
+        if isinstance(matrix, RowDiff) and not matrix.needs_sidecars:
+            if isinstance(matrix.inner, BRWT):
+                inner = dm.DeviceBRWT.from_host(matrix.inner)
+                self._device_words = dm.rowdiff_brwt_words_fn
+            else:
+                inner = anno_ops.DeviceAnnotation(
+                    jnp.asarray(self._pack_matrix_bitmap(matrix.inner)),
+                    matrix.num_labels)
+                self._device_words = dm.rowdiff_dense_words_fn
+            self._device_anno = dm.DeviceRowDiff.from_host(matrix, inner)
+            return self._device_anno
+        self._device_words = None
         if hasattr(anno, "column_rows"):
             self._device_anno = anno_ops.DeviceAnnotation \
                 .from_column_annotation(anno, R)
         else:
             # generic matrices: pack the row bitmap in chunks
-            L = anno.num_labels
-            Lw = max((L + 31) // 32, 1)
-            bm = np.zeros((R, Lw), dtype=np.uint32)
-            step = 1 << 16
-            for lo in range(0, R, step):
-                rows = np.arange(lo, min(lo + step, R))
-                mask = np.asarray(anno.get_rows_mask(rows), dtype=bool)
-                pad = (-L) % 32
-                if pad:
-                    mask = np.concatenate(
-                        [mask, np.zeros((len(rows), pad), bool)], axis=1)
-                bits = np.packbits(mask.reshape(len(rows), Lw, 32)[:, :, ::-1],
-                                   axis=2, bitorder="little")
-                bm[lo: lo + len(rows)] = bits.view(np.uint32)[:, :, 0]
-            self._device_anno = anno_ops.DeviceAnnotation(jnp.asarray(bm), L)
+            self._device_anno = anno_ops.DeviceAnnotation(
+                jnp.asarray(self._pack_matrix_bitmap(anno, R)),
+                anno.num_labels)
         return self._device_anno
+
+    @staticmethod
+    def _pack_matrix_bitmap(matrix, R=None):
+        L = matrix.num_labels
+        R = R if R is not None else matrix.num_rows
+        Lw = max((L + 31) // 32, 1)
+        bm = np.zeros((R, Lw), dtype=np.uint32)
+        step = 1 << 16
+        for lo in range(0, min(R, matrix.num_rows), step):
+            rows = np.arange(lo, min(lo + step, matrix.num_rows))
+            mask = np.asarray(matrix.get_rows_mask(rows), dtype=bool)
+            pad = (-L) % 32
+            if pad:
+                mask = np.concatenate(
+                    [mask, np.zeros((len(rows), pad), bool)], axis=1)
+            bits = np.packbits(mask.reshape(len(rows), Lw, 32),
+                               axis=2, bitorder="little")
+            bm[lo: lo + len(rows)] = bits.view(np.uint32)[:, :, 0]
+        return bm
 
     def _device_counts(self, nodes_list):
         """Per-sequence per-label occurrence counts + presence for a batch of
@@ -224,9 +252,17 @@ class QueryEngine:
                 [tiles, np.zeros((npad - n,) + tiles.shape[1:], tiles.dtype)])
             tile_seq = np.concatenate(
                 [tile_seq, np.zeros(npad - n, tile_seq.dtype)])
-        counts, present = count_epoch_tiled(
-            danno.bitmap, jnp.asarray(tiles), jnp.asarray(tile_seq), Spad,
-            danno.num_labels)
+        if self._device_words is not None:
+            # compressed device matrix (BRWT / row-diff walk)
+            from ..annotation.device_matrix import make_tiled_count_epoch
+            epoch = make_tiled_count_epoch(self._device_words)
+            counts, present = epoch(danno, jnp.asarray(tiles),
+                                    jnp.asarray(tile_seq), Spad,
+                                    danno.num_labels)
+        else:
+            counts, present = count_epoch_tiled(
+                danno.bitmap, jnp.asarray(tiles), jnp.asarray(tile_seq),
+                Spad, danno.num_labels)
         return np.asarray(counts)[:S], np.asarray(present)[:S]
 
     def execute_batch(self, nodes_list, mode: str,
@@ -241,12 +277,73 @@ class QueryEngine:
                 or not nodes_list):
             return [self.execute(n, mode, num_top_labels, discovery_fraction,
                                  presence_fraction) for n in nodes_list]
-        from ..annotation.annotated_dbg import (_top_n_sorted, get_min_count)
         counts, present = self._device_counts(nodes_list)
+        return self._payloads_from_counts(
+            counts, present, lambda i: nodes_list[i],
+            [len(n) for n in nodes_list], mode, num_top_labels,
+            discovery_fraction, presence_fraction)
+
+    def query_batch_fused(self, seqs, mode: str, num_top_labels: int,
+                          discovery_fraction: float, presence_fraction: float):
+        """Fully fused device query from raw sequences (codes shipped to
+        device; packing+lookup+counting in one dispatch — query/device.py
+        query_epoch_codes).  Returns payloads, or None when this batch isn't
+        eligible (canonical graphs, CoordToHeader, compressed device anno)."""
+        ag = self.anno_graph
+        if (not self.use_device or ag.coord_to_header is not None
+                or self._canonical_offset is not None
+                or getattr(self.graph, "mode", None) == "canonical"
+                or getattr(self._base, "boss", None) is None):
+            return None
+        from ..annotation.ops import DeviceAnnotation
+        danno = self._build_device_annotation()
+        if not isinstance(danno, DeviceAnnotation):
+            return None
+        import jax.numpy as jnp
+        from .device import (query_epoch_codes, tile_codes_layout,
+                             untile_nodes)
+        self._build_device_index()
+        k = self.graph.k
+        ex = self.graph.extractor
+        codes_list = [ex.encode(s) for s in seqs]
+        tiles, tile_seq, nwins = tile_codes_layout(codes_list, k)
+        S = len(seqs)
+        Spad = 1 << max(int(np.ceil(np.log2(max(S, 1)))), 3)
+        n = len(tiles)
+        npad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 4)
+        if npad != n:
+            tiles = np.concatenate(
+                [tiles, np.full((npad - n, tiles.shape[1]), 5, tiles.dtype)])
+            tile_seq = np.concatenate(
+                [tile_seq, np.zeros(npad - n, tile_seq.dtype)])
+        counts, present, nodes_t = query_epoch_codes(
+            self._device_index.table, danno.bitmap, jnp.asarray(tiles),
+            jnp.asarray(tile_seq), Spad, danno.num_labels, k)
+        counts = np.asarray(counts)[:S]
+        present = np.asarray(present)[:S]
+        nodes_cache = {}
+
+        def nodes_of(i):
+            # downloaded lazily: labels/matches never touch per-window nodes
+            if "nl" not in nodes_cache:
+                nodes_cache["nl"] = untile_nodes(
+                    np.asarray(nodes_t)[:n], tile_seq[:n], nwins)
+            return nodes_cache["nl"][i]
+
+        return self._payloads_from_counts(
+            counts, present, nodes_of, nwins, mode, num_top_labels,
+            discovery_fraction, presence_fraction)
+
+    def _payloads_from_counts(self, counts, present, nodes_of, nk_list,
+                              mode, num_top_labels, discovery_fraction,
+                              presence_fraction):
+        """Per-sequence payloads from batched device counts — byte-identical
+        to the host AnnotatedDBG methods (annotated_dbg.py:189-312)."""
+        from ..annotation.annotated_dbg import (_top_n_sorted, get_min_count)
+        ag = self.anno_graph
         enc = ag.annotator.encoder
         out = []
-        for i, nodes in enumerate(nodes_list):
-            nk = len(nodes)
+        for i, nk in enumerate(nk_list):
             if nk == 0:
                 out.append([])
                 continue
@@ -264,7 +361,7 @@ class QueryEngine:
                 if mode == "counts-sum":
                     # IntMatrix::sum_row_values: presence-filtered value sums
                     # (annotated_dbg.py:232)
-                    pairs = self._row_multiset_of(nodes)
+                    pairs = self._row_multiset_of(nodes_of(i))
                     vals = ag.annotator.get_row_values(
                         np.array([r for r, _ in pairs], dtype=np.int64))
                     sums = np.zeros(ag.annotator.num_labels, dtype=np.int64)
@@ -283,6 +380,7 @@ class QueryEngine:
             if not selected:
                 out.append([])
                 continue
+            nodes = nodes_of(i)
             pos = np.flatnonzero(nodes > 0)
             rows = ag.graph_to_anno_index(nodes[pos])
             result = []
@@ -398,10 +496,19 @@ class QueryEngine:
                         seq, aligner_config)
                     new_batch.append((sid, name, new_seq))
                 batch = new_batch
-            nodes_list = self.map_batch([s for _, _, s in batch])
-            payloads = self.execute_batch(nodes_list, mode, num_top_labels,
-                                          discovery_fraction,
-                                          presence_fraction)
+            payloads = None
+            if self.use_device and aligner_config is None:
+                # transfer-optimal fused path: raw codes to device, one
+                # dispatch for packing+lookup+counting
+                payloads = self.query_batch_fused(
+                    [s for _, _, s in batch], mode, num_top_labels,
+                    discovery_fraction, presence_fraction)
+            if payloads is None:
+                nodes_list = self.map_batch([s for _, _, s in batch])
+                payloads = self.execute_batch(nodes_list, mode,
+                                              num_top_labels,
+                                              discovery_fraction,
+                                              presence_fraction)
             for (sid, name, seq), payload, aln in zip(batch, payloads,
                                                       alignments):
                 yield SeqSearchResult(

@@ -20,11 +20,13 @@ Indexing conventions (same as reference):
 from __future__ import annotations
 
 import io
+import os
 from typing import Iterable, Tuple
 
 import numpy as np
 
 from ..kmer import packing
+from .bitrank import BitRank, packed_eq
 from .construct import BossArrays, build_boss_arrays
 
 
@@ -34,33 +36,43 @@ class BOSS:
     def __init__(self, arrays: BossArrays):
         self.k = arrays.k                  # node length; edges are (k+1)-mers
         self.alph_size = arrays.alph_size
-        self.W = arrays.W.astype(np.uint8)
-        self.last = arrays.last.astype(np.uint8)
-        self.F = arrays.F.astype(np.int64)
-        self.valid = arrays.valid.astype(np.uint8)
+        self.W = np.asarray(arrays.W, dtype=np.uint8)
+        self.last = np.asarray(arrays.last, dtype=np.uint8)
+        self.F = np.asarray(arrays.F, dtype=np.int64)
+        self.valid = np.asarray(arrays.valid, dtype=np.uint8)
         self.weights = arrays.weights
         self._build_indexes()
 
     # ------------------------------------------------------------------ setup
     def _build_indexes(self):
-        M = len(self.W)
+        """Succinct rank/select directories: one BitRank per W symbol plane
+        plus one for `last` — ~0.2 B/edge/plane instead of the round-1 full
+        int64 cumulative tables (~100 B/edge); plays the reference's
+        wavelet-tree + bit_vector role (boss.hpp:474-509)."""
         a = self.alph_size
-        # rank structures: full cumulative counts (host); device uses blocks
-        self._cum_last = np.cumsum(self.last, dtype=np.int64)      # rank_last(i) = cl[i]
-        self._sel_last = np.flatnonzero(self.last).astype(np.int64)
-        onehot = self.W[None, :] == np.arange(2 * a, dtype=np.uint8)[:, None]
-        self._cum_W = np.cumsum(onehot, axis=1, dtype=np.int64)    # (2a, M)
-        sel_cat = []
-        off = [0]
-        for c in range(2 * a):
-            pos = np.flatnonzero(self.W == c)
-            sel_cat.append(pos)
-            off.append(off[-1] + len(pos))
-        self._sel_W = np.concatenate(sel_cat) if sel_cat else np.zeros(0, np.int64)
-        self._sel_W_off = np.array(off, dtype=np.int64)
+        self._rk_last = packed_eq(self.last, 1)
+        self._planes = [packed_eq(self.W, c) for c in range(2 * a)]
         # NF[c] = rank_last(F[c])  (ref boss.hpp:509)
-        self.NF = self._cum_last[self.F]
-        self._cum_valid = np.cumsum(self.valid, dtype=np.int64)
+        self.NF = self._rk_last.rank(self.F)
+        self._num_valid = int(np.count_nonzero(self.valid))
+        # pointer tables for the mixed-symbol native kernels
+        import ctypes as ct
+        np_ = len(self._planes)
+        self._pl_words = (ct.c_void_p * np_)(
+            *[p.words.ctypes.data for p in self._planes])
+        self._pl_sup = (ct.c_void_p * np_)(
+            *[p._sup.ctypes.data for p in self._planes])
+        self._pl_sub = (ct.c_void_p * np_)(
+            *[p._sub.ctypes.data for p in self._planes])
+        self._pl_nbits = np.array([p.n for p in self._planes], np.int64)
+        self._pl_nw = np.array([p._nw for p in self._planes], np.int64)
+        self._pl_nsup = np.array([len(p._sup) for p in self._planes],
+                                 np.int64)
+        self._pl_total = np.array([p.total for p in self._planes], np.int64)
+
+    @property
+    def num_valid(self) -> int:
+        return self._num_valid
 
     # ------------------------------------------------------- basic primitives
     @property
@@ -68,56 +80,100 @@ class BOSS:
         return len(self.W) - 1
 
     def num_nodes(self) -> int:
-        return int(self._cum_last[-1])
+        return self._rk_last.total
 
     def rank_last(self, i):
         """#set bits in last[1..i] (ref boss.cpp:577-581)."""
-        return self._cum_last[i]
+        return self._rk_last.rank(i)
 
     def select_last(self, r):
         """position of the r-th set bit of last; select_last(0)=0 (ref :588-592)."""
         r = np.asarray(r, dtype=np.int64)
-        idx = np.clip(r - 1, 0, max(len(self._sel_last) - 1, 0))
-        out = np.where(r > 0, self._sel_last[idx], 0)
-        return out
+        return np.where(r > 0, self._rk_last.select(r), 0)
 
     def rank_W(self, i, c):
-        """#occurrences of raw value c in W[1..i] (ref boss.cpp:437-441)."""
-        i = np.asarray(i, dtype=np.int64)
-        c = np.asarray(c, dtype=np.int64)
-        return self._cum_W[c, i] - (c == 0).astype(np.int64)
+        """#occurrences of raw value c in W[1..i] (ref boss.cpp:437-441).
+
+        Vectorized over mixed symbols by grouping queries per W plane."""
+        i, c = np.broadcast_arrays(np.asarray(i, dtype=np.int64),
+                                   np.asarray(c, dtype=np.int64))
+        scalar = i.ndim == 0
+        i = np.atleast_1d(i)
+        c = np.atleast_1d(c)
+        from .bitrank import _native
+        lib = _native()
+        if lib is not None and i.size > 4:
+            import ctypes
+            iq = np.ascontiguousarray(i.reshape(-1))
+            cq = np.ascontiguousarray(c.reshape(-1), dtype=np.int32)
+            out = np.empty(iq.shape, dtype=np.int64)
+            lib.bitrank_rank_multi(
+                self._pl_words, self._pl_sup, self._pl_sub,
+                self._pl_nbits.ctypes.data_as(ctypes.c_void_p),
+                iq.ctypes.data_as(ctypes.c_void_p),
+                cq.ctypes.data_as(ctypes.c_void_p), iq.size,
+                out.ctypes.data_as(ctypes.c_void_p))
+            out = out.reshape(i.shape)
+        else:
+            out = np.zeros(i.shape, dtype=np.int64)
+            for sym in np.unique(c):
+                m = c == sym
+                out[m] = self._planes[sym].rank(i[m])
+        out = out - (c == 0).astype(np.int64)  # W[0] sentinel is value 0
+        return out[0] if scalar else out
 
     def select_W(self, c, r):
         """position of the r-th occurrence of raw value c in W[1..] (1-based).
 
         For c == 0, rank 0 refers to the sentinel at position 0.
         """
-        c = np.asarray(c, dtype=np.int64)
-        r = np.asarray(r, dtype=np.int64) + (c == 0)  # skip sentinel W[0]=0
-        idx = self._sel_W_off[c] + r - 1
-        return self._sel_W[np.clip(idx, 0, max(len(self._sel_W) - 1, 0))]
+        c, r = np.broadcast_arrays(np.asarray(c, dtype=np.int64),
+                                   np.asarray(r, dtype=np.int64))
+        scalar = c.ndim == 0
+        c = np.atleast_1d(c)
+        r = np.atleast_1d(r) + (c == 0)    # skip sentinel W[0]=0
+        from .bitrank import _native
+        lib = _native()
+        if lib is not None and c.size > 4:
+            import ctypes
+            rq = np.ascontiguousarray(r.reshape(-1), dtype=np.int64)
+            cq = np.ascontiguousarray(c.reshape(-1), dtype=np.int32)
+            out = np.empty(rq.shape, dtype=np.int64)
+            lib.bitrank_select_multi(
+                self._pl_words, self._pl_sup, self._pl_sub,
+                self._pl_nw.ctypes.data_as(ctypes.c_void_p),
+                self._pl_nsup.ctypes.data_as(ctypes.c_void_p),
+                self._pl_total.ctypes.data_as(ctypes.c_void_p),
+                rq.ctypes.data_as(ctypes.c_void_p),
+                cq.ctypes.data_as(ctypes.c_void_p), rq.size,
+                out.ctypes.data_as(ctypes.c_void_p))
+            out = out.reshape(c.shape)
+            return out[0] if scalar else out
+        out = np.zeros(c.shape, dtype=np.int64)
+        for sym in np.unique(c):
+            m = c == sym
+            out[m] = self._planes[sym].select(r[m])
+        return out[0] if scalar else out
 
     def _next_W(self, i: int, c: int) -> int:
         """succ_W: first position >= i with raw W value c, or 0 (ref :433)."""
-        pos = self._sel_W[self._sel_W_off[c]: self._sel_W_off[c + 1]]
-        j = np.searchsorted(pos, i, side="left")
-        return int(pos[j]) if j < len(pos) else 0
+        pos = self._planes[c].succ_scalar(i)
+        return pos if pos >= 0 else 0
 
     def _prev_W(self, i: int, c: int) -> int:
         """pred_W: last position <= i with raw W value c, or 0 (ref :422)."""
-        pos = self._sel_W[self._sel_W_off[c]: self._sel_W_off[c + 1]]
-        j = np.searchsorted(pos, i, side="right")
-        return int(pos[j - 1]) if j > 0 else 0
+        pos = self._planes[c].pred_scalar(i)
+        return pos if pos >= 0 else 0
 
     def succ_last(self, i):
         """position of the first set bit of last in [i..] (node's last edge)."""
         i = np.asarray(i, dtype=np.int64)
-        r = self._cum_last[np.maximum(i, 1) - 1] + 1
+        r = self._rk_last.rank(np.maximum(i, 1) - 1) + 1
         return self.select_last(r)
 
     def pred_last(self, i):
         i = np.asarray(i, dtype=np.int64)
-        r = self._cum_last[i]
+        r = self._rk_last.rank(i)
         return self.select_last(r)
 
     # ----------------------------------------------------------- fwd and bwd
@@ -145,32 +201,26 @@ class BOSS:
     # Pure-int variants of the hot navigation ops for the sequential
     # traversal loops (no numpy array wrapping; ~20x faster per call).
     def rank_W_scalar(self, i: int, c: int) -> int:
-        return int(self._cum_W[c, i]) - (1 if c == 0 else 0)
+        return self._planes[c].rank_scalar(i) - (1 if c == 0 else 0)
 
     def select_W_scalar(self, c: int, r: int) -> int:
         r += 1 if c == 0 else 0
-        idx = int(self._sel_W_off[c]) + r - 1
-        sw = self._sel_W
-        if idx < 0:
-            idx = 0
-        elif idx >= len(sw):
-            idx = len(sw) - 1
-        return int(sw[idx])
+        return self._planes[c].select_scalar(r)
 
     def select_last_scalar(self, r: int) -> int:
         if r <= 0:
             return 0
-        sl = self._sel_last
-        return int(sl[r - 1 if r - 1 < len(sl) else len(sl) - 1])
+        return self._rk_last.select_scalar(r)
 
     def rank_last_scalar(self, i: int) -> int:
-        return int(self._cum_last[i])
+        return self._rk_last.rank_scalar(i)
 
     def succ_last_scalar(self, i: int) -> int:
-        return self.select_last_scalar(int(self._cum_last[max(i, 1) - 1]) + 1)
+        return self.select_last_scalar(
+            self._rk_last.rank_scalar(max(i, 1) - 1) + 1)
 
     def pred_last_scalar(self, i: int) -> int:
-        return self.select_last_scalar(int(self._cum_last[i]))
+        return self.select_last_scalar(self._rk_last.rank_scalar(i))
 
     def fwd_scalar(self, i: int, c: int | None = None) -> int:
         if c is None:
@@ -183,7 +233,7 @@ class BOSS:
         return idx - 1 if idx < self.alph_size else self.alph_size - 1
 
     def bwd_scalar(self, i: int) -> int:
-        target = int(self._cum_last[i - 1]) + 1
+        target = self._rk_last.rank_scalar(i - 1) + 1
         if target == 1:
             return 1
         c = self.node_last_char_scalar(i)
@@ -207,7 +257,7 @@ class BOSS:
         i = np.asarray(i, dtype=np.int64)
         scalar = i.ndim == 0
         i = np.atleast_1d(i)
-        target = self._cum_last[i - 1] + 1
+        target = self._rk_last.rank(i - 1) + 1
         c = self.node_last_char(i)
         res = self.select_W(c, target - self.NF[c])
         res = np.where(target == 1, 1, res)
@@ -270,6 +320,9 @@ class BOSS:
         """
         Q, k = nodes.shape
         assert k == self.k
+        res = self._map_native(nodes, with_edge=False)
+        if res is not None:
+            return res
         alive = np.all(nodes < self.alph_size, axis=1)
         s0 = np.where(alive, nodes[:, 0].astype(np.int64), 0)
         rl, ru = self.initial_range(s0)
@@ -355,8 +408,40 @@ class BOSS:
             e = nxt
         return out
 
+    def _map_native(self, kmers: np.ndarray, with_edge: bool):
+        """Native full-loop lookup (fastio.cpp boss_map_edges_batch)."""
+        from .bitrank import _native
+        lib = _native()
+        if lib is None or len(kmers) == 0:
+            return None
+        import ctypes
+        km = np.ascontiguousarray(kmers, dtype=np.uint8)
+        out = np.empty(len(km), dtype=np.int64)
+        rl = self._rk_last
+        lib.boss_map_edges_batch(
+            self._pl_words, self._pl_sup, self._pl_sub,
+            self._pl_nbits.ctypes.data_as(ctypes.c_void_p),
+            self._pl_nw.ctypes.data_as(ctypes.c_void_p),
+            self._pl_nsup.ctypes.data_as(ctypes.c_void_p),
+            self._pl_total.ctypes.data_as(ctypes.c_void_p),
+            rl.words.ctypes.data_as(ctypes.c_void_p),
+            rl._sup.ctypes.data_as(ctypes.c_void_p),
+            rl._sub.ctypes.data_as(ctypes.c_void_p),
+            rl.n, rl._nw, len(rl._sup), rl.total,
+            self.F.ctypes.data_as(ctypes.c_void_p),
+            np.ascontiguousarray(self.NF, dtype=np.int64)
+            .ctypes.data_as(ctypes.c_void_p),
+            self.alph_size,
+            km.ctypes.data_as(ctypes.c_void_p), len(km), self.k,
+            1 if with_edge else 0,
+            out.ctypes.data_as(ctypes.c_void_p))
+        return out
+
     def map_to_edges_batch(self, kmers: np.ndarray) -> np.ndarray:
         """Batched edge lookup for (Q, k+1) edge strings (BOSS::map_to_edge)."""
+        res = self._map_native(kmers, with_edge=True)
+        if res is not None:
+            return res
         node_edge = self.index_batch(kmers[:, :-1])
         label = kmers[:, -1].astype(np.int64)
         ok = (node_edge > 0) & (label < self.alph_size)
@@ -407,7 +492,7 @@ class BOSS:
     # ---------------------------------------------------------- degree info
     def outdegree_nodes(self):
         """#valid (non-$) out-edges per node (indexed by node id 1..num_nodes)."""
-        ends = self._sel_last
+        ends = np.flatnonzero(self.last).astype(np.int64)   # transient
         begins = np.concatenate([[0], ends[:-1]]) + 1
         nonsink = (self.W % self.alph_size) != 0
         cum = np.concatenate([[0], np.cumsum(nonsink, dtype=np.int64)])
@@ -421,8 +506,37 @@ class BOSS:
             weights=self.weights if self.weights is not None else np.zeros(0),
             **extra)
 
+    def save_mmap(self, path: str, **extra):
+        """Write the mmap on-disk layout: one raw .npy per array next to a
+        small .meta.npz — load(mmap=True) then maps W/last/valid/weights
+        without reading them (the role of the reference's --mmap,
+        src/cli/config/config.cpp:122)."""
+        base = path[:-4] if path.endswith(".npz") else path
+        for name in ("W", "last", "valid"):
+            np.save(base + f".{name}.npy", getattr(self, name))
+        if self.weights is not None:
+            np.save(base + ".weights.npy", self.weights)
+        np.savez(base + ".meta.npz", k=self.k, alph_size=self.alph_size,
+                 F=self.F, **extra)
+
     @classmethod
-    def load(cls, path: str) -> "BOSS":
+    def load(cls, path: str, mmap: bool = False) -> "BOSS":
+        base = path[:-4] if path.endswith(".npz") else path
+        if os.path.exists(base + ".meta.npz") and (
+                mmap or not os.path.exists(base + ".npz")
+                and not os.path.exists(path)):
+            meta = np.load(base + ".meta.npz")
+            mode = "r" if mmap else None
+            wpath = base + ".weights.npy"
+            arrays = BossArrays(
+                k=int(meta["k"]), alph_size=int(meta["alph_size"]),
+                W=np.load(base + ".W.npy", mmap_mode=mode),
+                last=np.load(base + ".last.npy", mmap_mode=mode),
+                F=meta["F"],
+                valid=np.load(base + ".valid.npy", mmap_mode=mode),
+                weights=np.load(wpath, mmap_mode=mode)
+                if os.path.exists(wpath) else None)
+            return cls(arrays)
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         w = z["weights"]
         arrays = BossArrays(

@@ -13,6 +13,10 @@
 #include <thread>
 #include <vector>
 
+#ifdef __BMI2__
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // Encode a FASTA/FASTQ text buffer into DNA codes ($=0,A=1,C=2,G=3,T=4,
@@ -348,6 +352,281 @@ void refbase_query(const uint32_t *tkeys, const uint32_t *tids, int64_t M,
             counts[i] += tc[t][i];
         for (int32_t s = 0; s < S; ++s)
             present[s] += tp[t][s];
+    }
+}
+
+// ------------------------------------------------------------------ bitrank
+// Batch rank/select over the packed-word bit vectors built by
+// metagraph_tpu/succinct/bitrank.py (two-level directory: int64 superblock
+// cum count every 64 words + uint16 in-superblock word offsets).  These are
+// the hot host navigation primitives (BOSS rank_W/select_W/select_last);
+// ~2 ns/query vs ~100 ns for the vectorized-numpy fallback.
+
+void bitrank_rank_batch(const uint64_t *words, const int64_t *sup,
+                        const uint16_t *sub, int64_t n_bits,
+                        const int64_t *idx, int64_t nq, int64_t *out) {
+    for (int64_t q = 0; q < nq; ++q) {
+        int64_t i = idx[q];
+        if (i < 0) {
+            out[q] = 0;
+            continue;
+        }
+        if (i >= n_bits)
+            i = n_bits - 1;
+        int64_t w = i >> 6;
+        uint64_t mask = ~0ull >> (63 - (i & 63));
+        out[q] = sup[w >> 6] + sub[w]
+                 + __builtin_popcountll(words[w] & mask);
+    }
+}
+
+static inline int select_in_word(uint64_t word, int r) {
+    // position of the r-th (1-based) set bit
+#ifdef __BMI2__
+    return __builtin_ctzll(_pdep_u64(1ull << (r - 1), word));
+#else
+    int pos = 0;
+    for (;;) {
+        int c = __builtin_popcountll(word & 0xFF);
+        if (r <= c)
+            break;
+        r -= c;
+        word >>= 8;
+        pos += 8;
+    }
+    uint64_t b = word & 0xFF;
+    while (--r > 0)
+        b &= b - 1;
+    return pos + __builtin_ctzll(b);
+#endif
+}
+
+void bitrank_select_batch(const uint64_t *words, const int64_t *sup,
+                          const uint16_t *sub, int64_t nw, int64_t n_sup,
+                          int64_t total, const int64_t *ranks, int64_t nq,
+                          int64_t *out) {
+    for (int64_t q = 0; q < nq; ++q) {
+        int64_t r = ranks[q];
+        if (r < 1)
+            r = 1;
+        else if (r > total)
+            r = total > 0 ? total : 1;
+        // last superblock with prefix count < r
+        int64_t lo = 0, hi = n_sup;  // search in sup[0..n_sup)
+        while (hi - lo > 1) {
+            int64_t mid = (lo + hi) >> 1;
+            if (sup[mid] < r)
+                lo = mid;
+            else
+                hi = mid;
+        }
+        int64_t rr = r - sup[lo];
+        int64_t base = lo * 64;
+        int64_t wend = base + 64 < nw ? base + 64 : nw;
+        int64_t w = base;
+        for (int64_t j = base + 1; j < wend; ++j) {
+            if (sub[j] < rr)
+                w = j;
+            else
+                break;
+        }
+        int64_t rw = rr - sub[w];
+        out[q] = (w << 6) + select_in_word(words[w], (int)rw);
+    }
+}
+
+// ------------------------------------------------------------ BOSS navigate
+// Full node/edge lookup loop in native code: the k-1 range-tightening
+// iterations of BOSS::index + pick_edge (ref boss.hpp:682-718), one pass per
+// query over the succinct W planes.  This is the host-side map hot path
+// (metagraph_tpu/succinct/boss.py map_to_edges_batch).
+
+struct BRView {
+    const uint64_t *words;
+    const int64_t *sup;
+    const uint16_t *sub;
+    int64_t nbits, nw, nsup, total;
+};
+
+static inline int select_in_word(uint64_t word, int r);
+
+static inline int64_t br_rank(const BRView &v, int64_t i) {
+    if (i < 0)
+        return 0;
+    if (i >= v.nbits)
+        i = v.nbits - 1;
+    int64_t w = i >> 6;
+    uint64_t mask = ~0ull >> (63 - (i & 63));
+    return v.sup[w >> 6] + v.sub[w]
+           + __builtin_popcountll(v.words[w] & mask);
+}
+
+static inline int64_t br_select(const BRView &v, int64_t r) {
+    if (v.total <= 0)
+        return 0;
+    if (r < 1)
+        r = 1;
+    else if (r > v.total)
+        r = v.total;
+    int64_t lo = 0, hi = v.nsup;
+    while (hi - lo > 1) {
+        int64_t mid = (lo + hi) >> 1;
+        if (v.sup[mid] < r)
+            lo = mid;
+        else
+            hi = mid;
+    }
+    int64_t rr = r - v.sup[lo];
+    int64_t base = lo * 64;
+    int64_t wend = base + 64 < v.nw ? base + 64 : v.nw;
+    int64_t w = base;
+    for (int64_t j = base + 1; j < wend; ++j) {
+        if (v.sub[j] < rr)
+            w = j;
+        else
+            break;
+    }
+    return (w << 6) + select_in_word(v.words[w], (int)(rr - v.sub[w]));
+}
+
+void boss_map_edges_batch(
+        void *const *pw, void *const *ps, void *const *pb,
+        const int64_t *pn, const int64_t *pnw, const int64_t *pnsup,
+        const int64_t *ptotal,
+        const void *lw, const void *lsup, const void *lsub,
+        int64_t ln, int64_t lnw, int64_t lnsup, int64_t ltotal,
+        const int64_t *F, const int64_t *NF, int32_t alph,
+        const uint8_t *kmers, int64_t Q, int32_t k, int32_t with_edge,
+        int64_t *out) {
+    int64_t M = ln;  // last has one bit per W row
+    BRView last{(const uint64_t *)lw, (const int64_t *)lsup,
+                (const uint16_t *)lsub, ln, lnw, lnsup, ltotal};
+    std::vector<BRView> planes(2 * alph);
+    for (int32_t c = 0; c < 2 * alph; ++c)
+        planes[c] = BRView{(const uint64_t *)pw[c], (const int64_t *)ps[c],
+                           (const uint16_t *)pb[c], pn[c], pnw[c], pnsup[c],
+                           ptotal[c]};
+    auto rankW = [&](int64_t i, int32_t c) -> int64_t {
+        // occurrences of c in W[1..i]
+        return br_rank(planes[c], i) - (c == 0 && i >= 0 ? 1 : 0);
+    };
+    auto select_last = [&](int64_t r) -> int64_t {
+        return r > 0 ? br_select(last, r) : 0;
+    };
+    int32_t row = k + (with_edge ? 1 : 0);
+    for (int64_t q = 0; q < Q; ++q) {
+        const uint8_t *codes = kmers + q * row;
+        out[q] = 0;
+        bool ok = true;
+        for (int32_t p = 0; p < k; ++p)
+            if (codes[p] >= alph) {
+                ok = false;
+                break;
+            }
+        if (!ok || (with_edge && codes[k] >= alph))
+            continue;
+        int32_t s = codes[0];
+        int64_t rl = F[s] + 1 < M ? F[s] + 1 : M;
+        int64_t ru = s + 1 < alph ? F[s + 1] : M - 1;
+        if (rl > ru)
+            continue;
+        for (int32_t p = 1; p < k && ok; ++p) {
+            s = codes[p];
+            int64_t rk_rl = rankW(rl - 1 > 0 ? rl - 1 : 0, s) + 1;
+            int64_t rk_ru = rankW(ru, s);
+            if (rk_rl > rk_ru) {
+                ok = false;
+                break;
+            }
+            rl = select_last(NF[s] + rk_rl - 1) + 1;
+            ru = select_last(NF[s] + rk_ru);
+        }
+        if (!ok)
+            continue;
+        if (!with_edge) {
+            out[q] = ru;
+            continue;
+        }
+        // pick_edge(ru, label) (ref boss.cpp:710-722)
+        int32_t label = codes[k];
+        int64_t begin =
+            select_last(br_rank(last, ru - 1 > 0 ? ru - 1 : 0)) + 1;
+        for (int32_t cb = 0; cb < 2; ++cb) {
+            int32_t cand = label + cb * alph;
+            int64_t lo = rankW(begin - 1 > 0 ? begin - 1 : 0, cand);
+            int64_t hi = rankW(ru, cand);
+            if (hi > lo) {
+                // select_W(cand, lo + 1)
+                out[q] = br_select(planes[cand],
+                                   lo + 1 + (cand == 0 ? 1 : 0));
+                break;
+            }
+        }
+    }
+}
+
+// mixed-symbol variants: one call for a batch of (position, symbol) queries
+// over the per-symbol W planes (BOSS rank_W/select_W hot path — avoids
+// per-symbol Python grouping overhead)
+
+void bitrank_rank_multi(void *const *words_p, void *const *sup_p,
+                        void *const *sub_p, const int64_t *nbits,
+                        const int64_t *idx, const int32_t *plane,
+                        int64_t nq, int64_t *out) {
+    for (int64_t q = 0; q < nq; ++q) {
+        int32_t p = plane[q];
+        const uint64_t *words = (const uint64_t *)words_p[p];
+        const int64_t *sup = (const int64_t *)sup_p[p];
+        const uint16_t *sub = (const uint16_t *)sub_p[p];
+        int64_t i = idx[q];
+        if (i < 0) {
+            out[q] = 0;
+            continue;
+        }
+        if (i >= nbits[p])
+            i = nbits[p] - 1;
+        int64_t w = i >> 6;
+        uint64_t mask = ~0ull >> (63 - (i & 63));
+        out[q] = sup[w >> 6] + sub[w]
+                 + __builtin_popcountll(words[w] & mask);
+    }
+}
+
+void bitrank_select_multi(void *const *words_p, void *const *sup_p,
+                          void *const *sub_p, const int64_t *nw,
+                          const int64_t *nsup, const int64_t *total,
+                          const int64_t *ranks, const int32_t *plane,
+                          int64_t nq, int64_t *out) {
+    for (int64_t q = 0; q < nq; ++q) {
+        int32_t p = plane[q];
+        const uint64_t *words = (const uint64_t *)words_p[p];
+        const int64_t *sup = (const int64_t *)sup_p[p];
+        const uint16_t *sub = (const uint16_t *)sub_p[p];
+        int64_t r = ranks[q];
+        if (r < 1)
+            r = 1;
+        else if (r > total[p])
+            r = total[p] > 0 ? total[p] : 1;
+        int64_t lo = 0, hi = nsup[p];
+        while (hi - lo > 1) {
+            int64_t mid = (lo + hi) >> 1;
+            if (sup[mid] < r)
+                lo = mid;
+            else
+                hi = mid;
+        }
+        int64_t rr = r - sup[lo];
+        int64_t base = lo * 64;
+        int64_t wend = base + 64 < nw[p] ? base + 64 : nw[p];
+        int64_t w = base;
+        for (int64_t j = base + 1; j < wend; ++j) {
+            if (sub[j] < rr)
+                w = j;
+            else
+                break;
+        }
+        int64_t rw = rr - sub[w];
+        out[q] = (w << 6) + select_in_word(words[w], (int)rw);
     }
 }
 
