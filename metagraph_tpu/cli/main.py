@@ -602,9 +602,11 @@ def cmd_assemble(args):
         overlap = k - 1
         with open(out, "w") as f:
             f.write("H\tVN:Z:1.0\n")
-            for path, seq in traversal.call_paths(g.boss, True, False, True):
-                if not traversal._keep_unitig(g.boss, path, seq,
-                                              args.prune_tips, None):
+            paths, tix = traversal.call_paths(g.boss, True, False, True,
+                                              return_index=True)
+            for path, seq in paths:
+                if not traversal._keep_unitig(g.boss, tix, path, seq,
+                                              args.prune_tips):
                     continue
                 unitig = table[np.array(seq, dtype=np.uint8)].tobytes().decode()
                 if args.compacted:

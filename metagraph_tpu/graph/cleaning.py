@@ -179,16 +179,18 @@ def clean_graph_contigs(graph, min_count: int = 1, max_count: int = 2 ** 63,
         pass  # full graph: dummy edges excluded by trim_sentinels
 
     if min_unitig_median != 1:
-        contigs_paths = traversal.call_paths(boss, True, single, True, mask)
+        contigs_paths, tix = traversal.call_paths(boss, True, single, True,
+                                                  mask, return_index=True)
         contigs_paths = [
             (p, s) for p, s in contigs_paths
-            if traversal._keep_unitig(boss, p, s, prune_tips, mask)
+            if traversal._keep_unitig(boss, tix, p, s, prune_tips)
             and not is_unreliable_unitig(weights[p], min_unitig_median)]
     elif unitigs or prune_tips > 1 or smoothing_window > 1:
-        contigs_paths = traversal.call_paths(boss, True, single, True, mask)
+        contigs_paths, tix = traversal.call_paths(boss, True, single, True,
+                                                  mask, return_index=True)
         contigs_paths = [
             (p, s) for p, s in contigs_paths
-            if traversal._keep_unitig(boss, p, s, prune_tips, mask)]
+            if traversal._keep_unitig(boss, tix, p, s, prune_tips)]
     else:
         contigs_paths = traversal.call_paths(boss, False, single, True, mask)
 

@@ -1,7 +1,7 @@
 """BOSS path/contig/unitig extraction (ref boss.cpp:2044-3100 call_paths /
 call_sequences / call_unitigs).
 
-A faithful single-threaded mirror of the reference traversal:
+Emission semantics mirror the reference traversal exactly:
 
   phase 1 — start from the source-dummy edges (node $^k), last to first
   phase 2 — start from every unvisited out-edge of multi-out forks (ascending)
@@ -12,83 +12,204 @@ descending-index order, queueing the rest LIFO); unitig mode stops at forks
 and multi-in nodes.  kmers_in_single_form marks the reverse complement of
 every emitted k-mer as visited and cuts paths where the pair was already
 emitted (primary contigs).
+
+Unlike the reference's per-edge multithreaded walk
+(boss.cpp:2126-2167, atomic visited bitmaps), the hot loop here is
+*chain-compressed*: a vectorized precompute decomposes the graph into
+unitig-grain chains (maximal runs where the continuation is deterministic:
+unique outgoing edge at the target and single incoming occurrence), and the
+walk consumes a whole chain slice per Python step — visited marking, path and
+sequence extension are bulk numpy ops.  Only chain boundaries (forks,
+multi-in nodes, sentinel edges) run the scalar reference logic, so the
+Python-interpreted step count drops from O(edges) to O(branch points) while
+every emitted path stays byte-identical to the sequential reference order.
 """
 
 from __future__ import annotations
 
 from collections import deque
-from typing import Iterator, List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
 from ..succinct.boss import BOSS
 
 
-def _outgoing(boss: BOSS, last_edge: int, mask) -> List[int]:
-    """Edges of the node whose last edge is `last_edge`, in descending index
-    order (ref call_outgoing boss.hpp:779-784 + masked_call_outgoing)."""
-    out = []
-    e = last_edge
-    while True:
-        if mask is None or mask[e]:
-            out.append(e)
-        e -= 1
-        if e <= 0 or boss.last[e]:
-            break
-    return out
-
-
 def _is_single_incoming(boss: BOSS, i: int, w: int) -> bool:
     """ref boss.cpp:802-815: edge i has W==w (non-minus); single incoming iff
-    no (w+alph) edge before the next w edge."""
+    no (w+alph) edge before the next w edge.  Scalar helper for the
+    per-node graph API (DBGSuccinct.has_single_incoming)."""
     if w > boss.alph_size:
         return False
     i += 1
-    M = len(boss.W)
-    if i >= M:
+    if i >= len(boss.W):
         return True
-    # find next occurrence of w or w+alph at >= i
     n1 = boss._next_W(i, w)
     n2 = boss._next_W(i, w + boss.alph_size)
     return not (n2 and (not n1 or n2 < n1))
 
 
-def _pick_single_incoming(boss: BOSS, j: int, d: int, mask) -> Tuple[int, bool]:
-    """ref masked_pick_single_incoming (boss.cpp:1893-1935): j = first
-    incoming edge (W==d).  Returns (edge or 0, is_single)."""
-    if mask is None:
-        return j, _is_single_incoming(boss, j, d)
-    found = 0
-    multiple = False
-    e = j
-    alph = boss.alph_size
-    M = len(boss.W)
-    while True:
-        if mask[e]:
-            if found:
-                multiple = True
+class _TravIndex:
+    """Vectorized per-edge navigation tables + chain decomposition.
+
+    All arrays are indexed by edge (0..M-1, edge 0 is the sentinel row):
+
+      succ_last[e]   last edge of e's node
+      block_begin[e] first edge of e's node
+      fwd[e]         target node's last edge (ref boss.cpp:640-672)
+      grp_cnt[e]     #masked edges in e's incoming group (the W==d edge plus
+                     its W==d+alph run; ref masked_pick_single_incoming,
+                     boss.cpp:1893-1935) — computed per symbol with merged
+                     position scans instead of per-edge succ_W loops
+      grp_first[e]   first masked edge of that group (0 if none)
+      out_cnt_t[e]   #masked out-edges of e's target node
+      unique_out[e]  the single masked out-edge when out_cnt_t == 1
+      chain_*        unitig-grain chain decomposition via pointer doubling
+    """
+
+    def __init__(self, boss: BOSS, mask):
+        M = len(boss.W)
+        alph = boss.alph_size
+        Wraw = boss.W
+        self.Wmod = (Wraw % alph).astype(np.uint8)
+        self.M = M
+
+        ends = np.flatnonzero(boss.last).astype(np.int64)
+        eidx = np.searchsorted(ends, np.arange(M), side="left")
+        self.node_ends = ends
+        self.succ_last = ends[np.minimum(eidx, len(ends) - 1)]
+        prev_end = np.where(eidx > 0, ends[np.maximum(eidx - 1, 0)], 0)
+        self.block_begin = prev_end + 1
+
+        mask01 = (np.ones(M, np.uint8) if mask is None
+                  else np.asarray(mask, dtype=bool).astype(np.uint8).copy())
+        mask01[0] = 0
+        self.mask01 = mask01
+        cm = np.zeros(M + 1, np.int64)
+        np.cumsum(mask01, out=cm[1:])
+        self.cmask = cm
+        self.masked_pos = np.flatnonzero(mask01).astype(np.int64)
+
+        # batched fwd for every edge (one native rank/select pass)
+        fwd = np.zeros(M, np.int64)
+        if M > 1:
+            fwd[1:] = boss.fwd(np.arange(1, M, dtype=np.int64))
+        self.fwd = fwd
+
+        # masked out-degree + unique out-edge at each edge's target
+        tb = self.block_begin[fwd]
+        out_cnt = np.where(fwd > 0, cm[fwd + 1] - cm[np.maximum(tb, 0)], 0)
+        self.out_cnt_t = out_cnt
+        uo = np.zeros(M, np.int64)
+        one = out_cnt == 1
+        if one.any():
+            uo[one] = self.masked_pos[cm[fwd[one] + 1] - 1]
+        self.unique_out = uo
+
+        # incoming groups, per symbol (vectorized masked_pick_single_incoming)
+        grp_cnt = np.zeros(M, np.int64)
+        grp_first = np.zeros(M, np.int64)
+        for d in range(alph):
+            pd = np.flatnonzero(Wraw == d).astype(np.int64)
+            if d == 0:
+                pd = pd[pd > 0]
+            if not len(pd):
+                continue
+            pm = (np.flatnonzero(Wraw == d + alph).astype(np.int64)
+                  if d + alph < 256 else np.zeros(0, np.int64))
+            nxt_d = np.concatenate([pd[1:], [M]])
+            lo = np.searchsorted(pm, pd, side="right")
+            hi = np.searchsorted(pm, nxt_d, side="left")
+            cmm = np.zeros(len(pm) + 1, np.int64)
+            if len(pm):
+                np.cumsum(mask01[pm], out=cmm[1:])
+            cnt = mask01[pd].astype(np.int64) + cmm[hi] - cmm[lo]
+            mpos = pm[mask01[pm] > 0] if len(pm) else pm
+            fm = np.zeros(len(pd), np.int64)
+            hm = cmm[hi] > cmm[lo]
+            if hm.any():
+                fm[hm] = mpos[cmm[lo[hm]]]
+            fm = np.where(mask01[pd] > 0, pd, fm)
+            grp_cnt[pd] = cnt
+            grp_first[pd] = fm
+            if len(pm):
+                gi = np.searchsorted(pd, pm, side="left") - 1
+                ok = gi >= 0
+                grp_cnt[pm[ok]] = cnt[gi[ok]]
+                grp_first[pm[ok]] = fm[gi[ok]]
+        self.grp_cnt = grp_cnt
+        self.grp_first = grp_first
+
+        # ---- chain decomposition: ch[e] = deterministic continuation ----
+        # continuation exists iff the edge is non-sentinel, its target has
+        # exactly one masked out-edge, AND the edge's incoming occurrence is
+        # single (so chains have in-degree <= 1 and never merge)
+        ch = np.where((self.Wmod != 0) & one & (grp_cnt == 1), uo, 0)
+        ch[0] = 0
+        idx = np.arange(M, dtype=np.int64)
+        for _ in range(2):                      # second pass after cycle break
+            pred = np.zeros(M, np.int64)
+            has = ch > 0
+            pred[ch[has]] = idx[has]
+            heads = pred == 0
+            pred[heads] = idx[heads]
+            anc = pred.copy()
+            dep = (anc != idx).astype(np.int64)
+            steps = max(1, int(np.ceil(np.log2(max(M, 2)))) + 1)
+            for _ in range(steps):
+                dep = dep + dep[anc]
+                anc = anc[anc]
+            cyc = pred[anc] != anc
+            if not cyc.any():
                 break
-            found = e
-        # advance to next incoming edge of same target: next W == d+alph
-        # before the next W == d
-        nxt = boss._next_W(e + 1, d + alph) if e + 1 < M else 0
-        stop = boss._next_W(e + 1, d) if e + 1 < M else 0
-        if not nxt or (stop and stop < nxt):
-            break
-        e = nxt
-    if multiple:
+            # break each ch-cycle right before its minimum edge so the chain
+            # starts there (phase 3 emits cycles from their min edge)
+            mnv = idx.copy()
+            nx = np.where(ch > 0, ch, idx)
+            for _ in range(steps):
+                mnv = np.minimum(mnv, mnv[nx])
+                nx = nx[nx]
+            ch[cyc & (ch == mnv)] = 0
+        self.head = anc
+        order = np.lexsort((dep, anc))
+        self.chain_arr = order.astype(np.int64)
+        cp = np.empty(M, np.int64)
+        cp[order] = np.arange(M)
+        self.chain_pos = cp
+        heads_in_order = anc[order]
+        change = np.flatnonzero(np.diff(heads_in_order)) + 1
+        starts = np.concatenate([[0], change])
+        ends_ = np.concatenate([change, [M]])
+        re_pos = np.repeat(ends_, ends_ - starts)
+        self.run_end = re_pos[cp]
+
+    # scalar helpers (chain-boundary only) --------------------------------
+    def outgoing(self, t: int) -> List[int]:
+        """Masked out-edges of the node whose last edge is t, descending
+        (ref call_outgoing boss.hpp:779-784 + masked variant)."""
+        b = int(self.block_begin[t])
+        m = self.mask01
+        return [x for x in range(t, b - 1, -1) if m[x]]
+
+    def pick_single_outgoing(self, t: int) -> Tuple[int, bool]:
+        """(edge, single) for the node whose last edge is t
+        (ref masked_pick_single_outgoing)."""
+        cnt = self.cmask[t + 1] - self.cmask[max(int(self.block_begin[t]), 0)]
+        if cnt == 0:
+            return 0, False
+        if cnt == 1:
+            return int(self.masked_pos[self.cmask[t + 1] - 1]), True
+        return t, False
+
+    def pick_single_incoming(self, j: int) -> Tuple[int, bool]:
+        """(edge, single) for the incoming group whose member is edge j
+        (ref masked_pick_single_incoming boss.cpp:1893-1935)."""
+        cnt = int(self.grp_cnt[j])
+        if cnt == 0:
+            return 0, False
+        if cnt == 1:
+            return int(self.grp_first[j]), True
         return j, False
-    return found, bool(found)
-
-
-def _pick_single_outgoing(boss: BOSS, i: int, mask) -> Tuple[int, bool]:
-    """ref masked_pick_single_outgoing: i = last edge of node."""
-    out = _outgoing(boss, i, mask)
-    if not out:
-        return 0, False
-    if len(out) == 1:
-        return out[0], True
-    return i, False
 
 
 class _Traversal:
@@ -99,6 +220,7 @@ class _Traversal:
         self.single_form = kmers_in_single_form
         self.trim = trim_sentinels
         self.mask = mask
+        self.ix = _TravIndex(boss, mask)
         M = len(boss.W)
         self.visited = np.zeros(M, dtype=bool)
         if mask is not None:
@@ -116,6 +238,7 @@ class _Traversal:
     # ----------------------------------------------------------- traversal
     def run(self):
         boss = self.boss
+        ix = self.ix
         M = len(boss.W)
         if self.mask is None:
             # phase 1: source dummy edges, last to first
@@ -124,68 +247,77 @@ class _Traversal:
                 if not self.visited[i]:
                     self.walk(deque([(i, None)]))
         else:
-            # nodes with no incoming edges in the subgraph
-            seen_nodes = set()
-            for i in np.flatnonzero(np.asarray(self.mask, dtype=bool)):
-                if i == 0:
-                    continue
-                last_e = boss.succ_last_scalar(i)
-                if last_e in seen_nodes:
-                    continue
-                seen_nodes.add(last_e)
-                j = boss.bwd_scalar(last_e)
-                j, _ = _pick_single_incoming(
-                    boss, j, int(boss.W[j]) % boss.alph_size, self.mask)
-                if j:
-                    continue
-                for e in _outgoing(boss, last_e, self.mask):
-                    if not self.single_form or not self.visited[e]:
-                        self.walk(deque([(e, None)]))
+            # nodes with no incoming edges in the subgraph (batched check)
+            node_ends = np.unique(ix.succ_last[ix.masked_pos])
+            if len(node_ends):
+                j = boss.bwd(node_ends)
+                no_in = ix.grp_cnt[j] == 0
+                for last_e in node_ends[no_in]:
+                    for e in ix.outgoing(int(last_e)):
+                        if not self.single_form or not self.visited[e]:
+                            self.walk(deque([(e, None)]))
 
-        # phase 2: forks
-        i = 1
-        while i < M:
-            if self.visited[i]:
-                i += 1
-                continue
-            last_i = boss.succ_last_scalar(i)
-            edges = _outgoing(boss, last_i, self.mask)
-            if len(edges) >= 2:
-                for e in edges:
-                    if not self.visited[e]:
-                        self.walk(deque([(e, None)]))
-            i = last_i + 1
+        # phase 2: forks, ascending by node; out-edges descending
+        ne = ix.node_ends
+        out_cnt_node = ix.cmask[ne + 1] - ix.cmask[ix.block_begin[ne]]
+        for last_i in ne[out_cnt_node >= 2]:
+            block = ix.outgoing(int(last_i))
+            for e in block:
+                if not self.visited[e]:
+                    self.walk(deque([(e, None)]))
 
         # phase 3: cycles
-        i = 1
-        while i < M:
-            if self.visited[i]:
-                i += 1
-                continue
-            self.process_cycle(i)
-            i += 1
+        for i in np.flatnonzero(~self.visited):
+            if not self.visited[i]:
+                self.process_cycle(int(i))
 
-    def process_cycle(self, edge):
-        boss = self.boss
-        start = edge
-        path = []
+    def process_cycle(self, start: int):
+        """Walk the remaining cycle through `start` chain-by-chain to find
+        its minimum edge, then emit from there (ref boss.cpp:2243-2265)."""
+        ix = self.ix
+        mn = start
+        e = start
+        guard = 0
         while True:
-            path.append(edge)
-            edge = boss.fwd_scalar(edge)
-            edge, _ = _pick_single_outgoing(boss, edge, self.mask)
-            assert edge
-            if edge == start:
+            i0 = int(ix.chain_pos[e])
+            i1 = int(ix.run_end[e])
+            if (e != start and ix.head[e] == ix.head[start]
+                    and i0 < ix.chain_pos[start] < i1):
+                seg = ix.chain_arr[i0:int(ix.chain_pos[start])]
+                if len(seg):
+                    mn = min(mn, int(seg.min()))
                 break
-        rep = min(path)
-        if not self.visited[rep]:
-            self.walk(deque([(rep, None)]))
+            seg = ix.chain_arr[i0:i1]
+            mn = min(mn, int(seg.min()))
+            tail = int(seg[-1])
+            cnt = int(ix.out_cnt_t[tail])
+            if cnt == 1:
+                e = int(ix.unique_out[tail])
+            elif cnt >= 2:
+                e = int(ix.fwd[tail])          # ref pick returns node's last
+            else:
+                raise AssertionError("cycle walk lost its continuation")
+            if e == start:
+                break
+            guard += len(seg) + 1
+            if guard > ix.M + 1:
+                raise AssertionError("cycle walk did not terminate")
+        if not self.visited[mn]:
+            self.walk(deque([(mn, None)]))
 
     def walk(self, queue: deque):
         boss = self.boss
+        ix = self.ix
         alph = boss.alph_size
+        Wraw = boss.W
+        visited = self.visited
+        chain_arr = ix.chain_arr
+        chain_pos = ix.chain_pos
+        run_end = ix.run_end
+        Wmod = ix.Wmod
         while queue:
             edge, kmer = queue.pop()
-            if self.visited[edge]:
+            if visited[edge]:
                 continue
             if kmer is not None:
                 sequence = list(kmer)
@@ -193,28 +325,41 @@ class _Traversal:
                 sequence = list(boss.get_node_seq(np.array([edge]))[0])
             path = []
 
-            while not self.visited[edge]:
-                self.visited[edge] = True
-                w = int(boss.W[edge])
+            while not visited[edge]:
+                # ---- fast path: consume the rest of the edge's chain ----
+                i0 = int(chain_pos[edge])
+                i1 = int(run_end[edge])
+                if i1 - i0 > 1:
+                    seg = chain_arr[i0:i1]
+                    vis = visited[seg]
+                    j = int(np.argmax(vis)) if vis.any() else len(seg)
+                    if j > 1:
+                        if j < len(seg):
+                            consume = seg[:j]
+                            nxt_edge = int(seg[j])     # visited -> loop exits
+                        else:
+                            consume = seg[:-1]
+                            nxt_edge = int(seg[-1])    # tail: scalar step
+                        visited[consume] = True
+                        path.extend(consume.tolist())
+                        sequence.extend(Wmod[consume].tolist())
+                        edge = nxt_edge
+                        continue
+
+                # ---- scalar step (chain boundary; ref boss.cpp:2280-2350)
+                visited[edge] = True
+                w = int(Wraw[edge])
                 d = w % alph
                 sequence.append(d)
                 path.append(edge)
                 if not d:
                     break
 
-                if not self.split:
-                    stop_even_if_single_outgoing = False
-                elif self.mask is None and w != d:
-                    stop_even_if_single_outgoing = True
-                else:
-                    e2 = edge
-                    if w != d:
-                        e2 = boss._prev_W(edge, d)
-                    _, single = _pick_single_incoming(boss, e2, d, self.mask)
-                    stop_even_if_single_outgoing = not single
+                stop_even_if_single_outgoing = (
+                    self.split and ix.grp_cnt[edge] != 1)
 
-                edge = boss.fwd_scalar(edge, d)
-                out_edges = _outgoing(boss, edge, self.mask)
+                t = int(ix.fwd[edge])
+                out_edges = ix.outgoing(t)
                 if not out_edges:
                     break
                 edge = out_edges[0]
@@ -223,7 +368,7 @@ class _Traversal:
 
                 next_edge = 0
                 for e in out_edges:
-                    if not self.visited[e]:
+                    if not visited[e]:
                         if not next_edge and not self.split:
                             next_edge = e
                         else:
@@ -238,6 +383,7 @@ class _Traversal:
     # ------------------------------------------------------- path finishing
     def call_path(self, path, sequence, queue):
         boss = self.boss
+        ix = self.ix
         if not self.trim and not self.single_form:
             self.emit(path, sequence)
             return
@@ -272,8 +418,7 @@ class _Traversal:
             if not self.visited[e]:
                 self.visited[e] = True
                 if i + 1 == len(dual) or not dual[i + 1]:
-                    nxt = boss.fwd_scalar(e)
-                    nxt, single = _pick_single_outgoing(boss, nxt, self.mask)
+                    nxt, single = ix.pick_single_outgoing(int(ix.fwd[e]))
                     if single and nxt and not self.visited[nxt]:
                         queue.appendleft((nxt, list(rc_seq[i + 1: i + 1 + boss.k])))
             else:
@@ -310,29 +455,30 @@ def boss_complement(boss: BOSS):
 
 
 def call_paths(boss: BOSS, split_to_unitigs=False, kmers_in_single_form=False,
-               trim_sentinels=False, subgraph_mask=None):
+               trim_sentinels=False, subgraph_mask=None, return_index=False):
     t = _Traversal(boss, split_to_unitigs, kmers_in_single_form,
                    trim_sentinels, subgraph_mask)
     t.run()
+    if return_index:
+        return t.results, t.ix
     return t.results
 
 
 def call_sequences(boss: BOSS, unitigs=False, kmers_in_single_form=False,
                    min_tip_size=1, subgraph_mask=None):
     """Contigs (or unitigs) as code arrays (ref call_sequences/call_unitigs)."""
+    t = _Traversal(boss, unitigs, kmers_in_single_form, True, subgraph_mask)
+    t.run()
     if not unitigs:
-        return [np.array(seq, dtype=np.uint8)
-                for _, seq in call_paths(boss, False, kmers_in_single_form,
-                                         True, subgraph_mask)]
+        return [np.array(seq, dtype=np.uint8) for _, seq in t.results]
     out = []
-    for path, seq in call_paths(boss, True, kmers_in_single_form, True,
-                                subgraph_mask):
-        if _keep_unitig(boss, path, seq, min_tip_size, subgraph_mask):
+    for path, seq in t.results:
+        if _keep_unitig(boss, t.ix, path, seq, min_tip_size):
             out.append(np.array(seq, dtype=np.uint8))
     return out
 
 
-def _keep_unitig(boss: BOSS, path, seq, min_tip_size, mask) -> bool:
+def _keep_unitig(boss: BOSS, ix: _TravIndex, path, seq, min_tip_size) -> bool:
     """Tip filtering (ref call_unitigs boss.cpp:3003-3098)."""
     if len(seq) >= boss.k + min_tip_size:
         return True
@@ -340,16 +486,13 @@ def _keep_unitig(boss: BOSS, path, seq, min_tip_size, mask) -> bool:
 
     last_fwd = 0
     if seq[-1] != 0:
-        last_fwd = boss.fwd_scalar(last_edge, int(seq[-1]))
-        last_fwd, single = _pick_single_outgoing(boss, last_fwd, mask)
+        last_fwd, single = ix.pick_single_outgoing(int(ix.fwd[last_edge]))
         if not single and last_fwd:
             return True
 
     first_bwd = 0
     if seq[0] != 0:
-        first_bwd = boss.bwd_scalar(first_edge)
-        d = boss.node_last_char_scalar(first_edge)
-        first_bwd, single = _pick_single_incoming(boss, first_bwd, d, mask)
+        first_bwd, single = ix.pick_single_incoming(boss.bwd_scalar(first_edge))
         if not single and first_bwd:
             return True
 
