@@ -84,8 +84,127 @@ class RowFlat(BinaryMatrix):
         return out
 
 
-class RowSparse(RowFlat):
+class RowSparse(BinaryMatrix):
+    """Delta-coded sparse rows (ref row_sparse/row_sparse.hpp:16).
+
+    The reference stores, per row, the first column id followed by deltas in
+    an sdsl::vlc_vector (variable-length codes) with row boundaries in a
+    bit_vector_small.  Here the same delta stream is bit-packed into 64-value
+    blocks with one width per block (decode = vectorized shifts + masks, the
+    gather pattern the device kernels use) and boundaries are a BitRank
+    select directory — ~bits(delta)/entry instead of RowFlat's 64."""
+
     NAME = "row_sparse"
+    BLOCK = 64
+
+    def __init__(self, words, widths, boundary_bits, num_rows, num_labels,
+                 nnz):
+        from ..succinct.bitrank import BitRank
+        self.words = words                  # uint64 packed delta stream
+        self.widths = widths                # uint8 bit width per BLOCK values
+        self.boundary = BitRank(boundary_bits)
+        self.num_rows = num_rows
+        self.num_labels = num_labels
+        self.nnz = nnz
+        # bit offset of each block (cumsum of width * BLOCK)
+        self._boff = np.zeros(len(widths) + 1, dtype=np.int64)
+        np.cumsum(widths.astype(np.int64) * self.BLOCK, out=self._boff[1:])
+
+    def num_relations(self):
+        return self.nnz
+
+    @classmethod
+    def from_columns(cls, columns, num_rows, num_labels):
+        indptr, indices = cls._csr_from_columns(columns, num_rows)
+        nnz = len(indices)
+        # delta-code within rows: first value absolute, rest consecutive diffs
+        deltas = indices.astype(np.uint64).copy()
+        if nnz > 1:
+            deltas[1:] = (indices[1:] - indices[:-1]).astype(np.uint64)
+        firsts = indptr[:-1][indptr[:-1] < indptr[1:]]       # non-empty rows
+        deltas[firsts] = indices[firsts].astype(np.uint64)
+        # boundary: one terminator bit per row after its deltas
+        boundary = np.zeros(nnz + num_rows, dtype=bool)
+        boundary[indptr[1:] + np.arange(num_rows)] = True
+        # pack into BLOCK-value blocks with per-block bit width
+        B = cls.BLOCK
+        nblk = (nnz + B - 1) // B if nnz else 0
+        pad = np.zeros(nblk * B, dtype=np.uint64)
+        pad[:nnz] = deltas
+        if nblk:
+            mx = pad.reshape(nblk, B).max(axis=1)
+            widths = np.maximum(
+                np.ceil(np.log2(mx.astype(np.float64) + 1)), 1
+            ).astype(np.uint8)
+            # exact width for powers of two (float log2 can round down)
+            widths = np.maximum(widths, np.where(
+                mx >> widths.astype(np.uint64) != 0, widths + 1, widths
+            ).astype(np.uint8))
+        else:
+            widths = np.zeros(0, dtype=np.uint8)
+        boff = np.zeros(nblk + 1, dtype=np.int64)
+        np.cumsum(widths.astype(np.int64) * B, out=boff[1:])
+        total_bits = int(boff[-1])
+        words = np.zeros(total_bits // 64 + 2, dtype=np.uint64)
+        if nnz:
+            j = np.arange(nnz, dtype=np.int64)
+            blk = j // B
+            w = widths[blk].astype(np.int64)
+            off = boff[blk] + (j - blk * B) * w
+            wi = off >> 6
+            sh = (off & 63).astype(np.uint64)
+            np.bitwise_or.at(words, wi, deltas << sh)
+            spill = sh > 0
+            np.bitwise_or.at(words, wi[spill] + 1,
+                             deltas[spill] >> (np.uint64(64) - sh[spill]))
+        return cls(words, widths, boundary, num_rows, num_labels, nnz)
+
+    def _decode(self, pos: np.ndarray) -> np.ndarray:
+        """Vectorized random access into the packed delta stream."""
+        B = self.BLOCK
+        blk = pos // B
+        w = self.widths[blk].astype(np.int64)
+        off = self._boff[blk] + (pos - blk * B) * w
+        wi = off >> 6
+        sh = (off & 63).astype(np.uint64)
+        w64 = w.astype(np.uint64)
+        lo = self.words[wi] >> sh
+        sh2 = (np.uint64(64) - sh) & np.uint64(63)
+        hi = np.where(sh > 0, self.words[wi + 1] << sh2, np.uint64(0))
+        mask = np.where(w64 >= 64, ~np.uint64(0),
+                        (np.uint64(1) << w64) - np.uint64(1))
+        return ((lo | hi) & mask).astype(np.int64)
+
+    def _row_ranges(self, rows: np.ndarray):
+        """(start, length) into the delta stream for each row."""
+        rows = np.asarray(rows, dtype=np.int64)
+        s1 = self.boundary.select(rows + 1)              # terminator of row
+        s0 = np.where(rows > 0, self.boundary.select(np.maximum(rows, 1)) + 1,
+                      0)
+        return s0 - rows, s1 - rows                       # delta positions
+
+    def get_rows_mask(self, rows):
+        rows = np.asarray(rows, dtype=np.int64)
+        out = np.zeros((len(rows), self.num_labels), dtype=bool)
+        if not len(rows) or not self.nnz:
+            return out
+        p0, p1 = self._row_ranges(rows)
+        lens = p1 - p0
+        tot = int(lens.sum())
+        if not tot:
+            return out
+        seg_id = np.repeat(np.arange(len(rows)), lens)
+        # position within segment: arange minus segment start offset
+        seg_first = np.cumsum(np.concatenate([[0], lens[:-1]]))
+        within = np.arange(tot) - np.repeat(seg_first, lens)
+        pos = np.repeat(p0, lens) + within
+        vals = self._decode(pos)
+        cs = np.cumsum(vals)
+        sf = np.minimum(seg_first, tot - 1)
+        base = np.repeat(cs[sf] - vals[sf], lens)
+        cols = cs - base
+        out[seg_id, cols] = True
+        return out
 
 
 class UniqueRowBinmat(BinaryMatrix):

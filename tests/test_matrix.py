@@ -182,3 +182,29 @@ class TestIntCoordMatrices:
         assert st2.has_coords
         rows = np.arange(0, anno.num_rows, 5)
         assert st2.get_row_tuples(rows) == anno.get_row_tuples(rows)
+
+
+class TestRowSparseEncoding:
+    """RowSparse must be a real delta-coded representation, not a RowFlat
+    alias (ref row_sparse/row_sparse.hpp:16 vlc_vector + boundary)."""
+
+    def test_compresses_and_roundtrips(self, tmp_path):
+        import pickle
+        from metagraph_tpu.annotation.matrix import RowFlat, RowSparse
+        rng = np.random.default_rng(7)
+        R, L = 4000, 300
+        cols = [np.sort(rng.choice(R, size=rng.integers(0, 60),
+                                   replace=False)).astype(np.int64)
+                for _ in range(L)]
+        rs = RowSparse.from_columns(cols, R, L)
+        rf = RowFlat.from_columns(cols, R, L)
+        q = rng.integers(0, R, size=500)
+        np.testing.assert_array_equal(rs.get_rows_mask(q), rf.get_rows_mask(q))
+        assert rs.num_relations() == len(rf.indices)
+        sparse_bytes = rs.words.nbytes + rs.widths.nbytes \
+            + rs.boundary.words.nbytes
+        flat_bytes = rf.indices.nbytes + rf.indptr.nbytes
+        assert sparse_bytes * 3 < flat_bytes          # real compression
+        rs2 = pickle.loads(pickle.dumps(rs))
+        np.testing.assert_array_equal(rs2.get_rows_mask(q),
+                                      rf.get_rows_mask(q))
