@@ -292,6 +292,18 @@ def cmd_transform_anno(args):
     from ..annotation.matrix import (StaticAnnotation, convert_annotation,
                                      load_annotation)
 
+    if getattr(args, "to_ref_format", False):
+        # emit a .column.annodbg the reference binary can load
+        # (ref annotate_column_compressed.cpp serialize)
+        from ..seq_io.refwrite import save_reference_column_annotation
+        anno = load_annotation(args.input[0])
+        if not isinstance(anno, ColumnMajorAnnotation):
+            raise SystemExit("ERROR: --to-ref-format requires a column "
+                             "(ColumnMajor) annotation input")
+        out = save_reference_column_annotation(anno, args.out)
+        print(f"reference-format annotation written to {out}",
+              file=sys.stderr)
+        return
     if getattr(args, "compute_overlap", None):
         # inner product of columns (ref transform_annotation.cpp:556-590)
         base = load_annotation(args.compute_overlap)
@@ -821,6 +833,13 @@ def cmd_transform(args):
     from ..graph import traversal
 
     g = DBGSuccinct.load(args.input[0])
+    if getattr(args, "to_ref_format", False):
+        # emit a .dbg the reference metagraph binary can load (state SMALL;
+        # ref dbg_succinct.cpp:787-833) + .edgemask dummy mask sidecar
+        from ..seq_io.refwrite import save_reference_boss
+        out = save_reference_boss(g, args.out)
+        print(f"reference-format graph written to {out}", file=sys.stderr)
+        return
     if getattr(args, "to_adj_list", False):
         # ref transform_graph.cpp:101-111 / BOSS::print_adj_list:1203-1209
         boss = g.boss
@@ -957,6 +976,9 @@ def main(argv=None):
     p.add_argument("--primary-kmers", action="store_true")
     p.add_argument("--initialize-bloom", action="store_true")
     p.add_argument("--to-adj-list", action="store_true")
+    p.add_argument("--to-ref-format", action="store_true",
+                   help="write a .dbg loadable by the reference metagraph "
+                        "binary (sdsl state SMALL)")
     p.add_argument("--mode", default=None,
                    choices=["basic", "canonical", "primary"])
     p.add_argument("--bloom-fpp", type=float, default=1.0)
@@ -1026,6 +1048,9 @@ def main(argv=None):
     p.add_argument("-i", "--infile-base", default=None,
                    help="graph (required for row_diff targets)")
     p.add_argument("--anno-type", default="column")
+    p.add_argument("--to-ref-format", action="store_true",
+                   help="write a .column.annodbg loadable by the reference "
+                        "metagraph binary")
     p.add_argument("--compute-overlap", default=None)
     p.add_argument("--aggregate-columns", action="store_true")
     p.add_argument("--count-kmers", action="store_true")

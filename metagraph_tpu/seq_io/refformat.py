@@ -383,8 +383,9 @@ def load_reference_boss(path: str):
 
     def boss_consistent(W, last):
         # fundamental BOSS invariant (ref boss.hpp): for every char c, the
-        # number of (non-minus) c-labeled edges equals the number of node
-        # rows in c's F-range
+        # number of *non-minus* c-labeled edges (exact W == c, minus copies
+        # W == c + alph excluded) equals the number of node rows in c's
+        # F-range
         if last[0] or len(W) != len(last):
             return False
         F_ext = np.concatenate([F, [len(W) - 1]])
@@ -402,7 +403,7 @@ def load_reference_boss(path: str):
     if code != 0:
         raise ValueError(f"unexpected last-vector representation {code}")
     last = read_rrr_vector(cur)
-    if not boss_consistent(W % alph_size0, last.astype(np.int64)):
+    if not boss_consistent(W, last.astype(np.int64)):
         raise ValueError("decoded BOSS vectors are inconsistent")
     mode = cur.be64() if cur.off + 8 <= len(data) else 0
     alph_size = nF

@@ -10,6 +10,7 @@ from metagraph_tpu.seq_io.refformat import (load_reference_boss,
                                             load_reference_column_annotation)
 
 EX = "/root/reference/metagraph/examples/data"
+REF = "/root/reference/metagraph/tests/data"
 
 
 class TestReferenceDbg:
@@ -101,3 +102,75 @@ class TestReferenceWeights:
         self._write_weights(str(dbg) + ".weights", list(range(1, 11)))
         g = DBGSuccinct.load(str(dbg))
         assert g.boss.weights is None
+
+
+class TestReferenceWriters:
+    """Emit side (refwrite.py): files this engine writes must parse with the
+    byte-layout readers that are themselves verified against real reference
+    artifacts (ref boss.cpp:262-340, annotate_column_compressed.cpp)."""
+
+    def test_rrr_reencode_example_byte_exact(self):
+        """Re-encoding the example .dbg `last` rrr vector reproduces the real
+        sdsl serialization byte for byte (validates the fitted sample
+        directories)."""
+        from metagraph_tpu.seq_io import refformat as rf
+        from metagraph_tpu.seq_io import refwrite as rw
+        for name in ("test_DNA_graph", "test_Protein_graph"):
+            path = (f"/root/reference/metagraph/examples/data/graphs/"
+                    f"{name}.dbg")
+            data = open(path, "rb").read()
+            cur = rf.Cursor(data)
+            nF = cur.be64()
+            [cur.be64() for _ in range(nF)]
+            cur.be64()
+            cur.be64()
+            rf.read_wt_huff(cur)
+            cur.be64()
+            cur.be64()
+            start = cur.off
+            last = rf.read_rrr_vector(cur)
+            orig = data[start:cur.off]
+            w = rw.Writer()
+            rw.write_rrr_vector(w, last)
+            assert bytes(w.buf) == orig
+
+    def test_boss_roundtrip(self, tmp_path):
+        from metagraph_tpu.seq_io.fasta import read_fasta
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        from metagraph_tpu.seq_io.refwrite import save_reference_boss
+        from metagraph_tpu.seq_io.refformat import load_reference_boss
+        recs = read_fasta(f"{REF}/transcripts_100.fa")
+        for mode in ("basic", "canonical"):
+            g = DBGSuccinct.build([r.seq for r in recs], k=20, mode=mode)
+            out = save_reference_boss(g, str(tmp_path / f"g_{mode}.dbg"))
+            g2 = load_reference_boss(out)
+            assert g2.k == g.k and g2.mode == g.mode
+            np.testing.assert_array_equal(g2.boss.W, g.boss.W)
+            np.testing.assert_array_equal(g2.boss.last, g.boss.last)
+            np.testing.assert_array_equal(g2.boss.F, g.boss.F)
+            np.testing.assert_array_equal(g2.boss.valid, g.boss.valid)
+
+    def test_annotation_roundtrip(self, tmp_path):
+        from metagraph_tpu.seq_io.fasta import read_fasta
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+        from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+        from metagraph_tpu.seq_io.refwrite import (
+            save_reference_column_annotation)
+        from metagraph_tpu.seq_io.refformat import (
+            load_reference_column_annotation)
+        recs = read_fasta(f"{REF}/transcripts_100.fa")
+        g = DBGSuccinct.build([r.seq for r in recs], k=20)
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        for r in recs[:25]:
+            ag.annotate_sequence(r.seq, [r.name])
+        out = save_reference_column_annotation(
+            anno, str(tmp_path / "a.column.annodbg"))
+        anno2 = load_reference_column_annotation(out)
+        assert anno2.num_rows == anno.num_rows
+        assert anno2.num_labels == anno.num_labels
+        for c in range(anno.num_labels):
+            np.testing.assert_array_equal(anno2.column_rows(c),
+                                          anno.column_rows(c))
+            assert anno2.encoder.decode(c) == anno.encoder.decode(c)
