@@ -26,9 +26,11 @@ def _add_common(p):
 def cmd_build(args):
     from ..seq_io.fasta import read_fasta, read_kmer_counts
     from ..graph.dbg_succinct import DBGSuccinct
+    from ..utils.timer import PhaseTimer
 
     from ..seq_io.kmc import is_kmc_file, read_kmers
 
+    _parse_timer = PhaseTimer("parse input").__enter__()
     seqs = []
     weights = []
     have_weights = False
@@ -62,6 +64,7 @@ def cmd_build(args):
         weights = [np.asarray(w, dtype=np.uint64) if w is not None
                    else np.ones(max(len(s) - k + 1, 0), dtype=np.uint64)
                    for s, w in zip(seqs, weights)]
+    _parse_timer.__exit__()
     if args.suffix is not None:
         # suffix-sharded chunk build (ref build.cpp:110-158): keep only
         # k-mers whose node ends with the suffix; '$'-suffixes hold no
@@ -91,13 +94,15 @@ def cmd_build(args):
               file=sys.stderr)
         return
     mem_cap = int(args.mem_cap_gb * (1 << 30)) if args.mem_cap_gb else None
-    g = DBGSuccinct.build(seqs, args.k, mode=args.mode,
-                          with_counts=args.count_kmers,
-                          bits_per_count=args.count_width,
-                          mask_dummy=True,
-                          window_weights=weights if have_weights else None,
-                          disk_swap=args.disk_swap, mem_cap_bytes=mem_cap)
-    g.save(args.out, mmap_layout=args.mmap)
+    with PhaseTimer("construct BOSS"):
+        g = DBGSuccinct.build(seqs, args.k, mode=args.mode,
+                              with_counts=args.count_kmers,
+                              bits_per_count=args.count_width,
+                              mask_dummy=True,
+                              window_weights=weights if have_weights else None,
+                              disk_swap=args.disk_swap, mem_cap_bytes=mem_cap)
+    with PhaseTimer("serialize"):
+        g.save(args.out, mmap_layout=args.mmap)
     print(f"graph built: k={args.k} nodes={g.num_nodes()}", file=sys.stderr)
 
 
@@ -1106,8 +1111,14 @@ def main(argv=None):
     if getattr(args, "mmap", False):
         from ..graph import dbg_succinct as _dbgmod
         _dbgmod.DEFAULT_MMAP = True
+    from ..utils.timer import Timer, get_peak_rss, set_trace, trace
+    set_trace(bool(getattr(args, "verbose", False)))
+    total = Timer()
     try:
-        return args.func(args)
+        ret = args.func(args)
+        trace(f"{args.command}: finished in {total.elapsed():.3f} sec, "
+              f"peak RSS {get_peak_rss() / 1e6:.0f} MB")
+        return ret
     except BrokenPipeError:
         sys.exit(0)
     except FileNotFoundError as e:

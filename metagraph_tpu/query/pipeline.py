@@ -488,6 +488,9 @@ class QueryEngine:
             nonlocal batch, batch_bp
             if not batch:
                 return
+            from ..utils.timer import Timer, trace
+            _bt = Timer()
+            _bp = batch_bp
             alignments = [None] * len(batch)
             if aligner_config is not None:
                 new_batch = []
@@ -509,6 +512,10 @@ class QueryEngine:
                                               num_top_labels,
                                               discovery_fraction,
                                               presence_fraction)
+            # per-batch throughput line (ref query.cpp:1385-1394)
+            dt = max(_bt.elapsed(), 1e-9)
+            trace(f"Batch of {_bp} bp queried in {dt:.5f} sec, "
+                  f"{_bp / dt:.1f} bp/s")
             for (sid, name, seq), payload, aln in zip(batch, payloads,
                                                       alignments):
                 yield SeqSearchResult(

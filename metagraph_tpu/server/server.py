@@ -11,6 +11,9 @@ from typing import Optional
 
 import numpy as np
 
+from ..utils.timer import get_curr_rss as _get_curr_rss
+from ..utils.timer import get_peak_rss as _get_peak_rss
+
 
 def _parse_fasta_string(fasta: str):
     records = []
@@ -126,6 +129,10 @@ class MetaGraphServer:
                 "labels": int(anno.num_labels),
                 "objects": int(anno.num_rows),
                 "representation": getattr(anno, "representation", "column"),
+            },
+            "process": {                       # ref unix_tools get_*_RSS
+                "curr_rss_mb": round(_get_curr_rss() / 1e6, 1),
+                "peak_rss_mb": round(_get_peak_rss() / 1e6, 1),
             },
         }
 
