@@ -174,25 +174,30 @@ def query_epoch_codes(table: jnp.ndarray, bitmap: jnp.ndarray,
 
 def tile_codes_layout(codes_list, K: int, tile: int = TILE):
     """Per-sequence code arrays -> (N, T+K-1) uint8 code tiles + per-tile
-    sequence ids + per-seq window counts (for unpacking nodes later)."""
+    sequence ids + per-seq window counts (for unpacking nodes later).
+
+    Fully vectorized: one gather over the concatenated codes (positions past
+    each sequence's end read as invalid code 5, identical to the per-tile
+    slicing+padding it replaces)."""
     TK = tile + K - 1
-    rows = []
-    tile_seq = []
-    nwins = []
-    for i, c in enumerate(codes_list):
-        nwin = max(len(c) - K + 1, 0)
-        nwins.append(nwin)
-        for t in range(0, nwin, tile):
-            seg = c[t: t + tile + K - 1]
-            if len(seg) < TK:
-                seg = np.concatenate(
-                    [seg, np.full(TK - len(seg), 5, np.uint8)])
-            rows.append(seg)
-            tile_seq.append(i)
-    if rows:
-        return (np.stack(rows).astype(np.uint8),
-                np.array(tile_seq, np.int32), nwins)
-    return (np.zeros((0, TK), np.uint8), np.zeros(0, np.int32), nwins)
+    lens = np.array([len(c) for c in codes_list], dtype=np.int64)
+    nwins_arr = np.maximum(lens - K + 1, 0)
+    nwins = nwins_arr.tolist()
+    ntiles = -(-nwins_arr // tile)
+    N = int(ntiles.sum())
+    if N == 0:
+        return (np.zeros((0, TK), np.uint8), np.zeros(0, np.int32), nwins)
+    cat = np.concatenate(codes_list)
+    seq_start = np.concatenate([[0], np.cumsum(lens)])
+    tile_seq = np.repeat(np.arange(len(codes_list), dtype=np.int32), ntiles)
+    tile_base = np.concatenate([[0], np.cumsum(ntiles)])
+    t_in_seq = np.arange(N, dtype=np.int64) - tile_base[tile_seq]
+    starts = seq_start[tile_seq] + t_in_seq * tile
+    idx = starts[:, None] + np.arange(TK, dtype=np.int64)
+    in_seq = idx < seq_start[tile_seq + 1][:, None]
+    out = np.where(in_seq, cat[np.minimum(idx, len(cat) - 1)],
+                   np.uint8(5)).astype(np.uint8)
+    return out, tile_seq, nwins
 
 
 def untile_nodes(nodes_tiled: np.ndarray, tile_seq: np.ndarray,
@@ -246,6 +251,29 @@ def count_epoch_tiled(bitmap: jnp.ndarray, nodes: jnp.ndarray,
                                  preferred_element_type=jnp.float32)
     present = jnp.sum(onehot * tile_hit[:, None], axis=0)
     return counts.astype(jnp.int32), present.astype(jnp.int32)
+
+
+@jax.jit
+def select_mask_epoch(counts: jnp.ndarray, dmin: jnp.ndarray) -> jnp.ndarray:
+    """Device-side label selection: pack (counts >= dmin_row) into uint32
+    words so the host downloads S*L/32 bits instead of the S*L int32 counts
+    matrix (the relay transfer is the CLI-path bottleneck).  dmin is the
+    host-computed per-sequence discovery threshold (float64 ceil semantics
+    of get_min_count stay on host — no f32 divergence on device)."""
+    sel = counts >= dmin[:, None]
+    S, L = sel.shape
+    pad = (-L) % 32
+    if pad:
+        sel = jnp.pad(sel, ((0, 0), (0, pad)))
+    w = (sel.reshape(S, -1, 32).astype(jnp.uint32)
+         << jnp.arange(32, dtype=jnp.uint32)[None, None, :])
+    return w.sum(axis=2, dtype=jnp.uint32)
+
+
+@jax.jit
+def gather_flat(counts: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """counts.reshape(-1)[idx] on device — downloads only the hit values."""
+    return counts.reshape(-1)[idx]
 
 
 def tile_layout(queries: np.ndarray, seq_ids: np.ndarray, num_seqs: int,

@@ -227,7 +227,12 @@ class QueryEngine:
     def _device_counts(self, nodes_list):
         """Per-sequence per-label occurrence counts + presence for a batch of
         mapped node arrays, in one device dispatch (rows = folded node - 1,
-        ref annotated_dbg.hpp:50; counting semantics of A.3)."""
+        ref annotated_dbg.hpp:50; counting semantics of A.3).
+
+        Returns (counts, present): counts stays ON DEVICE as (Spad, L) int32
+        (downloading the full matrix over the relay is the CLI-path
+        bottleneck — selection happens device-side in _hits); present is a
+        host (S,) int32 array."""
         import jax.numpy as jnp
         from .device import count_epoch_tiled, tile_layout
         danno = self._build_device_annotation()
@@ -263,7 +268,63 @@ class QueryEngine:
             counts, present = count_epoch_tiled(
                 danno.bitmap, jnp.asarray(tiles), jnp.asarray(tile_seq),
                 Spad, danno.num_labels)
-        return np.asarray(counts)[:S], np.asarray(present)[:S]
+        return counts, np.asarray(present)[:S]
+
+    _dec_labels = None
+
+    def _decoded_labels(self):
+        """Label strings by code, decoded once per engine (the per-hit
+        enc.decode calls dominated payload assembly on large batches)."""
+        enc = self.anno_graph.annotator.encoder
+        n = self.anno_graph.annotator.num_labels
+        if self._dec_labels is None or len(self._dec_labels) != n:
+            self._dec_labels = [enc.decode(c) for c in range(n)]
+        return self._dec_labels
+
+    def _hits(self, counts_dev, present, nk_list, discovery_fraction,
+              presence_fraction, need_vals: bool):
+        """Device-side label selection (select_mask_epoch) for a padded
+        (Spad, L) device counts matrix.
+
+        Threshold semantics are get_min_count's (annotated_dbg.py:26): a
+        sequence yields hits iff present >= max(dmin, pmin); selected labels
+        are counts >= dmin.  The float64 ceil stays on host.  Returns
+        (rows, cols, vals): hit coordinates sorted by row, plus the hit
+        count values (empty unless need_vals)."""
+        import jax.numpy as jnp
+        from .device import gather_flat, select_mask_epoch
+        S = len(nk_list)
+        L = counts_dev.shape[1]
+        nk = np.asarray(nk_list, dtype=np.int64)
+        dmin = np.maximum(np.ceil(discovery_fraction * nk.astype(np.float64)),
+                          1).astype(np.int64)
+        pmin = np.maximum(np.ceil(presence_fraction * nk.astype(np.float64)),
+                          1).astype(np.int64)
+        ok = (nk > 0) & (np.asarray(present, dtype=np.int64)
+                         >= np.maximum(dmin, pmin))
+        sentinel = np.iinfo(np.int32).max     # counts are int32 < sentinel
+        dpad = np.full(counts_dev.shape[0], sentinel, dtype=np.int64)
+        dpad[:S] = np.where(ok, np.minimum(dmin, sentinel), sentinel)
+        mask = np.asarray(select_mask_epoch(
+            counts_dev, jnp.asarray(dpad.astype(np.int32))))[:S]
+        bits = np.unpackbits(np.ascontiguousarray(mask).view(np.uint8),
+                             axis=1, bitorder="little")
+        rows, cols = np.nonzero(bits[:, :L])
+        vals = np.zeros(0, dtype=np.int64)
+        if need_vals and len(rows):
+            flat = rows.astype(np.int64) * L + cols
+            if flat[-1] < sentinel:
+                npad = 1 << max(int(np.ceil(np.log2(len(flat)))), 6)
+                fpad = np.concatenate(
+                    [flat,
+                     np.zeros(npad - len(flat), np.int64)]).astype(np.int32)
+                vals = np.asarray(gather_flat(counts_dev, jnp.asarray(fpad)))[
+                    :len(flat)].astype(np.int64)
+            else:
+                # flat index beyond int32 (huge S*L): full download fallback
+                vals = np.asarray(counts_dev).reshape(-1)[flat] \
+                    .astype(np.int64)
+        return rows, cols, vals
 
     def execute_batch(self, nodes_list, mode: str,
                       num_top_labels: int = 2 ** 63,
@@ -278,10 +339,13 @@ class QueryEngine:
             return [self.execute(n, mode, num_top_labels, discovery_fraction,
                                  presence_fraction) for n in nodes_list]
         counts, present = self._device_counts(nodes_list)
-        return self._payloads_from_counts(
-            counts, present, lambda i: nodes_list[i],
-            [len(n) for n in nodes_list], mode, num_top_labels,
-            discovery_fraction, presence_fraction)
+        nk_list = [len(n) for n in nodes_list]
+        rows, cols, vals = self._hits(counts, present, nk_list,
+                                      discovery_fraction, presence_fraction,
+                                      need_vals=(mode != "labels"))
+        return self._payloads_from_hits(
+            rows, cols, vals, lambda i: nodes_list[i], nk_list, mode,
+            num_top_labels)
 
     def query_batch_fused(self, seqs, mode: str, num_top_labels: int,
                           discovery_fraction: float, presence_fraction: float):
@@ -319,7 +383,6 @@ class QueryEngine:
         counts, present, nodes_t = query_epoch_codes(
             self._device_index.table, danno.bitmap, jnp.asarray(tiles),
             jnp.asarray(tile_seq), Spad, danno.num_labels, k)
-        counts = np.asarray(counts)[:S]
         present = np.asarray(present)[:S]
         nodes_cache = {}
 
@@ -330,32 +393,33 @@ class QueryEngine:
                     np.asarray(nodes_t)[:n], tile_seq[:n], nwins)
             return nodes_cache["nl"][i]
 
-        return self._payloads_from_counts(
-            counts, present, nodes_of, nwins, mode, num_top_labels,
-            discovery_fraction, presence_fraction)
+        rows, cols, vals = self._hits(counts, present, nwins,
+                                      discovery_fraction, presence_fraction,
+                                      need_vals=(mode != "labels"))
+        return self._payloads_from_hits(rows, cols, vals, nodes_of, nwins,
+                                        mode, num_top_labels)
 
-    def _payloads_from_counts(self, counts, present, nodes_of, nk_list,
-                              mode, num_top_labels, discovery_fraction,
-                              presence_fraction):
-        """Per-sequence payloads from batched device counts — byte-identical
-        to the host AnnotatedDBG methods (annotated_dbg.py:189-312)."""
-        from ..annotation.annotated_dbg import (_top_n_sorted, get_min_count)
+    def _payloads_from_hits(self, hit_rows, hit_cols, hit_vals, nodes_of,
+                            nk_list, mode, num_top_labels):
+        """Per-sequence payloads from device-selected hits — byte-identical
+        to the host AnnotatedDBG methods (annotated_dbg.py:189-312).
+
+        hit_rows/hit_cols/hit_vals come from _hits (sorted by row); empty
+        rows mean the sequence failed its presence/discovery thresholds."""
+        from ..annotation.annotated_dbg import _top_n_sorted
         ag = self.anno_graph
-        enc = ag.annotator.encoder
+        dec = self._decoded_labels()
+        S = len(nk_list)
+        starts = np.searchsorted(hit_rows, np.arange(S + 1))
         out = []
         for i, nk in enumerate(nk_list):
-            if nk == 0:
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            if lo == hi:
                 out.append([])
                 continue
-            n_present = int(present[i])
-            min_count = get_min_count(discovery_fraction, presence_fraction,
-                                      nk, n_present)
-            if n_present < min_count:
-                out.append([])
-                continue
-            sel = np.flatnonzero(counts[i] >= min_count)
+            csel = hit_cols[lo:hi]
             if mode == "labels":
-                out.append([enc.decode(int(c)) for c in sel])
+                out.append([dec[c] for c in csel])
                 continue
             if mode in ("matches", "counts-sum"):
                 if mode == "counts-sum":
@@ -368,14 +432,16 @@ class QueryEngine:
                     for (r, m), row_vals in zip(pairs, vals):
                         for c, v in row_vals:
                             sums[c] += v * m
-                    code_counts = [(int(c), int(sums[c])) for c in sel]
+                    code_counts = [(int(c), int(sums[c])) for c in csel]
                 else:
-                    code_counts = [(int(c), int(counts[i][c])) for c in sel]
+                    code_counts = [(int(c), int(v))
+                                   for c, v in zip(csel, hit_vals[lo:hi])]
                 _top_n_sorted(code_counts, num_top_labels)
-                out.append([(enc.decode(c), n) for c, n in code_counts])
+                out.append([(dec[c], n) for c, n in code_counts])
                 continue
             # counts / signature / coords (annotated_dbg.py:247-294)
-            selected = [(int(c), int(counts[i][c])) for c in sel]
+            selected = [(int(c), int(v))
+                        for c, v in zip(csel, hit_vals[lo:hi])]
             _top_n_sorted(selected, num_top_labels)
             if not selected:
                 out.append([])
@@ -389,7 +455,7 @@ class QueryEngine:
                 for c, n in selected:
                     bits = np.zeros(nk, dtype=bool)
                     bits[pos[mask[:, c]]] = True
-                    result.append((enc.decode(c), n, bits))
+                    result.append((dec[c], n, bits))
             elif mode == "counts":
                 vals = ag.annotator.get_row_values(rows)
                 for c, n in selected:
@@ -398,7 +464,7 @@ class QueryEngine:
                         for cc, v in row_vals:
                             if cc == c:
                                 ab[pos[j]] = v
-                    result.append((enc.decode(c), n, ab))
+                    result.append((dec[c], n, ab))
             elif mode == "coords":
                 tups = ag.annotator.get_row_tuples(rows)
                 for c, n in selected:
@@ -407,7 +473,7 @@ class QueryEngine:
                         for cc, t in row_tups:
                             if cc == c:
                                 coords[pos[j]] = t
-                    result.append((enc.decode(c), n, coords))
+                    result.append((dec[c], n, coords))
             out.append(result)
         return out
 
@@ -443,16 +509,24 @@ class QueryEngine:
                                            presence_fraction)
         raise ValueError(f"unknown query mode {mode!r}")
 
-    def align_sequence(self, seq: bytes, aligner_config):
+    _aligner_cache = None
+
+    def _get_aligner(self, aligner_config):
+        if self._aligner_cache is None \
+                or getattr(self._aligner_cache, "_orig_config",
+                           None) is not aligner_config:
+            from ..align.aligner import DBGAligner
+            aligner = DBGAligner(self.graph, aligner_config)
+            aligner._orig_config = aligner_config
+            self._aligner_cache = aligner
+        return self._aligner_cache
+
+    def _spell_best(self, seq: bytes, alns, cfg):
         """ref query.cpp:1181-1209 align_sequence: replace the query with its
         best alignment's graph spelling; returns (new_seq, Alignment)."""
-        from ..align.aligner import DBGAligner
         from .results import Alignment as ResultAlignment
-        aligner = DBGAligner(self.graph, aligner_config)
-        cfg = aligner.config
         max_score = cfg.match_score(seq) + cfg.left_end_bonus \
             + cfg.right_end_bonus
-        alns = aligner.align(seq)
         if alns:
             m = alns[0]
             if m.offset:
@@ -465,6 +539,11 @@ class QueryEngine:
                 new_seq.decode())
         return seq, ResultAlignment(0, max_score, f"{len(seq)}S", False,
                                     seq.decode())
+
+    def align_sequence(self, seq: bytes, aligner_config):
+        """Single-sequence align-and-respell (the server /align path)."""
+        aligner = self._get_aligner(aligner_config)
+        return self._spell_best(seq, aligner.align(seq), aligner.config)
 
     def query_records(self, records: Sequence, mode: str,
                       num_top_labels: int = 2 ** 63,
@@ -493,10 +572,19 @@ class QueryEngine:
             _bp = batch_bp
             alignments = [None] * len(batch)
             if aligner_config is not None:
+                # lockstep batch alignment: all reads' extension waves are
+                # scored together (align/batch.py), then each query is
+                # replaced by its best alignment's spelling
+                # (ref query.cpp:1181-1209); results identical to the
+                # sequential align_sequence loop
+                aligner = self._get_aligner(aligner_config)
+                alns_list = aligner.align_batch(
+                    [seq for _, _, seq in batch])
                 new_batch = []
-                for j, (sid, name, seq) in enumerate(batch):
-                    new_seq, alignments[j] = self.align_sequence(
-                        seq, aligner_config)
+                for j, ((sid, name, seq), alns) in enumerate(
+                        zip(batch, alns_list)):
+                    new_seq, alignments[j] = self._spell_best(
+                        seq, alns, aligner.config)
                     new_batch.append((sid, name, new_seq))
                 batch = new_batch
             payloads = None
