@@ -458,7 +458,10 @@ def cmd_query(args):
                 args.min_kmers_fraction_label, args.min_kmers_fraction_graph,
                 fwd_and_reverse=args.fwd_and_reverse,
                 batch_size_bp=args.batch_size,
-                aligner_config=aligner_config):
+                aligner_config=aligner_config,
+                batch_align=args.batch_align,
+                max_hull_forks=args.max_hull_forks,
+                max_hull_depth=args.max_hull_depth):
             if args.json:
                 out.write(res.to_json(args.verbose_output, g.k) + "\n")
             else:
@@ -965,6 +968,12 @@ def main(argv=None):
     p.add_argument("--fwd-and-reverse", action="store_true")
     p.add_argument("--align", action="store_true")
     p.add_argument("--align-min-exact-match", type=float, default=0.7)
+    # ref config.cpp:261-264,297: hull-expanded per-batch alignment graph
+    p.add_argument("--batch-align", action="store_true",
+                   help="align against a per-batch hull graph instead of "
+                        "the full index (ref query.cpp construct_query_graph)")
+    p.add_argument("--max-hull-forks", type=int, default=4)
+    p.add_argument("--max-hull-depth", type=int, default=None)
     p.add_argument("--json", action="store_true")
     p.add_argument("--suppress-unlabeled", action="store_true")
     p.add_argument("--verbose-output", action="store_true")

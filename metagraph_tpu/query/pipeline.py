@@ -551,7 +551,11 @@ class QueryEngine:
                       presence_fraction: float = 0.0,
                       fwd_and_reverse: bool = False,
                       batch_size_bp: int = 100_000_000,
-                      aligner_config=None
+                      aligner_config=None,
+                      batch_align: bool = False,
+                      max_hull_forks: int = 4,
+                      max_hull_depth=None,
+                      max_nodes_per_seq_char: float = 5.0
                       ) -> Iterable[SeqSearchResult]:
         """Query FASTA records; yields per-sequence (per-strand) results.
 
@@ -578,6 +582,26 @@ class QueryEngine:
                 # (ref query.cpp:1181-1209); results identical to the
                 # sequential align_sequence loop
                 aligner = self._get_aligner(aligner_config)
+                if batch_align:
+                    # --batch-align: align against the per-batch hull graph
+                    # instead of the full index (ref query.cpp:874-1110
+                    # construct_query_graph + :1339-1375); every k-mer of the
+                    # batch graph exists in the full graph, so the respelled
+                    # queries map back to the full index unchanged
+                    from .batch_graph import construct_batch_graph
+                    small, bstats = construct_batch_graph(
+                        self, [seq for _, _, seq in batch],
+                        max_hull_forks=max_hull_forks,
+                        max_hull_depth=max_hull_depth,
+                        max_nodes_per_seq_char=max_nodes_per_seq_char)
+                    if small is not None:
+                        from ..align.aligner import DBGAligner
+                        from ..utils.timer import trace
+                        trace(f"Batch graph: {bstats.num_query_kmers} query "
+                              f"k-mers ({bstats.num_matched_kmers} matched), "
+                              f"{bstats.num_hull_contigs} hull contigs "
+                              f"({bstats.num_hull_chars} chars)")
+                        aligner = DBGAligner(small, aligner.config)
                 alns_list = aligner.align_batch(
                     [seq for _, _, seq in batch])
                 new_batch = []
