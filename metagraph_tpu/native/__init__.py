@@ -94,6 +94,11 @@ def get_lib():
     lib.refbase_build.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.tile_pack2.restype = ctypes.c_int64
+    lib.tile_pack2.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32]
     lib.refbase_query.restype = None
     lib.refbase_query.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
@@ -189,6 +194,38 @@ def pack_windows_boss(codes: np.ndarray, k: int, bits: int = 64):
                                 len(codes), k,
                                 out.ctypes.data_as(ctypes.c_void_p))
     return out
+
+
+def tile_pack2(seqs, K: int, T: int, n_threads: int | None = None):
+    """Raw sequence byte strings -> 2-bit packed device query tiles.
+
+    Returns (packed2 (N, TKp/4) uint8, validb (N, ceil(TK/8)) uint8,
+    tile_seq (N,) int32, nwins list) where TK = T+K-1 and TKp is TK rounded
+    up to a multiple of 4 — the transfer-optimal layout for
+    query_epoch_codes2 (2.25 bits/bp on the wire instead of 8).
+    None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    nwins = np.maximum(lens - K + 1, 0)
+    n_tiles = int((-(-nwins // T)).sum())
+    TK = T + K - 1
+    TKp = (TK + 3) & ~3
+    packed2 = np.empty((n_tiles, TKp // 4), dtype=np.uint8)
+    validb = np.empty((n_tiles, (TK + 7) // 8), dtype=np.uint8)
+    tile_seq = np.empty(n_tiles, dtype=np.int32)
+    if n_tiles:
+        cat = b"".join(bytes(s) for s in seqs)
+        if n_threads is None:
+            n_threads = min(os.cpu_count() or 1, 8)
+        nt = lib.tile_pack2(
+            cat, lens.ctypes.data_as(ctypes.c_void_p), len(seqs), K, T,
+            packed2.ctypes.data_as(ctypes.c_void_p),
+            validb.ctypes.data_as(ctypes.c_void_p),
+            tile_seq.ctypes.data_as(ctypes.c_void_p), n_threads)
+        assert nt == n_tiles, (nt, n_tiles)
+    return packed2, validb, tile_seq, nwins.tolist()
 
 
 def dust_low_complexity(window: bytes, T: int = 20, W: int = 64):

@@ -172,6 +172,67 @@ def query_epoch_codes(table: jnp.ndarray, bitmap: jnp.ndarray,
             nodes.reshape(nc * C, T))
 
 
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def query_epoch_codes2(table: jnp.ndarray, bitmap: jnp.ndarray,
+                       packed2: jnp.ndarray, validb: jnp.ndarray,
+                       tile_seq: jnp.ndarray, num_seqs: int, num_labels: int,
+                       K: int, TK: int):
+    """query_epoch_codes from 2-BIT PACKED code tiles (native tile_pack2
+    layout): host->device traffic is 2.25 bits/bp instead of 8.
+
+    packed2: (N, TKp/4) uint8 — 2-bit codes, position j at bits 2*(j%4) of
+    byte j//4; validb: (N, ceil(TK/8)) uint8 — little-endian validity bits.
+    Codes are reconstructed on device (valid ? 2bit+1 : 5) and fed through
+    the same pack+lookup+count pipeline."""
+    N, PB = packed2.shape
+    T = TK - (K - 1)
+    C = max(1, (1 << 17) // T)
+    pad = (-N) % C
+    if pad:
+        packed2 = jnp.concatenate(
+            [packed2, jnp.zeros((pad, PB), packed2.dtype)])
+        validb = jnp.concatenate(
+            [validb, jnp.zeros((pad, validb.shape[1]), validb.dtype)])
+        tile_seq = jnp.concatenate([tile_seq, jnp.zeros(pad, tile_seq.dtype)])
+    nc = packed2.shape[0] // C
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    sh2 = jnp.arange(0, 8, 2, dtype=jnp.uint8)       # 2-bit lane shifts
+    sh1 = jnp.arange(8, dtype=jnp.uint8)             # valid-bit lane shifts
+
+    def body(carry, x):
+        p2, vb = x
+        # unpack: (C, PB, 4) -> (C, TKp) codes in 0..3; (C, VB, 8) -> bits
+        c4 = ((p2[..., None] >> sh2) & 3).reshape(C, -1)[:, :TK]
+        v8 = ((vb[..., None] >> sh1) & 1).reshape(C, -1)[:, :TK]
+        chunk = jnp.where(v8 == 1, c4.astype(jnp.int32) + 1, 5)
+        packed, valid = graph_ops.device_pack_windows(chunk, K)
+        W = packed.shape[-1]
+        nodes = graph_ops._hash_lookup(table, packed.reshape(C * T, W))
+        nodes = jnp.where(valid, nodes.reshape(C, T), 0)
+        hit = nodes > 0
+        rows = jnp.where(hit, nodes - 1, 0)
+        words = bitmap[rows]
+        Lw = words.shape[-1]
+        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int32)
+        bits = bits.reshape(C, T, Lw * 32)[..., :num_labels]
+        bits = bits * hit[..., None]
+        return carry, (bits.sum(axis=1), hit.sum(axis=1, dtype=jnp.int32),
+                       nodes)
+    _, (tc, th, nodes) = jax.lax.scan(
+        body, 0, (packed2.reshape(nc, C, PB),
+                  validb.reshape(nc, C, validb.shape[1])))
+    tile_counts = tc.reshape(nc * C, num_labels).astype(jnp.float32)
+    tile_hit = th.reshape(nc * C).astype(jnp.float32)
+    onehot = (tile_seq[:, None]
+              == jnp.arange(num_seqs, dtype=tile_seq.dtype)[None, :]
+              ).astype(jnp.float32)
+    counts = jax.lax.dot_general(onehot, tile_counts, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    present = jnp.sum(onehot * tile_hit[:, None], axis=0)
+    return (counts.astype(jnp.int32), present.astype(jnp.int32),
+            nodes.reshape(nc * C, T))
+
+
 def tile_codes_layout(codes_list, K: int, tile: int = TILE):
     """Per-sequence code arrays -> (N, T+K-1) uint8 code tiles + per-tile
     sequence ids + per-seq window counts (for unpacking nodes later).

@@ -364,25 +364,49 @@ class QueryEngine:
         if not isinstance(danno, DeviceAnnotation):
             return None
         import jax.numpy as jnp
-        from .device import (query_epoch_codes, tile_codes_layout,
-                             untile_nodes)
+        from .device import (TILE, query_epoch_codes, query_epoch_codes2,
+                             tile_codes_layout, untile_nodes)
+        from .. import native
         self._build_device_index()
         k = self.graph.k
         ex = self.graph.extractor
-        codes_list = [ex.encode(s) for s in seqs]
-        tiles, tile_seq, nwins = tile_codes_layout(codes_list, k)
         S = len(seqs)
         Spad = 1 << max(int(np.ceil(np.log2(max(S, 1)))), 3)
-        n = len(tiles)
-        npad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 4)
-        if npad != n:
-            tiles = np.concatenate(
-                [tiles, np.full((npad - n, tiles.shape[1]), 5, tiles.dtype)])
-            tile_seq = np.concatenate(
-                [tile_seq, np.zeros(npad - n, tile_seq.dtype)])
-        counts, present, nodes_t = query_epoch_codes(
-            self._device_index.table, danno.bitmap, jnp.asarray(tiles),
-            jnp.asarray(tile_seq), Spad, danno.num_labels, k)
+        packed = native.tile_pack2(seqs, k, TILE) \
+            if native.get_lib() is not None else None
+        if packed is not None:
+            # 2-bit packed upload (2.25 bits/bp on the wire; native
+            # encode+tile+pack in one pass)
+            tiles2, validb, tile_seq, nwins = packed
+            n = len(tiles2)
+            npad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 4)
+            if npad != n:
+                tiles2 = np.concatenate(
+                    [tiles2, np.zeros((npad - n, tiles2.shape[1]),
+                                      tiles2.dtype)])
+                validb = np.concatenate(
+                    [validb, np.zeros((npad - n, validb.shape[1]),
+                                      validb.dtype)])
+                tile_seq = np.concatenate(
+                    [tile_seq, np.zeros(npad - n, tile_seq.dtype)])
+            counts, present, nodes_t = query_epoch_codes2(
+                self._device_index.table, danno.bitmap, jnp.asarray(tiles2),
+                jnp.asarray(validb), jnp.asarray(tile_seq), Spad,
+                danno.num_labels, k, TILE + k - 1)
+        else:
+            codes_list = [ex.encode(s) for s in seqs]
+            tiles, tile_seq, nwins = tile_codes_layout(codes_list, k)
+            n = len(tiles)
+            npad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 4)
+            if npad != n:
+                tiles = np.concatenate(
+                    [tiles, np.full((npad - n, tiles.shape[1]), 5,
+                                    tiles.dtype)])
+                tile_seq = np.concatenate(
+                    [tile_seq, np.zeros(npad - n, tile_seq.dtype)])
+            counts, present, nodes_t = query_epoch_codes(
+                self._device_index.table, danno.bitmap, jnp.asarray(tiles),
+                jnp.asarray(tile_seq), Spad, danno.num_labels, k)
         present = np.asarray(present)[:S]
         nodes_cache = {}
 

@@ -193,6 +193,46 @@ class TestDeviceAnnotation:
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
 
 
+class TestPackedEpoch:
+    def test_query_epoch_codes2_matches_unpacked(self):
+        """2-bit packed tile upload (native tile_pack2 + device unpack) is
+        bit-identical to the uint8 code-tile epoch."""
+        import jax.numpy as jnp
+        from metagraph_tpu import native
+        from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+        from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+        from metagraph_tpu.query.device import (
+            TILE, DeviceQueryPipeline, query_epoch_codes, query_epoch_codes2,
+            tile_codes_layout)
+        if native.get_lib() is None:
+            import pytest
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(3)
+        seqs = ["".join(rng.choice(list("ACGTN"), size=int(n))).encode()
+                for n in rng.integers(10, 700, size=16)]
+        g = DBGSuccinct.build([s for s in seqs if len(s) >= 13], 13)
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        for i, s in enumerate(seqs):
+            if len(s) >= 13:
+                ag.annotate_sequence(s, [f"s{i}"])
+        pipe = DeviceQueryPipeline(g, anno)
+        K, S, L = 13, len(seqs), anno.num_labels
+        ex = g.extractor
+        tiles, tile_seq, _ = tile_codes_layout(
+            [ex.encode(s) for s in seqs], K)
+        c1, p1, n1 = query_epoch_codes(
+            pipe.index.table, pipe.annotation.bitmap, jnp.asarray(tiles),
+            jnp.asarray(tile_seq), S, L, K)
+        t2, vb, ts2, _ = native.tile_pack2(seqs, K, TILE)
+        c2, p2, n2 = query_epoch_codes2(
+            pipe.index.table, pipe.annotation.bitmap, jnp.asarray(t2),
+            jnp.asarray(vb), jnp.asarray(ts2), S, L, K, TILE + K - 1)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+
 class TestDeviceBuild:
     def test_sort_unique_matches_host(self):
         from metagraph_tpu.succinct.device_build import device_sort_unique
