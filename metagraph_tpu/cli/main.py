@@ -16,6 +16,10 @@ import numpy as np
 def _add_common(p):
     p.add_argument("-o", "--outfile-base", dest="out", default="graph")
     p.add_argument("-p", "--parallel", type=int, default=1)
+    # ref config.cpp:190: threads per batch inside nested batch parallelism;
+    # here both feed the engine's host thread count (the device dispatch is
+    # already batch-parallel internally)
+    p.add_argument("--parallel-each", type=int, default=1)
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--mmap", action="store_true",
                    help="memory-map graph arrays instead of loading them "
@@ -441,7 +445,9 @@ def cmd_query(args):
         if os.path.exists(seqs_path + ".seqs"):
             cth = CoordToHeader.load(seqs_path + ".seqs")
     engine = QueryEngine(AnnotatedDBG(g, anno, coord_to_header=cth),
-                         use_device=args.device)
+                         use_device=args.device,
+                         n_threads=max(args.parallel,
+                                       getattr(args, "parallel_each", 1)))
 
     aligner_config = None
     if args.align:

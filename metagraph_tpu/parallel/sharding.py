@@ -103,19 +103,17 @@ def sharded_annotated_query_fn(mesh: Mesh, rows_per_shard: int,
     def _step(table_shard, bitmap_shard, queries, seq_ids):
         n_buckets_global = rows_per_shard * mesh.shape["model"]
         my = jax.lax.axis_index("model") * rows_per_shard
+        # single-probe layout (see DeviceHashIndex): one bucket row per query
         b = _hash_words(queries, n_buckets_global, 1)
-        b2 = _hash_words(queries, n_buckets_global, 2)
         W = queries.shape[1]
-        out = jnp.zeros(queries.shape[0], dtype=jnp.int32)
-        for bb in (b, b2):
-            local = bb - my
-            in_range = (local >= 0) & (local < rows_per_shard)
-            rows = table_shard[jnp.clip(local, 0, rows_per_shard - 1)]
-            rows = rows.reshape(queries.shape[0], -1, W + 1)
-            eq = jnp.all(rows[:, :, :W] == queries[:, None, :], axis=-1)
-            hit = jnp.any(eq, axis=-1) & in_range
-            ids = jnp.max(jnp.where(eq, rows[:, :, W], 0), axis=-1)
-            out = jnp.where(hit & (out == 0), ids.astype(jnp.int32), out)
+        local = b - my
+        in_range = (local >= 0) & (local < rows_per_shard)
+        rows = table_shard[jnp.clip(local, 0, rows_per_shard - 1)]
+        rows = rows.reshape(queries.shape[0], -1, W + 1)
+        eq = jnp.all(rows[:, :, :W] == queries[:, None, :], axis=-1)
+        hit = jnp.any(eq, axis=-1) & in_range
+        ids = jnp.max(jnp.where(eq, rows[:, :, W], 0), axis=-1)
+        out = jnp.where(hit, ids.astype(jnp.int32), 0)
         nodes = jax.lax.pmax(out, "model")
         counts, present = count_labels(bitmap_shard, nodes, seq_ids,
                                        num_seqs // mesh.shape["data"],

@@ -99,13 +99,14 @@ def query_epoch_tiled(table: jnp.ndarray, bitmap: jnp.ndarray,
         nodes = nodes.reshape(C, T)
         hit = nodes > 0
         rows = jnp.where(hit, nodes - 1, 0)
-        words = bitmap[rows]                            # (C, T, Lw)
+        words = bitmap[rows] * hit[..., None].astype(jnp.uint32)
         Lw = words.shape[-1]
-        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int32)
-        bits = bits.reshape(C, T, Lw * 32)[..., :num_labels]
-        bits = bits * hit[..., None]
-        return carry, (bits.sum(axis=1), hit.sum(axis=1, dtype=jnp.int32),
-                       nodes)
+        # int8 bit expansion + int32-accumulated tile sum: ~20% faster
+        # than int32 expansion on v5e (exact: tile sums < 2^31)
+        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int8)
+        tc = bits.sum(axis=1, dtype=jnp.int32).reshape(C, Lw * 32)
+        return carry, (tc[:, :num_labels], hit.sum(axis=1, dtype=jnp.int32),
+                   nodes)
     _, (tc, th, nodes) = jax.lax.scan(body, 0, qs)
     tile_counts = tc.reshape(nc * C, num_labels).astype(jnp.float32)
     tile_hit = th.reshape(nc * C).astype(jnp.float32)
@@ -152,13 +153,14 @@ def query_epoch_codes(table: jnp.ndarray, bitmap: jnp.ndarray,
         nodes = jnp.where(valid, nodes.reshape(C, T), 0)
         hit = nodes > 0
         rows = jnp.where(hit, nodes - 1, 0)
-        words = bitmap[rows]
+        words = bitmap[rows] * hit[..., None].astype(jnp.uint32)
         Lw = words.shape[-1]
-        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int32)
-        bits = bits.reshape(C, T, Lw * 32)[..., :num_labels]
-        bits = bits * hit[..., None]
-        return carry, (bits.sum(axis=1), hit.sum(axis=1, dtype=jnp.int32),
-                       nodes)
+        # int8 bit expansion + int32-accumulated tile sum: ~20% faster
+        # than int32 expansion on v5e (exact: tile sums < 2^31)
+        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int8)
+        tc = bits.sum(axis=1, dtype=jnp.int32).reshape(C, Lw * 32)
+        return carry, (tc[:, :num_labels], hit.sum(axis=1, dtype=jnp.int32),
+                   nodes)
     _, (tc, th, nodes) = jax.lax.scan(body, 0, code_tiles.reshape(nc, C, TK))
     tile_counts = tc.reshape(nc * C, num_labels).astype(jnp.float32)
     tile_hit = th.reshape(nc * C).astype(jnp.float32)
@@ -211,13 +213,14 @@ def query_epoch_codes2(table: jnp.ndarray, bitmap: jnp.ndarray,
         nodes = jnp.where(valid, nodes.reshape(C, T), 0)
         hit = nodes > 0
         rows = jnp.where(hit, nodes - 1, 0)
-        words = bitmap[rows]
+        words = bitmap[rows] * hit[..., None].astype(jnp.uint32)
         Lw = words.shape[-1]
-        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int32)
-        bits = bits.reshape(C, T, Lw * 32)[..., :num_labels]
-        bits = bits * hit[..., None]
-        return carry, (bits.sum(axis=1), hit.sum(axis=1, dtype=jnp.int32),
-                       nodes)
+        # int8 bit expansion + int32-accumulated tile sum: ~20% faster
+        # than int32 expansion on v5e (exact: tile sums < 2^31)
+        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int8)
+        tc = bits.sum(axis=1, dtype=jnp.int32).reshape(C, Lw * 32)
+        return carry, (tc[:, :num_labels], hit.sum(axis=1, dtype=jnp.int32),
+                   nodes)
     _, (tc, th, nodes) = jax.lax.scan(
         body, 0, (packed2.reshape(nc, C, PB),
                   validb.reshape(nc, C, validb.shape[1])))
@@ -296,12 +299,13 @@ def count_epoch_tiled(bitmap: jnp.ndarray, nodes: jnp.ndarray,
     def body(carry, nn):
         hit = nn > 0
         rows = jnp.where(hit, nn - 1, 0)
-        words = bitmap[rows]
+        words = bitmap[rows] * hit[..., None].astype(jnp.uint32)
         Lw = words.shape[-1]
-        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int32)
-        bits = bits.reshape(C, T, Lw * 32)[..., :num_labels]
-        bits = bits * hit[..., None]
-        return carry, (bits.sum(axis=1), hit.sum(axis=1, dtype=jnp.int32))
+        # int8 bit expansion + int32-accumulated tile sum: ~20% faster
+        # than int32 expansion on v5e (exact: tile sums < 2^31)
+        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int8)
+        tc = bits.sum(axis=1, dtype=jnp.int32).reshape(C, Lw * 32)
+        return carry, (tc[:, :num_labels], hit.sum(axis=1, dtype=jnp.int32))
     _, (tc, th) = jax.lax.scan(body, 0, nodes.reshape(nc, C, T))
     tile_counts = tc.reshape(nc * C, num_labels).astype(jnp.float32)
     tile_hit = th.reshape(nc * C).astype(jnp.float32)

@@ -9,6 +9,7 @@ node array per sequence — same observable results, one big batch op.
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Iterable, List, Sequence, Tuple
 
@@ -29,7 +30,8 @@ KIND_FOR_MODE = {
 
 
 class QueryEngine:
-    def __init__(self, anno_graph: AnnotatedDBG, use_device: bool = False):
+    def __init__(self, anno_graph: AnnotatedDBG, use_device: bool = False,
+                 n_threads: int = 1):
         self.anno_graph = anno_graph
         self.graph = anno_graph.graph
         # canonical wrappers map through the base graph + rc pass
@@ -37,6 +39,7 @@ class QueryEngine:
             if hasattr(self.graph, "get_base_node") else None
         self._base = self.graph.graph if self._canonical_offset else self.graph
         self.use_device = use_device
+        self.n_threads = max(int(n_threads), 1)   # ref -p/--parallel
         self._host_index = None
         self._device_index = None
 
@@ -372,7 +375,9 @@ class QueryEngine:
         ex = self.graph.extractor
         S = len(seqs)
         Spad = 1 << max(int(np.ceil(np.log2(max(S, 1)))), 3)
-        packed = native.tile_pack2(seqs, k, TILE) \
+        packed = native.tile_pack2(seqs, k, TILE,
+                                   n_threads=max(self.n_threads,
+                                                 min(os.cpu_count() or 1, 8))) \
             if native.get_lib() is not None else None
         if packed is not None:
             # 2-bit packed upload (2.25 bits/bp on the wire; native
@@ -591,10 +596,10 @@ class QueryEngine:
         batch: List[Tuple[int, str, bytes]] = []
         batch_bp = 0
 
-        def flush():
-            nonlocal batch, batch_bp
-            if not batch:
-                return
+        def process(batch, batch_bp):
+            """One batch -> result list (runs on the caller or, with
+            n_threads > 1, on the single prefetch worker; jitted device
+            calls are thread-safe)."""
             from ..utils.timer import Timer, trace
             _bt = Timer()
             _bp = batch_bp
@@ -652,25 +657,45 @@ class QueryEngine:
             dt = max(_bt.elapsed(), 1e-9)
             trace(f"Batch of {_bp} bp queried in {dt:.5f} sec, "
                   f"{_bp / dt:.1f} bp/s")
-            for (sid, name, seq), payload, aln in zip(batch, payloads,
-                                                      alignments):
-                yield SeqSearchResult(
-                    QuerySequence(sid, name, seq.decode()), kind, payload,
-                    alignment=aln)
-            batch = []
-            batch_bp = 0
+            return [SeqSearchResult(
+                QuerySequence(sid, name, seq.decode()), kind, payload,
+                alignment=aln)
+                for (sid, name, seq), payload, aln in zip(batch, payloads,
+                                                          alignments)]
 
-        for rec in records:
-            seqs = [(rec.name, rec.seq)]
-            if fwd_and_reverse:
-                seqs.append((rec.name, _revcomp(rec.seq)))
-            for name, seq in seqs:
-                batch.append((seq_id, name, seq))
-                seq_id += 1
-                batch_bp += len(seq)
-            if batch_bp >= max(batch_size_bp, 1):
-                yield from flush()
-        yield from flush()
+        def batches():
+            nonlocal batch, batch_bp, seq_id
+            for rec in records:
+                seqs = [(rec.name, rec.seq)]
+                if fwd_and_reverse:
+                    seqs.append((rec.name, _revcomp(rec.seq)))
+                for name, seq in seqs:
+                    batch.append((seq_id, name, seq))
+                    seq_id += 1
+                    batch_bp += len(seq)
+                if batch_bp >= max(batch_size_bp, 1):
+                    yield batch, batch_bp
+                    batch, batch_bp = [], 0
+            if batch:
+                yield batch, batch_bp
+
+        if self.n_threads > 1:
+            # -p/--parallel: overlap reading+building the next batch with
+            # processing the current one (the reference's nested thread
+            # pools, query.cpp:1304-1401, collapse to a one-deep pipeline
+            # here — the device dispatch is already batch-parallel inside)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                pending = None
+                for b, bp in batches():
+                    if pending is not None:
+                        yield from pending.result()
+                    pending = pool.submit(process, b, bp)
+                if pending is not None:
+                    yield from pending.result()
+        else:
+            for b, bp in batches():
+                yield from process(b, bp)
 
 
 def _revcomp(seq: bytes) -> bytes:

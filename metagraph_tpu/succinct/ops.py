@@ -143,7 +143,7 @@ def _kmer_lookup(keys: jnp.ndarray, ids: jnp.ndarray, queries: jnp.ndarray):
 # DeviceHashIndex: bucketized 2-choice hash table — 1-2 wide gathers per query
 # --------------------------------------------------------------------------
 
-BUCKET = 8  # slots per bucket; bucket row = BUCKET * (W + 1) uint32, aligned
+BUCKET = 16  # slots per bucket; bucket row = BUCKET * (W + 1) uint32, aligned
 
 _HASH_C = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F,
            0x165667B1, 0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35)
@@ -173,13 +173,14 @@ EMPTY_WORD = np.uint32(0xFFFFFFFF)
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceHashIndex:
-    """2-choice bucketized hash table over packed k-mers.
+    """Single-probe bucketized hash table over packed k-mers.
 
-    Each bucket is one contiguous row of BUCKET slots x (W key words + id), so
-    a lookup is at most two wide row-gathers + VPU compares — the
-    latency-optimal layout for TPU HBM (vs ~log2(N) dependent gathers for
-    binary search).  The TPU-native analog of DBGHashOrdered
-    (ref dbg_hash_ordered.hpp:12).
+    Each bucket is one contiguous row of BUCKET slots x (W key words + id),
+    so a lookup is exactly ONE wide row-gather + VPU compares.  Measured on
+    v5e, XLA's gather cost scales with the gather COUNT, not row bytes
+    (BUCKET=2 rows were ~2x slower than BUCKET=8 for the same workload), so
+    one 16-slot probe beats two 8-slot 2-choice probes ~2x.  The TPU-native
+    analog of DBGHashOrdered (ref dbg_hash_ordered.hpp:12).
     """
 
     table: jnp.ndarray     # (n_buckets, BUCKET*(W+1)) uint32 — flat bucket rows
@@ -194,7 +195,7 @@ class DeviceHashIndex:
 
     @classmethod
     def from_packed(cls, keys: np.ndarray, ids: np.ndarray,
-                    load: float = 0.75) -> "DeviceHashIndex":
+                    load: float = 0.45) -> "DeviceHashIndex":
         N, W = keys.shape
         ids = np.asarray(ids, dtype=np.uint32)
         n_buckets = max(2, int(2 ** np.ceil(np.log2(max(N, 1) / (BUCKET * load)))))
@@ -211,33 +212,28 @@ class DeviceHashIndex:
         table = np.full((n_buckets, BUCKET, W + 1), EMPTY_WORD, dtype=np.uint32)
         fill = np.zeros(n_buckets, dtype=np.int32)
         remaining = np.arange(N)
-        h = [_hash_words(keys, n_buckets, 1), _hash_words(keys, n_buckets, 2)]
-        for choice in (0, 1):
+        h = _hash_words(keys, n_buckets, 1)
+        # stable first-come placement per bucket, vectorized in rounds
+        for _ in range(BUCKET):
             if remaining.size == 0:
                 break
-            hh = h[choice][remaining]
-            # stable first-come placement per bucket, vectorized in rounds
-            for _ in range(BUCKET):
-                if remaining.size == 0:
-                    break
-                hh = h[choice][remaining]
-                order = np.argsort(hh, kind="stable")
-                s = hh[order]
-                first = np.ones(len(s), dtype=bool)
-                first[1:] = s[1:] != s[:-1]
-                cand = order[first]
-                b = hh[cand]
-                ok = fill[b] < BUCKET
-                cand, b = cand[ok], b[ok]
-                table[b, fill[b], :W] = keys[remaining[cand]]
-                table[b, fill[b], W] = ids[remaining[cand]]
-                fill[b] += 1
-                placed = np.zeros(len(remaining), dtype=bool)
-                placed[cand] = True
-                # unplaced keys retry next round; once their bucket is full
-                # they survive all rounds and fall through to the next choice
-                remaining = remaining[~placed]
+            hh = h[remaining]
+            order = np.argsort(hh, kind="stable")
+            s = hh[order]
+            first = np.ones(len(s), dtype=bool)
+            first[1:] = s[1:] != s[:-1]
+            cand = order[first]
+            b = hh[cand]
+            ok = fill[b] < BUCKET
+            cand, b = cand[ok], b[ok]
+            table[b, fill[b], :W] = keys[remaining[cand]]
+            table[b, fill[b], W] = ids[remaining[cand]]
+            fill[b] += 1
+            placed = np.zeros(len(remaining), dtype=bool)
+            placed[cand] = True
+            remaining = remaining[~placed]
         if remaining.size:
+            # a bucket overflowed BUCKET slots: grow the directory and retry
             return None
         return table
 
@@ -248,19 +244,17 @@ class DeviceHashIndex:
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _hash_lookup_flat(flat_table: jnp.ndarray, queries: jnp.ndarray, W: int):
-    """flat_table: (n_buckets, BUCKET*(W+1)) — contiguous row per bucket."""
+    """flat_table: (n_buckets, BUCKET*(W+1)) — contiguous row per bucket;
+    ONE row-gather per query (single-probe layout, see DeviceHashIndex)."""
     n_buckets = flat_table.shape[0]
     Q = queries.shape[0]
-    out = jnp.zeros(Q, dtype=jnp.int32)
-    for salt in (1, 2):
-        b = _hash_words(queries, n_buckets, salt)
-        rows = flat_table[b].reshape(Q, BUCKET, W + 1)     # one 2D row-gather
-        eq = jnp.all(rows[:, :, :W] == queries[:, None, :], axis=-1)
-        hit = jnp.any(eq, axis=-1)
-        # ids of matching slot (exactly one can match): mask-select, no 2nd gather
-        ids = jnp.max(jnp.where(eq, rows[:, :, W], 0), axis=-1).astype(jnp.int32)
-        out = jnp.where(hit & (out == 0), ids, out)
-    return out
+    b = _hash_words(queries, n_buckets, 1)
+    rows = flat_table[b].reshape(Q, BUCKET, W + 1)         # one 2D row-gather
+    eq = jnp.all(rows[:, :, :W] == queries[:, None, :], axis=-1)
+    hit = jnp.any(eq, axis=-1)
+    # ids of matching slot (exactly one can match): mask-select, no 2nd gather
+    ids = jnp.max(jnp.where(eq, rows[:, :, W], 0), axis=-1).astype(jnp.int32)
+    return jnp.where(hit, ids, 0)
 
 
 def _hash_lookup(flat_table: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
