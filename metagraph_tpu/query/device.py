@@ -174,10 +174,12 @@ def query_epoch_codes(table: jnp.ndarray, bitmap: jnp.ndarray,
             nodes.reshape(nc * C, T))
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
 def query_epoch_codes2(table: jnp.ndarray, bitmap: jnp.ndarray,
                        packed2: jnp.ndarray, validb: jnp.ndarray,
-                       tile_seq: jnp.ndarray, num_seqs: int, num_labels: int,
+                       tile_seq: jnp.ndarray, dsel: jnp.ndarray,
+                       selmin: jnp.ndarray,
+                       num_seqs: int, num_labels: int,
                        K: int, TK: int):
     """query_epoch_codes from 2-BIT PACKED code tiles (native tile_pack2
     layout): host->device traffic is 2.25 bits/bp instead of 8.
@@ -185,7 +187,16 @@ def query_epoch_codes2(table: jnp.ndarray, bitmap: jnp.ndarray,
     packed2: (N, TKp/4) uint8 — 2-bit codes, position j at bits 2*(j%4) of
     byte j//4; validb: (N, ceil(TK/8)) uint8 — little-endian validity bits.
     Codes are reconstructed on device (valid ? 2bit+1 : 5) and fed through
-    the same pack+lookup+count pipeline."""
+    the same pack+lookup+count pipeline.
+
+    Label SELECTION is fused into the same dispatch (one relay round trip):
+    dsel/selmin are per-sequence int32 thresholds precomputed on host from
+    num_kmers alone (float64 ceil semantics of get_min_count,
+    annotated_dbg.py:26 — dsel = max(ceil(df*nk),1), selmin =
+    max(dsel, max(ceil(pf*nk),1)); INT32_MAX disables a row).  The returned
+    mask packs (counts >= dsel & present >= selmin) into uint32 words, so
+    the host downloads S*L/32 bits; counts stay device-resident for modes
+    that gather hit values."""
     N, PB = packed2.shape
     T = TK - (K - 1)
     C = max(1, (1 << 17) // T)
@@ -232,8 +243,30 @@ def query_epoch_codes2(table: jnp.ndarray, bitmap: jnp.ndarray,
     counts = jax.lax.dot_general(onehot, tile_counts, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     present = jnp.sum(onehot * tile_hit[:, None], axis=0)
-    return (counts.astype(jnp.int32), present.astype(jnp.int32),
-            nodes.reshape(nc * C, T))
+    counts = counts.astype(jnp.int32)
+    present = present.astype(jnp.int32)
+    # fused selection (select_mask_epoch inlined — saves a dispatch RTT)
+    ok = present >= selmin
+    sel = (counts >= dsel[:, None]) & ok[:, None]
+    S, L = sel.shape
+    padL = (-L) % 32
+    if padL:
+        sel = jnp.pad(sel, ((0, 0), (0, padL)))
+    w = (sel.reshape(S, -1, 32).astype(jnp.uint32)
+         << shifts[None, None, :])
+    mask = w.sum(axis=2, dtype=jnp.uint32)
+    return mask, counts, present, nodes.reshape(nc * C, T)
+
+
+def pad_tile_rows(n: int, C: int, lo: int = 4) -> int:
+    """Geometric tile-row padding: nc = ceil(n/C) rounded up into a ~1.25x
+    bucket series.  Caps jit recompiles (one per bucket) while wasting <=25%
+    of the epoch on padding (the old pow2 padding wasted up to 100%)."""
+    nc = max(-(-n // C), 1)
+    b = lo
+    while b < nc:
+        b = max(b + 1, int(b * 5) // 4)
+    return b * C
 
 
 def tile_codes_layout(codes_list, K: int, tile: int = TILE):

@@ -29,6 +29,27 @@ KIND_FOR_MODE = {
 }
 
 
+def _thresholds(nk_list, discovery_fraction: float, presence_fraction: float,
+                Spad: int):
+    """Per-sequence selection thresholds for the fused device epoch
+    (get_min_count semantics, annotated_dbg.py:26, float64 ceil on host):
+    dsel = max(ceil(df*nk), 1); selmin = max(dsel, max(ceil(pf*nk), 1)).
+    Rows with nk == 0 and padding rows get INT32_MAX (never selected)."""
+    nk = np.asarray(nk_list, dtype=np.int64)
+    sentinel = np.iinfo(np.int32).max
+    dmin = np.maximum(np.ceil(discovery_fraction * nk.astype(np.float64)),
+                      1).astype(np.int64)
+    pmin = np.maximum(np.ceil(presence_fraction * nk.astype(np.float64)),
+                      1).astype(np.int64)
+    dsel = np.full(Spad, sentinel, dtype=np.int32)
+    selmin = np.full(Spad, sentinel, dtype=np.int32)
+    ok = nk > 0
+    dsel[:len(nk)][ok] = np.minimum(dmin[ok], sentinel).astype(np.int32)
+    selmin[:len(nk)][ok] = np.minimum(np.maximum(dmin, pmin)[ok],
+                                      sentinel).astype(np.int32)
+    return dsel, selmin
+
+
 class QueryEngine:
     def __init__(self, anno_graph: AnnotatedDBG, use_device: bool = False,
                  n_threads: int = 1):
@@ -310,10 +331,20 @@ class QueryEngine:
         dpad[:S] = np.where(ok, np.minimum(dmin, sentinel), sentinel)
         mask = np.asarray(select_mask_epoch(
             counts_dev, jnp.asarray(dpad.astype(np.int32))))[:S]
+        return self._hits_from_mask(mask, counts_dev, L, need_vals)
+
+    def _hits_from_mask(self, mask: np.ndarray, counts_dev, L: int,
+                        need_vals: bool):
+        """Hit coordinates (sorted by row) from a downloaded (S, Lw) packed
+        selection mask; hit count VALUES are gathered device-side only for
+        the hit positions (counts_dev never downloads in full)."""
+        import jax.numpy as jnp
+        from .device import gather_flat
         bits = np.unpackbits(np.ascontiguousarray(mask).view(np.uint8),
                              axis=1, bitorder="little")
         rows, cols = np.nonzero(bits[:, :L])
         vals = np.zeros(0, dtype=np.int64)
+        sentinel = np.iinfo(np.int32).max
         if need_vals and len(rows):
             flat = rows.astype(np.int64) * L + cols
             if flat[-1] < sentinel:
@@ -379,12 +410,17 @@ class QueryEngine:
                                    n_threads=max(self.n_threads,
                                                  min(os.cpu_count() or 1, 8))) \
             if native.get_lib() is not None else None
+        L = danno.num_labels
         if packed is not None:
             # 2-bit packed upload (2.25 bits/bp on the wire; native
-            # encode+tile+pack in one pass)
+            # encode+tile+pack in one pass), geometric tile padding
+            # (<=25% waste vs up-to-100% for pow2), and threshold selection
+            # fused into the ONE device dispatch
+            from .device import pad_tile_rows
             tiles2, validb, tile_seq, nwins = packed
             n = len(tiles2)
-            npad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 4)
+            C = max(1, (1 << 17) // TILE)
+            npad = pad_tile_rows(n, C)
             if npad != n:
                 tiles2 = np.concatenate(
                     [tiles2, np.zeros((npad - n, tiles2.shape[1]),
@@ -394,10 +430,16 @@ class QueryEngine:
                                       validb.dtype)])
                 tile_seq = np.concatenate(
                     [tile_seq, np.zeros(npad - n, tile_seq.dtype)])
-            counts, present, nodes_t = query_epoch_codes2(
+            dsel, selmin = _thresholds(nwins, discovery_fraction,
+                                       presence_fraction, Spad)
+            mask, counts, present, nodes_t = query_epoch_codes2(
                 self._device_index.table, danno.bitmap, jnp.asarray(tiles2),
-                jnp.asarray(validb), jnp.asarray(tile_seq), Spad,
-                danno.num_labels, k, TILE + k - 1)
+                jnp.asarray(validb), jnp.asarray(tile_seq),
+                jnp.asarray(dsel), jnp.asarray(selmin), Spad, L, k,
+                TILE + k - 1)
+            rows, cols, vals = self._hits_from_mask(
+                np.asarray(mask)[:S], counts, L,
+                need_vals=(mode != "labels"))
         else:
             codes_list = [ex.encode(s) for s in seqs]
             tiles, tile_seq, nwins = tile_codes_layout(codes_list, k)
@@ -411,8 +453,10 @@ class QueryEngine:
                     [tile_seq, np.zeros(npad - n, tile_seq.dtype)])
             counts, present, nodes_t = query_epoch_codes(
                 self._device_index.table, danno.bitmap, jnp.asarray(tiles),
-                jnp.asarray(tile_seq), Spad, danno.num_labels, k)
-        present = np.asarray(present)[:S]
+                jnp.asarray(tile_seq), Spad, L, k)
+            rows, cols, vals = self._hits(
+                counts, np.asarray(present)[:S], nwins, discovery_fraction,
+                presence_fraction, need_vals=(mode != "labels"))
         nodes_cache = {}
 
         def nodes_of(i):
@@ -422,9 +466,6 @@ class QueryEngine:
                     np.asarray(nodes_t)[:n], tile_seq[:n], nwins)
             return nodes_cache["nl"][i]
 
-        rows, cols, vals = self._hits(counts, present, nwins,
-                                      discovery_fraction, presence_fraction,
-                                      need_vals=(mode != "labels"))
         return self._payloads_from_hits(rows, cols, vals, nodes_of, nwins,
                                         mode, num_top_labels)
 

@@ -224,13 +224,29 @@ class TestPackedEpoch:
         c1, p1, n1 = query_epoch_codes(
             pipe.index.table, pipe.annotation.bitmap, jnp.asarray(tiles),
             jnp.asarray(tile_seq), S, L, K)
-        t2, vb, ts2, _ = native.tile_pack2(seqs, K, TILE)
-        c2, p2, n2 = query_epoch_codes2(
+        t2, vb, ts2, nwins = native.tile_pack2(seqs, K, TILE)
+        from metagraph_tpu.query.pipeline import _thresholds
+        dsel, selmin = _thresholds(nwins, 0.7, 0.1, S)
+        mask, c2, p2, n2 = query_epoch_codes2(
             pipe.index.table, pipe.annotation.bitmap, jnp.asarray(t2),
-            jnp.asarray(vb), jnp.asarray(ts2), S, L, K, TILE + K - 1)
+            jnp.asarray(vb), jnp.asarray(ts2), jnp.asarray(dsel),
+            jnp.asarray(selmin), S, L, K, TILE + K - 1)
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
         np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+        # the fused selection mask == get_min_count host reference
+        from metagraph_tpu.annotation.annotated_dbg import get_min_count
+        bits = np.unpackbits(
+            np.ascontiguousarray(np.asarray(mask)).view(np.uint8),
+            axis=1, bitorder="little")[:, :L]
+        ch, ph = np.asarray(c1), np.asarray(p1)
+        for i, nk in enumerate(nwins):
+            if nk == 0:
+                assert not bits[i].any()
+                continue
+            mc = get_min_count(0.7, 0.1, nk, int(ph[i]))
+            want = (ch[i] >= mc) if ph[i] >= mc else np.zeros(L, bool)
+            np.testing.assert_array_equal(bits[i].astype(bool), want)
 
 
 class TestDeviceBuild:
