@@ -162,6 +162,32 @@ class DBGSuccinct:
                 out.append((i, chr(table[c])))
         return out
 
+    def _succ_table(self):
+        """Per-edge successor ranges, built once with batched BOSS ops.
+
+        The successors of edge e are the contiguous BOSS edge range
+        [first, last] of the target node, so the whole adjacency is two
+        int64 arrays (8 B/edge) and traversal becomes a pure gather — the
+        total-coverage analog of the reference's NodeFirstCache
+        (graph_extensions/node_first_cache.hpp:17).  Built lazily on the
+        first batch traversal (alignment, unitig extraction drive this).
+        """
+        tbl = getattr(self, "_succ_ranges", None)
+        if tbl is not None:
+            return tbl
+        boss = self.boss
+        e = np.arange(len(boss.W), dtype=np.int64)
+        w = boss.W.astype(np.int64)
+        has_out = (e <= 1) | (w != 0)
+        safe = np.where(has_out, e, 1)
+        last = boss.fwd(safe, w % boss.alph_size)
+        first = np.maximum(boss.pred_last(np.maximum(last - 1, 0)) + 1, 2)
+        ok = has_out & (last >= first)
+        first = np.where(ok, first, 1)
+        last = np.where(ok, last, 0)
+        self._succ_ranges = (first, last)
+        return self._succ_ranges
+
     def call_outgoing_batch(self, nodes: np.ndarray):
         """Vectorized call_outgoing_kmers over an edge-index array.
 
@@ -173,12 +199,10 @@ class DBGSuccinct:
         """
         boss = self.boss
         nodes = np.asarray(nodes, dtype=np.int64)
-        w = boss.W[nodes].astype(np.int64)
-        has_out = (nodes <= 1) | (w != 0)
-        safe = np.where(has_out, nodes, 1)
-        last = boss.fwd(safe, w % boss.alph_size)
-        first = np.maximum(boss.pred_last(np.maximum(last - 1, 0)) + 1, 2)
-        cnt = np.where(has_out, np.maximum(last - first + 1, 0), 0)
+        sf, sl = self._succ_table()
+        first = sf[nodes]
+        last = sl[nodes]
+        cnt = np.maximum(last - first + 1, 0)
         owner = np.repeat(np.arange(len(nodes)), cnt)
         offs = np.concatenate([[0], np.cumsum(cnt)])
         child = first[owner] + (np.arange(len(owner)) - offs[owner])
