@@ -163,7 +163,7 @@ def main():
     from metagraph_tpu import native as native_mod
     base = native_mod.RefBaseline(
         np.asarray(pipe.index_keys), np.asarray(pipe.index_ids),
-        np.asarray(pipe.annotation.bitmap))
+        pipe.annotation.unpacked())
     cpu_dt = np.inf
     for _ in range(2):
         t0 = time.perf_counter()

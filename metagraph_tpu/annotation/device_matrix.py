@@ -214,7 +214,9 @@ def rowdiff_row_words(dev: DeviceRowDiff, rows: jnp.ndarray,
 # ------------------------------------------------------------- count epochs
 def dense_row_words(dev, rows: jnp.ndarray) -> jnp.ndarray:
     """row-words fn for the dense DeviceAnnotation bitmap (rows: -1 = miss)."""
-    w = dev.bitmap[jnp.maximum(rows, 0)]
+    from . import ops as anno_ops
+    w = anno_ops.gather_anno_rows(dev.bitmap, jnp.maximum(rows, 0),
+                                  dev.num_labels)
     return jnp.where((rows >= 0)[:, None], w, 0)
 
 

@@ -36,10 +36,54 @@ def pack_annotation_bitmap(anno, num_rows: int | None = None) -> np.ndarray:
     return bitmap
 
 
+# Row-pack factor for the device bitmap: v5e row-gathers hit their fast path
+# at ~128 int32 (512 B) rows — measured 6.4M gathers on (597k, 32) take
+# 193 ms vs 112 ms on the same data packed (149k, 128).  Gather cost scales
+# with the TABLE ROW COUNT more than with row bytes up to this width (256+
+# word rows get slower again), so P consecutive annotation rows share one
+# table row and the matching Lw-word slice is selected on the VPU.
+_PACK_TARGET_WORDS = 128
+
+
+def _pack_factor(Lw: int) -> int:
+    """Rows packed per table row: largest pow2 with P*Lw <= 128 (min 1)."""
+    p = max(1, _PACK_TARGET_WORDS // max(Lw, 1))
+    return 1 << (p.bit_length() - 1)
+
+
+def pack_bitmap_wide(bitmap: np.ndarray) -> np.ndarray:
+    """(R, Lw) -> (ceil(R/P), P*Lw) row-packed device layout (P pow2)."""
+    R, Lw = bitmap.shape
+    P = _pack_factor(Lw)
+    if P == 1:
+        return bitmap
+    Rp = -(-R // P)
+    out = np.zeros((Rp * P, Lw), bitmap.dtype)
+    out[:R] = bitmap
+    return out.reshape(Rp, P * Lw)
+
+
+def gather_anno_rows(bitmap: jnp.ndarray, rows: jnp.ndarray,
+                     num_labels: int) -> jnp.ndarray:
+    """Gather (..., Lw) annotation words for row ids from the (possibly
+    row-packed) device bitmap.  P == 1 (unpacked (R, Lw) arrays, e.g. the
+    label-sharded multichip layout) degenerates to a plain row gather."""
+    Lw = max((num_labels + 31) // 32, 1)
+    P = bitmap.shape[1] // Lw
+    if P == 1:
+        return bitmap[rows]
+    shift = P.bit_length() - 1
+    wide = bitmap[rows >> shift].reshape(rows.shape + (P, Lw))
+    sub = (rows & (P - 1))[..., None, None]
+    onehot = (sub == jnp.arange(P, dtype=rows.dtype)[:, None]).astype(
+        bitmap.dtype)
+    return (wide * onehot).sum(axis=-2, dtype=bitmap.dtype)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceAnnotation:
-    bitmap: jnp.ndarray      # (R, Lw) uint32
+    bitmap: jnp.ndarray      # (ceil(R/P), P*Lw) uint32 — row-packed layout
     num_labels: int
 
     def tree_flatten(self):
@@ -51,8 +95,20 @@ class DeviceAnnotation:
 
     @classmethod
     def from_column_annotation(cls, anno, num_rows=None) -> "DeviceAnnotation":
-        return cls(jnp.asarray(pack_annotation_bitmap(anno, num_rows)),
-                   anno.num_labels)
+        return cls.from_bitmap(pack_annotation_bitmap(anno, num_rows),
+                               anno.num_labels)
+
+    @classmethod
+    def from_bitmap(cls, bitmap: np.ndarray,
+                    num_labels: int) -> "DeviceAnnotation":
+        """Host (R, Lw) uint32 bitmap -> device row-packed annotation."""
+        return cls(jnp.asarray(pack_bitmap_wide(np.asarray(bitmap))),
+                   num_labels)
+
+    def unpacked(self) -> np.ndarray:
+        """Host copy in the flat (R', Lw) layout (R' includes pack padding)."""
+        Lw = max((self.num_labels + 31) // 32, 1)
+        return np.asarray(self.bitmap).reshape(-1, Lw)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -63,7 +119,7 @@ def count_labels_sorted(bitmap: jnp.ndarray, nodes: jnp.ndarray,
     far faster on TPU (no serialized scatters)."""
     hit = nodes > 0
     rows = jnp.where(hit, nodes - 1, 0)
-    words = bitmap[rows]                                  # (Q, Lw)
+    words = gather_anno_rows(bitmap, rows, num_labels)    # (Q, Lw)
     Lw = words.shape[1]
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = ((words[:, :, None] >> shifts[None, None, :]) & 1).astype(jnp.int32)
@@ -92,7 +148,7 @@ def count_labels_matmul(bitmap: jnp.ndarray, nodes: jnp.ndarray,
     (counts < 2^24).  Returns float32 (cast by the caller)."""
     hit = nodes > 0
     rows = jnp.where(hit, nodes - 1, 0)
-    words = bitmap[rows]
+    words = gather_anno_rows(bitmap, rows, num_labels)
     Lw = words.shape[1]
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = ((words[:, :, None] >> shifts[None, None, :]) & 1)
@@ -119,7 +175,7 @@ def count_labels(bitmap: jnp.ndarray, nodes: jnp.ndarray,
     """
     hit = nodes > 0
     rows = jnp.where(hit, nodes - 1, 0)
-    words = bitmap[rows]                                  # (Q, Lw)
+    words = gather_anno_rows(bitmap, rows, num_labels)    # (Q, Lw)
     Lw = words.shape[1]
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = ((words[:, :, None] >> shifts[None, None, :]) & 1).astype(jnp.int32)

@@ -212,8 +212,8 @@ class QueryEngine:
                 inner = dm.DeviceBRWT.from_host(matrix.inner)
                 self._device_words = dm.rowdiff_brwt_words_fn
             else:
-                inner = anno_ops.DeviceAnnotation(
-                    jnp.asarray(self._pack_matrix_bitmap(matrix.inner)),
+                inner = anno_ops.DeviceAnnotation.from_bitmap(
+                    self._pack_matrix_bitmap(matrix.inner),
                     matrix.num_labels)
                 self._device_words = dm.rowdiff_dense_words_fn
             self._device_anno = dm.DeviceRowDiff.from_host(matrix, inner)
@@ -224,9 +224,8 @@ class QueryEngine:
                 .from_column_annotation(anno, R)
         else:
             # generic matrices: pack the row bitmap in chunks
-            self._device_anno = anno_ops.DeviceAnnotation(
-                jnp.asarray(self._pack_matrix_bitmap(anno, R)),
-                anno.num_labels)
+            self._device_anno = anno_ops.DeviceAnnotation.from_bitmap(
+                self._pack_matrix_bitmap(anno, R), anno.num_labels)
         return self._device_anno
 
     @staticmethod

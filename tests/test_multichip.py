@@ -52,7 +52,7 @@ def test_sharded_query_counts_match_host(tiny, data, model):
     table_shard, rows_per_shard = sh.shard_hash_table(
         np.asarray(pipe.index.table), mesh)
     bitmap_shard, labels_per_shard = sh.shard_annotation(
-        np.asarray(pipe.annotation.bitmap), mesh)
+        pipe.annotation.unpacked(), mesh)
     # uneven per-shard batches: one query per data shard, differing lengths
     qseqs = [seqs[i % len(seqs)][: 40 + 13 * (i % 3)] for i in range(data)]
     q_parts, sid_parts = [], []
@@ -88,7 +88,7 @@ def test_sharded_counts_feed_thresholds(tiny, df, pf):
     table_shard, rows_per_shard = sh.shard_hash_table(
         np.asarray(pipe.index.table), mesh)
     bitmap_shard, labels_per_shard = sh.shard_annotation(
-        np.asarray(pipe.annotation.bitmap), mesh)
+        pipe.annotation.unpacked(), mesh)
     qseqs = [seqs[0][:50], seqs[1][:70]]
     q_parts, sid_parts = [], []
     width = max(len(s) - g.k + 1 for s in qseqs)
