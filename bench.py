@@ -135,9 +135,15 @@ def main():
     # long-running server/CLI session does)
     warm = engine.query_batch_fused(seqs_big, "labels", 2 ** 63, 1.0, 0.0)
     assert warm is not None
-    t0 = time.perf_counter()
-    payloads = engine.query_batch_fused(seqs_big, "labels", 2 ** 63, 1.0, 0.0)
-    cli_dt = time.perf_counter() - t0
+    # fresh inputs per rep (rotate the batch: same shapes, different bytes —
+    # the relay caches executions by (program, inputs)); min over reps
+    # because the shared relay's load varies run to run
+    cli_dt = np.inf
+    for rep in range(3):
+        rot = seqs_big[rep + 1:] + seqs_big[:rep + 1]
+        t0 = time.perf_counter()
+        payloads = engine.query_batch_fused(rot, "labels", 2 ** 63, 1.0, 0.0)
+        cli_dt = min(cli_dt, time.perf_counter() - t0)
     cli_kps = n_kmers_big / cli_dt
     log(f"CLI query path (--device, labels): {cli_dt*1e3:.0f} ms -> "
         f"{cli_kps/1e6:.1f} M kmers/s ({S/cli_dt:.0f} reads/s), "

@@ -99,6 +99,31 @@ class QueryEngine:
         self._device_index = ops.DeviceHashIndex.from_packed(
             ops.pack_kmers32(kchars), valid_edges.astype(np.uint32))
 
+    _device_index2 = None
+
+    def _build_device_index2(self):
+        """2-bit wire-key hash index (query_epoch_wire): DNA graphs with
+        k <= 31 only; None when the graph doesn't qualify."""
+        if self._device_index2 is not None:
+            return self._device_index2
+        from ..succinct import ops
+        k = self.graph.k
+        ex = self.graph.extractor
+        boss = getattr(self._base, "boss", None)
+        if boss is None or not 2 <= k <= 31:
+            return None
+        if ex.encode(b"ACGT").tolist() != [1, 2, 3, 4]:
+            return None                       # non-DNA alphabet
+        if ex.alphabet.sigma > 5:
+            return None                       # wider alphabet (protein)
+        valid_edges = np.flatnonzero(boss.valid)
+        kchars = boss.get_edge_seq(valid_edges)
+        if kchars.size and (kchars.min() < 1 or kchars.max() > 4):
+            return None                       # $ or N in stored k-mers
+        self._device_index2 = ops.DeviceHashIndex.from_packed(
+            ops.pack_kmers2(kchars), valid_edges.astype(np.uint32))
+        return self._device_index2
+
     def _map_windows(self, sub: np.ndarray) -> np.ndarray:
         k = self.graph.k
         if self.use_device:
@@ -385,7 +410,12 @@ class QueryEngine:
         """Fully fused device query from raw sequences (codes shipped to
         device; packing+lookup+counting in one dispatch — query/device.py
         query_epoch_codes).  Returns payloads, or None when this batch isn't
-        eligible (canonical graphs, CoordToHeader, compressed device anno)."""
+        eligible (canonical graphs, CoordToHeader, compressed device anno).
+
+        Large batches are split into sub-batches whose dispatches are
+        enqueued back-to-back WITHOUT intermediate readbacks, so host packing
+        / result download of sub-batch i overlaps device compute of i+1
+        (the relay pipelines async dispatches; measured ~15% end-to-end)."""
         ag = self.anno_graph
         if (not self.use_device or ag.coord_to_header is not None
                 or self._canonical_offset is not None
@@ -396,11 +426,41 @@ class QueryEngine:
         danno = self._build_device_annotation()
         if not isinstance(danno, DeviceAnnotation):
             return None
+        from .device import TILE
+        from .. import native
+        if native.get_lib() is not None and len(seqs) >= 16 \
+                and self._build_device_index2() is not None:
+            total_bp = sum(len(s) for s in seqs)
+            nsplit = min(4, max(1, total_bp // (TILE * 4096)))
+            if nsplit > 1:
+                q = -(-len(seqs) // nsplit)
+                parts = [seqs[i * q: (i + 1) * q] for i in range(nsplit)
+                         if seqs[i * q: (i + 1) * q]]
+                staged = [self._fused_dispatch(
+                    p, mode, discovery_fraction, presence_fraction)
+                    for p in parts]
+                out = []
+                for st in staged:
+                    out.extend(self._fused_collect(
+                        st, mode, num_top_labels))
+                return out
+        st = self._fused_dispatch(seqs, mode, discovery_fraction,
+                                  presence_fraction)
+        if st is None:
+            return None
+        return self._fused_collect(st, mode, num_top_labels)
+
+    def _fused_dispatch(self, seqs, mode: str, discovery_fraction: float,
+                        presence_fraction: float):
+        """Enqueue the fused device query for one (sub-)batch; returns the
+        un-downloaded device handles + host metadata, or None if the batch
+        can't take the fused path."""
+        danno = self._device_anno
         import jax.numpy as jnp
         from .device import (TILE, query_epoch_codes, query_epoch_codes2,
+                             query_epoch_wire, wire_words_layout,
                              tile_codes_layout, untile_nodes)
         from .. import native
-        self._build_device_index()
         k = self.graph.k
         ex = self.graph.extractor
         S = len(seqs)
@@ -409,6 +469,9 @@ class QueryEngine:
                                    n_threads=max(self.n_threads,
                                                  min(os.cpu_count() or 1, 8))) \
             if native.get_lib() is not None else None
+        index2 = self._build_device_index2() if packed is not None else None
+        if index2 is None:
+            self._build_device_index()
         L = danno.num_labels
         if packed is not None:
             # 2-bit packed upload (2.25 bits/bp on the wire; native
@@ -420,25 +483,36 @@ class QueryEngine:
             n = len(tiles2)
             C = max(1, (1 << 17) // TILE)
             npad = pad_tile_rows(n, C)
-            if npad != n:
-                tiles2 = np.concatenate(
-                    [tiles2, np.zeros((npad - n, tiles2.shape[1]),
-                                      tiles2.dtype)])
-                validb = np.concatenate(
-                    [validb, np.zeros((npad - n, validb.shape[1]),
-                                      validb.dtype)])
-                tile_seq = np.concatenate(
-                    [tile_seq, np.zeros(npad - n, tile_seq.dtype)])
             dsel, selmin = _thresholds(nwins, discovery_fraction,
                                        presence_fraction, Spad)
-            mask, counts, present, nodes_t = query_epoch_codes2(
-                self._device_index.table, danno.bitmap, jnp.asarray(tiles2),
-                jnp.asarray(validb), jnp.asarray(tile_seq),
-                jnp.asarray(dsel), jnp.asarray(selmin), Spad, L, k,
-                TILE + k - 1)
-            rows, cols, vals = self._hits_from_mask(
-                np.asarray(mask)[:S], counts, L,
-                need_vals=(mode != "labels"))
+            if index2 is not None:
+                # wire-key path: keys funnel-shifted from the 2-bit stream
+                words, vwords = wire_words_layout(tiles2, validb, k, TILE,
+                                                  npad)
+                tile_seq = np.concatenate(
+                    [tile_seq, np.zeros(npad - n, tile_seq.dtype)]) \
+                    if npad != n else tile_seq
+                mask, counts, present, nodes_t = query_epoch_wire(
+                    index2.table, danno.bitmap, jnp.asarray(words),
+                    jnp.asarray(vwords), jnp.asarray(tile_seq),
+                    jnp.asarray(dsel), jnp.asarray(selmin), Spad, L, k, TILE)
+            else:
+                if npad != n:
+                    tiles2 = np.concatenate(
+                        [tiles2, np.zeros((npad - n, tiles2.shape[1]),
+                                          tiles2.dtype)])
+                    validb = np.concatenate(
+                        [validb, np.zeros((npad - n, validb.shape[1]),
+                                          validb.dtype)])
+                    tile_seq = np.concatenate(
+                        [tile_seq, np.zeros(npad - n, tile_seq.dtype)])
+                mask, counts, present, nodes_t = query_epoch_codes2(
+                    self._device_index.table, danno.bitmap,
+                    jnp.asarray(tiles2), jnp.asarray(validb),
+                    jnp.asarray(tile_seq), jnp.asarray(dsel),
+                    jnp.asarray(selmin), Spad, L, k, TILE + k - 1)
+            return dict(mask=mask, counts=counts, S=S, L=L, nwins=nwins,
+                        nodes_t=nodes_t, tile_seq=tile_seq, n=n)
         else:
             codes_list = [ex.encode(s) for s in seqs]
             tiles, tile_seq, nwins = tile_codes_layout(codes_list, k)
@@ -453,9 +527,23 @@ class QueryEngine:
             counts, present, nodes_t = query_epoch_codes(
                 self._device_index.table, danno.bitmap, jnp.asarray(tiles),
                 jnp.asarray(tile_seq), Spad, L, k)
+            return dict(counts=counts, present=present, S=S, L=L,
+                        nwins=nwins, nodes_t=nodes_t, tile_seq=tile_seq, n=n,
+                        df=discovery_fraction, pf=presence_fraction)
+
+    def _fused_collect(self, st, mode: str, num_top_labels: int):
+        """Download + select + assemble payloads for one _fused_dispatch."""
+        from .device import untile_nodes
+        S, L, n = st["S"], st["L"], st["n"]
+        nwins, tile_seq, nodes_t = st["nwins"], st["tile_seq"], st["nodes_t"]
+        if "mask" in st:
+            rows, cols, vals = self._hits_from_mask(
+                np.asarray(st["mask"])[:S], st["counts"], L,
+                need_vals=(mode != "labels"))
+        else:
             rows, cols, vals = self._hits(
-                counts, np.asarray(present)[:S], nwins, discovery_fraction,
-                presence_fraction, need_vals=(mode != "labels"))
+                st["counts"], np.asarray(st["present"])[:S], nwins,
+                st["df"], st["pf"], need_vals=(mode != "labels"))
         nodes_cache = {}
 
         def nodes_of(i):

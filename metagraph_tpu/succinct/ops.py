@@ -68,6 +68,101 @@ def pack_kmers32(chars: np.ndarray) -> np.ndarray:
     return pack_codes32(chars, packing.boss_priority_order(K))
 
 
+def pack_kmers2(chars: np.ndarray) -> np.ndarray:
+    """(N, K) DNA BOSS codes (1..4) -> (N, 2) uint32 2-bit wire-order keys.
+
+    Bit 2*i of the key holds char i's 2-bit code (code-1), little-endian
+    across the two words — the exact layout native ``tile_pack2`` puts on the
+    wire, so device-side window-key extraction is a funnel shift of the
+    uploaded bytes (``extract_windows2``), with no per-char unpack/repack.
+    Only equality matters for the hash index, so wire order (not BOSS
+    priority order) is fine.  Requires 2 <= K <= 31 so word 1 has at most 30
+    significant bits and can never equal the EMPTY_WORD slot sentinel.
+    """
+    chars = np.asarray(chars)
+    N, K = chars.shape
+    assert 2 <= K <= 31, K
+    out = np.zeros((N, 2), dtype=np.uint32)
+    c = (chars.astype(np.uint32) - 1) & np.uint32(3)
+    for i in range(K):
+        out[:, i >> 4] |= c[:, i] << np.uint32(2 * (i & 15))
+    return out
+
+
+def _funnel_shift(words: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(..., NW) uint32 bitstream >> s across word boundaries (0 <= s <= 31).
+
+    Word i of the result reads bits [32i+s, 32i+s+32) of the stream; bits
+    past the last word read as 0."""
+    if s == 0:
+        return words
+    nxt = jnp.concatenate(
+        [words[..., 1:], jnp.zeros_like(words[..., :1])], axis=-1)
+    # (nxt << 32-s) via two shifts: legal for s in 1..31 (single shifts < 32)
+    return (words >> np.uint32(s)) | ((nxt << np.uint32(31 - s))
+                                      << np.uint32(1))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def extract_windows2(words: jnp.ndarray, K: int, T: int) -> jnp.ndarray:
+    """(C, NW) uint32 2-bit code stream -> (C, T, 2) uint32 window keys.
+
+    Window j's key is bits [2j, 2j+2K) of the stream (pack_kmers2 layout).
+    Needs NW >= ceil(T/16) + 2 words (callers pad).  Pure VPU shifts — the
+    device-side replacement for unpack + device_pack_windows on the 2-bit
+    wire format."""
+    C, NW = words.shape
+    G = _ceil_div(T, 16)
+    assert NW >= G + 2, (NW, G)
+    sh = jnp.arange(16, dtype=jnp.uint32) * 2          # r = j & 15 shifts
+    hi_bits = 2 * K - 32
+    mask_lo = np.uint32(0xFFFFFFFF) if K >= 16 \
+        else np.uint32((1 << (2 * K)) - 1)
+    mask_hi = np.uint32((1 << max(hi_bits, 0)) - 1)
+    los, his = [], []
+    for g in range(G):
+        w0 = words[:, g, None]
+        w1 = words[:, g + 1, None]
+        w2 = words[:, g + 2, None]
+        lo = ((w0 >> sh) | ((w1 << (np.uint32(31) - sh)) << np.uint32(1))) \
+            & mask_lo
+        if hi_bits > 0:
+            hi = ((w1 >> sh) | ((w2 << (np.uint32(31) - sh)) << np.uint32(1))) \
+                & mask_hi
+        else:
+            hi = jnp.zeros_like(lo)
+        los.append(lo)
+        his.append(hi)
+    lo = jnp.concatenate(los, axis=1)[:, :T]
+    hi = jnp.concatenate(his, axis=1)[:, :T]
+    return jnp.stack([lo, hi], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def window_valid2(vwords: jnp.ndarray, K: int, T: int) -> jnp.ndarray:
+    """(C, NV) uint32 per-char valid bits -> (C, T) bool window validity.
+
+    A window is valid iff all K of its chars are valid: a sliding AND of K
+    consecutive bits, computed in O(log K) funnel-shift steps (T must be a
+    multiple of 32)."""
+    assert T % 32 == 0, T
+    pows = {1: vwords}
+    p, ln = vwords, 1
+    while ln * 2 <= K:
+        p = p & _funnel_shift(p, ln)
+        ln *= 2
+        pows[ln] = p
+    acc, off, rem = p, ln, K - ln
+    while rem:
+        b = 1 << (rem.bit_length() - 1)
+        acc = acc & _funnel_shift(pows[b], off)
+        off += b
+        rem -= b
+    bits = ((acc[:, : T // 32, None]
+             >> jnp.arange(32, dtype=jnp.uint32)) & 1)
+    return bits.reshape(acc.shape[0], T).astype(bool)
+
+
 # --------------------------------------------------------------------------
 # DeviceKmerIndex: sorted multiword dictionary
 # --------------------------------------------------------------------------

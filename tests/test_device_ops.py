@@ -287,3 +287,89 @@ class TestDeviceBuild:
         uniq = build_kmer_set_device(codes, 15)
         chars, _ = KmerExtractor().extract([seq], 15)
         np.testing.assert_array_equal(uniq, pack_kmers32(chars))
+
+
+class TestWireEpoch:
+    def test_pack_kmers2_extract_windows2_roundtrip(self):
+        """Window keys funnel-shifted from the 2-bit wire stream equal
+        pack_kmers2 of the window chars (the hash-key contract)."""
+        import jax.numpy as jnp
+        from metagraph_tpu import native
+        from metagraph_tpu.succinct.ops import (extract_windows2,
+                                                pack_kmers2, window_valid2)
+        from metagraph_tpu.query.device import TILE, wire_words_layout
+        if native.get_lib() is None:
+            import pytest
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(7)
+        for K in (2, 13, 16, 17, 20, 31):
+            seqs = ["".join(rng.choice(list("ACGTN"), size=int(n))).encode()
+                    for n in rng.integers(K, 600, size=6)]
+            t2, vb, ts2, nwins = native.tile_pack2(seqs, K, TILE)
+            words, vwords = wire_words_layout(t2, vb, K, TILE, len(t2))
+            keys = np.asarray(extract_windows2(jnp.asarray(words), K, TILE))
+            valid = np.asarray(window_valid2(jnp.asarray(vwords), K, TILE))
+            ex = KmerExtractor()
+            base = 0
+            for i, s in enumerate(seqs):
+                codes = ex.encode(s)
+                nw = max(len(codes) - K + 1, 0)
+                nt = -(-nw // TILE) if nw else 0
+                wins = np.lib.stride_tricks.sliding_window_view(codes, K) \
+                    if nw else np.zeros((0, K), np.uint8)
+                bad = np.concatenate([[0], np.cumsum(codes >= 5)])
+                vref = (bad[K:] - bad[:-K]) == 0 if nw else np.zeros(0, bool)
+                kflat = keys[base: base + nt].reshape(-1, 2)[:nw]
+                vflat = valid[base: base + nt].reshape(-1)[:nw]
+                np.testing.assert_array_equal(vflat, vref, err_msg=f"K={K}")
+                if vref.any():
+                    safe = np.where(wins[vref] >= 5, 1, wins[vref])
+                    want = pack_kmers2(safe)
+                    np.testing.assert_array_equal(
+                        kflat[vref], want, err_msg=f"K={K} seq {i}")
+                base += nt
+
+    def test_query_epoch_wire_matches_codes2(self):
+        """The wire epoch (2-bit keys, funnel-shift extraction) returns
+        bit-identical counts/present/mask/nodes to the codes2 epoch."""
+        import jax.numpy as jnp
+        from metagraph_tpu import native
+        from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+        from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+        from metagraph_tpu.query.device import (
+            TILE, DeviceQueryPipeline, query_epoch_codes2, query_epoch_wire,
+            wire_words_layout)
+        from metagraph_tpu.query.pipeline import QueryEngine, _thresholds
+        if native.get_lib() is None:
+            import pytest
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(11)
+        seqs = ["".join(rng.choice(list("ACGTN"), size=int(n))).encode()
+                for n in rng.integers(10, 700, size=16)]
+        K = 17
+        g = DBGSuccinct.build([s for s in seqs if len(s) >= K], K)
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        for i, s in enumerate(seqs):
+            if len(s) >= K:
+                ag.annotate_sequence(s, [f"s{i}"])
+        pipe = DeviceQueryPipeline(g, anno)
+        eng = QueryEngine(ag, use_device=True)
+        idx2 = eng._build_device_index2()
+        assert idx2 is not None
+        S, L = len(seqs), anno.num_labels
+        t2, vb, ts2, nwins = native.tile_pack2(seqs, K, TILE)
+        dsel, selmin = _thresholds(nwins, 0.7, 0.1, S)
+        m1, c1, p1, n1 = query_epoch_codes2(
+            pipe.index.table, pipe.annotation.bitmap, jnp.asarray(t2),
+            jnp.asarray(vb), jnp.asarray(ts2), jnp.asarray(dsel),
+            jnp.asarray(selmin), S, L, K, TILE + K - 1)
+        words, vwords = wire_words_layout(t2, vb, K, TILE, len(t2))
+        m2, c2, p2, n2 = query_epoch_wire(
+            idx2.table, pipe.annotation.bitmap, jnp.asarray(words),
+            jnp.asarray(vwords), jnp.asarray(ts2), jnp.asarray(dsel),
+            jnp.asarray(selmin), S, L, K, TILE)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
