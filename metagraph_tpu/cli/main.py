@@ -745,22 +745,12 @@ def cmd_compare(args):
 
 
 def cmd_merge(args):
-    """Merge graphs (ref cli/merge.cpp / BOSS::merge)."""
+    """Merge graphs (ref cli/merge.cpp / BOSS::merge): sorted-table merge of
+    the inputs' edge sets — linear, no contig re-extraction."""
     from ..graph.dbg_succinct import DBGSuccinct
-    from ..graph import traversal
 
-    all_seqs = []
-    k = None
-    mode = "basic"
-    for f in args.input:
-        g = DBGSuccinct.load(f)
-        k, mode = g.k, g.mode
-        table = g.alphabet.decode_table
-        single = g.mode == "canonical"
-        for c in traversal.call_sequences(g.boss,
-                                          kmers_in_single_form=single):
-            all_seqs.append(table[c].tobytes())
-    g2 = DBGSuccinct.build(all_seqs, k, mode=mode)
+    graphs = [DBGSuccinct.load(f) for f in args.input]
+    g2 = DBGSuccinct.merge(graphs)
     g2.save(args.out)
     print(f"merged: {g2.num_nodes()} nodes", file=sys.stderr)
 

@@ -67,6 +67,33 @@ class DBGSuccinct:
                                    bits_per_count=bits_per_count)
         return cls(BOSS(arrays), k, mode, alphabet, mask_dummy)
 
+    @classmethod
+    def merge(cls, graphs: Sequence["DBGSuccinct"]) -> "DBGSuccinct":
+        """Sorted-table merge (ref succinct/boss_merge.cpp merge()): the
+        inputs' valid-edge strings are already in BOSS order, so the union
+        is a linear multiway merge + one BOSS emission — no contig
+        re-extraction and no global re-sort of all input k-mers."""
+        from ..succinct.construct import (build_boss_arrays,
+                                          merge_sorted_edge_sets)
+        g0 = graphs[0]
+        for g in graphs[1:]:
+            if g.k != g0.k or g.mode != g0.mode \
+                    or g.alphabet is not g0.alphabet:
+                raise ValueError("merge requires equal k/mode/alphabet")
+        sets, wsets, have_w = [], [], True
+        for g in graphs:
+            ve = np.flatnonzero(g.boss.valid).astype(np.int64)
+            sets.append(g.boss.get_edge_seq(ve))
+            if g.boss.weights is None:
+                have_w = False
+            else:
+                wsets.append(np.asarray(g.boss.weights)[ve])
+        merged, counts = merge_sorted_edge_sets(
+            sets, wsets if have_w and len(wsets) == len(sets) else None)
+        arrays = build_boss_arrays(merged, alph_size=g0.alphabet.sigma,
+                                   counts=counts)
+        return cls(BOSS(arrays), g0.k, g0.mode, g0.alphabet, g0.masked)
+
     # ---------------------------------------------------------------- stats
     def num_nodes(self) -> int:
         if self.masked:

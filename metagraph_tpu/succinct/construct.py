@@ -177,6 +177,59 @@ def emit_boss(stream: np.ndarray, alph_size: int,
                       valid=valid, weights=weights)
 
 
+def merge_sorted_edge_sets(kmer_sets, count_sets=None):
+    """Linear merge of BOSS-sorted unique edge-string sets (the sorted-table
+    merge of ref src/graph/representation/succinct/boss_merge.cpp merge():
+    co-iterate the sorted tables, no contig re-extraction or global re-sort).
+
+    Each input is an (N_i, K) code matrix already in BOSS priority order
+    (valid edges read off a BOSS table are).  Duplicate edges collapse;
+    counts (if given) sum.  Returns (merged (N, K), counts or None).
+    Vectorized two-way merges folded left: rank positions come from two
+    searchsorted passes, so each fold is O(n+m) row moves."""
+    sets = [np.asarray(s) for s in kmer_sets]
+    have_counts = count_sets is not None
+    counts = [np.asarray(c, dtype=np.uint64) for c in count_sets] \
+        if have_counts else [None] * len(sets)
+    K = sets[0].shape[1]
+    order = packing.boss_priority_order(K)
+    acc, acc_keys, acc_c = sets[0], None, counts[0]
+    for s, c in zip(sets[1:], counts[1:]):
+        assert s.shape[1] == K
+        ka = packing.pack_codes(acc, order) if acc_keys is None else acc_keys
+        kb = packing.pack_codes(s, order)
+        na, nb = len(acc), len(s)
+        # final rank of a-rows: own index + #b-rows strictly before (ties ->
+        # a first); of b-rows: own index + #a-rows at-or-before
+        pos_a = np.arange(na) + packing.searchsorted_rows(kb, ka, "left")
+        pos_b = np.arange(nb) + packing.searchsorted_rows(ka, kb, "right")
+        merged = np.empty((na + nb, K), dtype=acc.dtype)
+        merged[pos_a] = acc
+        merged[pos_b] = s
+        mkeys = np.empty((na + nb, ka.shape[1]), dtype=ka.dtype)
+        mkeys[pos_a] = ka
+        mkeys[pos_b] = kb
+        if have_counts:
+            mc = np.empty(na + nb, dtype=np.uint64)
+            mc[pos_a] = acc_c
+            mc[pos_b] = c
+        dup = packing.rows_equal_adjacent(mkeys)     # row i == row i+1
+        if dup.any():
+            keep = np.concatenate([[True], ~dup[:-1]])
+            if have_counts:
+                # duplicates are adjacent pairs (inputs were unique): fold
+                # the second copy's count into the first
+                mc = mc.copy()
+                mc[dup] += mc[np.flatnonzero(dup) + 1]
+                acc_c = mc[keep]
+            acc, acc_keys = merged[keep], mkeys[keep]
+        else:
+            acc, acc_keys = merged, mkeys
+            if have_counts:
+                acc_c = mc
+    return acc, (acc_c if have_counts else None)
+
+
 def build_boss_arrays(kmers: np.ndarray, alph_size: int = 5,
                       counts: np.ndarray | None = None,
                       bits_per_count: int = 8) -> BossArrays:

@@ -140,3 +140,45 @@ class TestReferenceAnchors:
     def test_k20_canonical(self, transcripts_1000):
         g = DBGSuccinct.build(transcripts_1000, 20, mode="canonical")
         assert g.num_nodes() == 1159851         # test_build.py:130
+
+
+class TestSortedTableMerge:
+    """DBGSuccinct.merge (ref succinct/boss_merge.cpp merge()): linear
+    sorted-table union, byte-identical to building from all input at once."""
+
+    def _seqs(self):
+        rng = np.random.default_rng(5)
+        return ["".join(rng.choice(list("ACGT"), size=int(n))).encode()
+                for n in rng.integers(30, 400, size=24)]
+
+    def test_merge_equals_whole_build(self):
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        seqs = self._seqs()
+        for mode in ("basic", "canonical"):
+            gs = [DBGSuccinct.build(seqs[i::3], 13, mode=mode)
+                  for i in range(3)]
+            gm = DBGSuccinct.merge(gs)
+            gw = DBGSuccinct.build(seqs, 13, mode=mode)
+            for arr in ("W", "last", "F", "valid"):
+                np.testing.assert_array_equal(
+                    getattr(gm.boss, arr), getattr(gw.boss, arr),
+                    err_msg=f"{mode}:{arr}")
+
+    def test_merge_sums_weights(self):
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        seqs = self._seqs()
+        gs = [DBGSuccinct.build([seqs[0], seqs[1]], 11, with_counts=True),
+              DBGSuccinct.build([seqs[1], seqs[2]], 11, with_counts=True)]
+        gm = DBGSuccinct.merge(gs)
+        gw = DBGSuccinct.build([seqs[0], seqs[1], seqs[1], seqs[2]], 11,
+                               with_counts=True)
+        np.testing.assert_array_equal(gm.boss.W, gw.boss.W)
+        np.testing.assert_array_equal(gm.boss.weights, gw.boss.weights)
+
+    def test_merge_rejects_mismatched_k(self):
+        import pytest
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        seqs = self._seqs()
+        with pytest.raises(ValueError):
+            DBGSuccinct.merge([DBGSuccinct.build(seqs, 11),
+                               DBGSuccinct.build(seqs, 13)])
