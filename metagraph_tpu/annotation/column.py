@@ -201,14 +201,34 @@ class ColumnMajorAnnotation:
                 out[i].append((c, rc[lo[i]:hi[i], 1].tolist()))
         return out
 
+    def compressed_columns(self):
+        """Per-label adaptive compressed bit vectors (the reference's
+        ColumnCompressed storage unit, annotate_column_compressed.hpp:26
+        holds one bit_vector per column; bit_vector_smallest picks
+        sd / rrr / stat per column by predicted footprint)."""
+        from ..succinct.bitvector import bit_vector_smallest
+        self.freeze()
+        return [bit_vector_smallest(positions=self._rows[c], n=self.num_rows)
+                for c in range(self.num_labels)]
+
     # -------------------------------------------------------------- storage
-    def save(self, path: str):
+    def save(self, path: str, codec: str = "sorted"):
+        """codec="sorted": raw sorted row-index arrays (default).
+        codec="smallest": each column as its smallest sd/rrr/stat bit vector
+        (succinct/bitvector.py) — the on-disk analog of the reference's
+        per-column bit_vector_smart serialization."""
         self.freeze()
         payload = {"num_rows": self.num_rows,
                    "labels": np.array(self.encoder.labels, dtype=object),
                    "has_values": self.has_values, "has_coords": self.has_coords}
+        if codec == "smallest":
+            payload["codec"] = "smallest"
+            for c, v in enumerate(self.compressed_columns()):
+                for k, arr in v.to_dict().items():
+                    payload[f"col{c}_{k}"] = arr
         for c in range(self.num_labels):
-            payload[f"rows_{c}"] = self._rows[c]
+            if codec != "smallest":
+                payload[f"rows_{c}"] = self._rows[c]
             payload[f"vals_{c}"] = self._values[c]
             payload[f"coords_{c}"] = self._coords[c]
         np.savez_compressed(path, **payload, allow_pickle=True)
@@ -220,7 +240,21 @@ class ColumnMajorAnnotation:
         a = cls(int(z["num_rows"]))
         labels = [str(x) for x in z["labels"]]
         a.encoder = LabelEncoder(labels)
-        a._rows = [z[f"rows_{c}"] for c in range(len(labels))]
+        if "codec" in z.files and str(z["codec"]) == "smallest":
+            from ..succinct.bitvector import bitvector_from_dict
+            a._rows = []
+            a.column_codecs = []
+            for c in range(len(labels)):
+                pre = f"col{c}_"
+                d = {k[len(pre):]: z[k] for k in z.files
+                     if k.startswith(pre)}
+                v = bitvector_from_dict(d)
+                a.column_codecs.append(v.kind)
+                m = v.num_set_bits
+                a._rows.append(v.select1(np.arange(m, dtype=np.int64))
+                               if m else np.zeros(0, np.int64))
+        else:
+            a._rows = [z[f"rows_{c}"] for c in range(len(labels))]
         a._values = [z[f"vals_{c}"] for c in range(len(labels))]
         a._coords = [z[f"coords_{c}"] for c in range(len(labels))]
         a.has_values = bool(z["has_values"])

@@ -181,6 +181,12 @@ def cmd_stats(args):
             print(f"density: {nnz / max(a.num_labels * a.num_rows, 1):.6g}")
             print(f"representation: "
                   f"{getattr(a, 'representation', 'column')}")
+            codecs = getattr(a, "column_codecs", None)
+            if codecs:
+                from collections import Counter
+                per = ", ".join(f"{k}: {v}"
+                                for k, v in sorted(Counter(codecs).items()))
+                print(f"column vectors: {per}")
             if args.print_col_names:
                 print("column names:")
                 for name in a.encoder.labels:
@@ -256,7 +262,8 @@ def cmd_annotate(args):
                 # only sequences long enough to hold a k-mer are indexed
                 header_index.setdefault(labels[0], []).append(
                     (rec.name, len(rec.seq) - g.k + 1))
-    anno.save(args.out + ".column.annodbg")
+    anno.save(args.out + ".column.annodbg",
+              codec=getattr(args, "anno_codec", "sorted"))
     if getattr(args, "index_header_coords", False):
         # per-column (header, num_kmers) index (ref cli/annotate.cpp:278,
         # coord_to_header.hpp)
@@ -943,6 +950,10 @@ def main(argv=None):
     p.add_argument("--anno-filename", action="store_true")
     p.add_argument("--anno-label", default=None)
     p.add_argument("--anno-type", default="column")
+    p.add_argument("--anno-codec", default="sorted",
+                   choices=["sorted", "smallest"],
+                   help="column storage: raw sorted row indices or the"
+                        " smallest sd/rrr/stat bit vector per column")
     p.add_argument("--count-kmers", action="store_true")
     p.add_argument("--coordinates", action="store_true")
     p.add_argument("--index-header-coords", action="store_true")
