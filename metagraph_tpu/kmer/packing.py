@@ -88,8 +88,15 @@ def _void_view(packed: np.ndarray) -> np.ndarray:
 
 
 def lexsort_rows(packed: np.ndarray) -> np.ndarray:
-    """argsort of (N, W) uint64 rows in lexicographic (word 0 first) order."""
-    return np.argsort(_void_view(packed), kind="stable")
+    """argsort of (N, W) uint64 rows in lexicographic (word 0 first) order.
+
+    np.lexsort over the word columns (last key primary) is ~2x faster than
+    argsort of the big-endian void view it replaces (no byte-swapped copy,
+    native uint64 compares); stable, so equal rows keep input order."""
+    if packed.shape[1] == 1:
+        return np.argsort(packed[:, 0], kind="stable")
+    return np.lexsort(tuple(packed[:, w]
+                            for w in range(packed.shape[1] - 1, -1, -1)))
 
 
 def sort_rows(packed: np.ndarray) -> np.ndarray:

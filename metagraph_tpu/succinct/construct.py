@@ -75,24 +75,35 @@ def generate_dummy_kmers(kmers: np.ndarray) -> np.ndarray:
 
     source_nodes = kmers[:, : K - 1]
     target_nodes = kmers[:, 1:]
+    order_k = packing.colex_priority_order(k)
 
-    src_keys = np.unique(packing._void_view(
-        packing.pack_codes(source_nodes, packing.colex_priority_order(k))))
-    tgt_key_all = packing.pack_codes(target_nodes, packing.colex_priority_order(k))
-    tgt_keys_u, tgt_first = np.unique(packing._void_view(tgt_key_all),
-                                      return_index=True)
+    # BOSS edge order is (source-node co-lex, label): the packed source keys
+    # arrive ALREADY SORTED, so unique sources are an adjacent-dedupe — only
+    # the target keys need a sort (1 sort instead of 4 void-dtype uniques)
+    src_keys = packing.pack_codes(source_nodes, order_k)
+    s_new = np.ones(N, dtype=bool)
+    if N > 1:
+        np.any(src_keys[1:] != src_keys[:-1], axis=1, out=s_new[1:])
+    src_first = np.flatnonzero(s_new)
+    src_keys_u = src_keys[src_first]
+
+    tgt_key_all = packing.pack_codes(target_nodes, order_k)
+    t_idx = packing.lexsort_rows(tgt_key_all)
+    ts = tgt_key_all[t_idx]
+    t_new = np.ones(N, dtype=bool)
+    if N > 1:
+        np.any(ts[1:] != ts[:-1], axis=1, out=t_new[1:])
+    tgt_first = t_idx[t_new]
+    tgt_keys_u = ts[t_new]
 
     # --- dummy sinks: unique targets not among sources -----------------------
-    sink_mask = ~np.isin(tgt_keys_u, src_keys)
+    sink_mask = ~packing.rows_in(src_keys_u, tgt_keys_u)
     sink_nodes = target_nodes[tgt_first[sink_mask]]
     dummy_sinks = np.concatenate(
         [sink_nodes, np.zeros((sink_nodes.shape[0], 1), dtype=np.uint8)], axis=1)
 
     # --- dummy-1 sources: unique sources not among targets -------------------
-    src_keys_u, src_first = np.unique(packing._void_view(
-        packing.pack_codes(source_nodes, packing.colex_priority_order(k))),
-        return_index=True)
-    src1_mask = ~np.isin(src_keys_u, tgt_keys_u)
+    src1_mask = ~packing.rows_in(tgt_keys_u, src_keys_u)
     src1_nodes = source_nodes[src_first[src1_mask]]
     # edge string = '$' + node  (node $n[0..k-2], label n[k-1];
     # ref boss_chunk_construct.cpp:151-169: to_prev(k+1, 0))
