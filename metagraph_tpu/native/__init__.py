@@ -62,7 +62,7 @@ def get_lib():
     lib.pack_rows64.restype = None
     lib.pack_rows64.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
-        ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_int32]
     lib.bitrank_rank_batch.restype = None
     lib.bitrank_rank_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -236,9 +236,11 @@ def dust_low_complexity(window: bytes, T: int = 20, W: int = 64):
     return bool(lib.dust_low_complexity(window, len(window), T, W))
 
 
-def pack_rows64(chars, order):
-    """(N, K) uint8 codes + column order -> (N, W) uint64 nibble words;
-    None when the native lib is unavailable."""
+def pack_rows64(chars, order, n_threads: int | None = None):
+    """(N, K) uint8 codes + column order -> (N, W) uint64 nibble words,
+    row ranges packed by a worker-thread pool (the data-parallel ingest of
+    ref kmer_collector.cpp:27-100); None when the native lib is
+    unavailable."""
     lib = get_lib()
     if lib is None:
         return None
@@ -248,7 +250,9 @@ def pack_rows64(chars, order):
     N, K = chars.shape
     W = (K + 15) // 16
     out = np.empty((N, W), dtype=np.uint64)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 8)
     lib.pack_rows64(chars.ctypes.data_as(ctypes.c_void_p), N, K,
                     order32.ctypes.data_as(ctypes.c_void_p),
-                    out.ctypes.data_as(ctypes.c_void_p))
+                    out.ctypes.data_as(ctypes.c_void_p), n_threads)
     return out

@@ -233,20 +233,38 @@ int dust_low_complexity(const uint8_t *window, int64_t n, int32_t T,
 // arbitrary column priority order (most significant first) — the generic
 // batch variant of pack_windows_boss used by construction and host lookups.
 void pack_rows64(const uint8_t *chars, int64_t N, int32_t K,
-                 const int32_t *order, uint64_t *out /* N * W */) {
+                 const int32_t *order, uint64_t *out /* N * W */,
+                 int32_t n_threads) {
     const int32_t W = (K + 15) / 16;
-    for (int64_t i = 0; i < N; ++i) {
-        const uint8_t *row = chars + i * K;
-        uint64_t *o = out + i * W;
-        int32_t p = 0;
-        for (int32_t w = 0; w < W; ++w) {
-            uint64_t acc = 0;
-            for (int32_t slot = 0; slot < 16 && p < K; ++slot, ++p) {
-                acc |= (uint64_t)row[order[p]] << (60 - 4 * slot);
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t *row = chars + i * K;
+            uint64_t *o = out + i * W;
+            int32_t p = 0;
+            for (int32_t w = 0; w < W; ++w) {
+                uint64_t acc = 0;
+                for (int32_t slot = 0; slot < 16 && p < K; ++slot, ++p) {
+                    acc |= (uint64_t)row[order[p]] << (60 - 4 * slot);
+                }
+                o[w] = acc;
             }
-            o[w] = acc;
         }
+    };
+    if (n_threads <= 1 || N < (1 << 16)) {
+        work(0, N);
+        return;
     }
+    // data-parallel ingest: row ranges across worker threads (the role of
+    // the reference's KmerCollector worker pool, kmer_collector.cpp:27-100)
+    std::vector<std::thread> ths;
+    int64_t per = (N + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+        int64_t lo = t * per, hi = std::min<int64_t>(lo + per, N);
+        if (lo < hi)
+            ths.emplace_back(work, lo, hi);
+    }
+    for (auto &th : ths)
+        th.join();
 }
 
 // --------------------------------------------------------------------------
