@@ -146,15 +146,16 @@ class DBGAligner:
 
     def align(self, query: bytes) -> List[Alignment]:
         """Single-query path: drive the alignment generator locally."""
-        from .wave_extender import compute_wave
+        from .wave_extender import _outgoing_batch, compute_wave
         gen = self.align_gen(query)
         resp = None
         while True:
             try:
-                req = gen.send(resp)
+                tag, req = gen.send(resp)
             except StopIteration as st:
                 return st.value
-            resp = compute_wave(*req)
+            resp = _outgoing_batch(self.graph, req) if tag == "out" \
+                else compute_wave(*req)
 
     def align_batch(self, queries: List[bytes], backend: str = "numpy"
                     ) -> List[List[Alignment]]:
@@ -166,7 +167,7 @@ class DBGAligner:
         from .wave_extender import WaveExtender
         return drive_batch(
             [self.align_gen(q, extender_default=WaveExtender)
-             for q in queries], backend)
+             for q in queries], backend, graph=self.graph)
 
     def align_gen(self, query: bytes, extender_default=None):
         """Generator producing compute_wave requests; returns alignments."""

@@ -67,8 +67,31 @@ def compute_wave_batch(reqs: List[tuple], backend: str = "numpy"):
     return out
 
 
-def drive_batch(gens: List, backend: str = "numpy") -> List:
-    """Advance alignment generators in lockstep; returns their results."""
+def outgoing_batch_multi(graph, reqs: List[np.ndarray]):
+    """Serve many per-read outgoing-edge requests with ONE graph batch op.
+
+    Concatenates the node arrays, calls the graph's vectorized
+    call_outgoing_batch once, and splits the (owner, child, char) triples
+    back per request (owners ascend, so the split is a searchsorted)."""
+    from .wave_extender import _outgoing_batch
+    if len(reqs) == 1:
+        return [_outgoing_batch(graph, reqs[0])]
+    lens = np.array([len(r) for r in reqs], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    own, chd, cde = _outgoing_batch(graph, np.concatenate(reqs))
+    cuts = np.searchsorted(own, offs)
+    return [(own[cuts[i]: cuts[i + 1]] - offs[i],
+             chd[cuts[i]: cuts[i + 1]], cde[cuts[i]: cuts[i + 1]])
+            for i in range(len(reqs))]
+
+
+def drive_batch(gens: List, backend: str = "numpy", graph=None) -> List:
+    """Advance alignment generators in lockstep; returns their results.
+
+    Generators yield tagged requests: ("wave", compute_wave args) scored by
+    one batched DP call, and ("out", node array) served by one batched graph
+    traversal — so both the arithmetic AND the BOSS navigation amortize
+    across every active read."""
     results = [None] * len(gens)
     pending = {}
     for i, g in enumerate(gens):
@@ -78,11 +101,21 @@ def drive_batch(gens: List, backend: str = "numpy") -> List:
             results[i] = st.value
     while pending:
         keys = sorted(pending)
-        resps = compute_wave_batch([pending[k] for k in keys], backend)
+        out_keys = [k for k in keys if pending[k][0] == "out"]
+        wave_keys = [k for k in keys if pending[k][0] == "wave"]
+        resps = {}
+        if out_keys:
+            outs = outgoing_batch_multi(graph,
+                                        [pending[k][1] for k in out_keys])
+            resps.update(zip(out_keys, outs))
+        if wave_keys:
+            waves = compute_wave_batch([pending[k][1] for k in wave_keys],
+                                       backend)
+            resps.update(zip(wave_keys, waves))
         next_pending = {}
-        for k, resp in zip(keys, resps):
+        for k in keys:
             try:
-                next_pending[k] = gens[k].send(resp)
+                next_pending[k] = gens[k].send(resps[k])
             except StopIteration as st:
                 results[k] = st.value
         pending = next_pending

@@ -115,10 +115,11 @@ class WaveExtender(DefaultColumnExtender):
         resp = None
         while True:
             try:
-                req = gen.send(resp)
+                tag, req = gen.send(resp)
             except StopIteration as st:
                 return st.value
-            resp = compute_wave(*req)
+            resp = _outgoing_batch(self.graph, req) if tag == "out" \
+                else compute_wave(*req)
 
     def get_extensions_waves(self, seed: Alignment, min_path_score: int,
                              force_fixed_seed: bool):
@@ -248,8 +249,10 @@ class WaveExtender(DefaultColumnExtender):
                     graph_rows.append(r)
                     graph_nodes.append(col.node)
             if graph_nodes:
-                own, chd, cde = _outgoing_batch(
-                    self.graph, np.array(graph_nodes, dtype=np.int64))
+                # traversal request served by the driver (batched across all
+                # lockstep reads — one BOSS batch op per global wave)
+                own, chd, cde = yield (
+                    "out", np.array(graph_nodes, dtype=np.int64))
                 gr = np.array(graph_rows, dtype=np.int64)
                 has_child = np.zeros(len(graph_nodes), dtype=bool)
                 has_child[own] = True
@@ -270,11 +273,11 @@ class WaveExtender(DefaultColumnExtender):
                                  for r in pr], dtype=np.int64)
 
             # ---- batched column recurrence (computed by the wave driver)
-            S, E, F = yield (
+            S, E, F = yield ("wave", (
                 SpM_all[pr], SpF_all[pr], Fp_eff[pr], P[_CHAR_IDX[chars_arr]],
                 score_arr, offs_arr > 1, band_lo[pr], band_hi[pr],
                 np.full(len(pr), xdrop_cutoff, dtype=np.int64),
-                cfg.gap_opening_penalty, cfg.gap_extension_penalty)
+                cfg.gap_opening_penalty, cfg.gap_extension_penalty))
 
             # max pos closest to the diagonal (extender.py:261-268)
             diag = offs_arr - seed_offset
