@@ -707,30 +707,21 @@ def cmd_server_query(args):
 
 
 def cmd_extend(args):
-    """Augment a graph with new sequences (ref cli/augment.cpp)."""
+    """Augment a graph with new sequences (ref cli/augment.cpp): build a
+    small graph of the new input, then sorted-table-merge it with the
+    existing edge set (linear; no contig re-extraction of the old graph —
+    the batch analog of BOSS dynamic add_sequence, boss.hpp:192)."""
     from ..seq_io.fasta import read_fasta
     from ..graph.dbg_succinct import DBGSuccinct
-    from ..graph import traversal
 
     g = DBGSuccinct.load(args.infile_base)
-    table = g.alphabet.decode_table
     with_counts = g.boss.weights is not None
-    contigs_paths = traversal.call_paths(
-        g.boss, False, g.mode == "canonical", True)
-    seqs = [table[np.array(s, dtype=np.uint8)].tobytes()
-            for _, s in contigs_paths]
-    weights = None
-    if with_counts:
-        weights = [g.boss.weights[np.array(p, dtype=np.int64)].astype(np.uint64)
-                   for p, _ in contigs_paths]
     new_seqs = []
     for f in args.input:
         new_seqs.extend(r.seq for r in read_fasta(f))
-    if with_counts:
-        weights = weights + [np.ones(max(len(s) - g.k + 1, 0), dtype=np.uint64)
-                             for s in new_seqs]
-    g2 = DBGSuccinct.build(seqs + new_seqs, g.k, mode=g.mode,
-                           with_counts=with_counts, window_weights=weights)
+    g_new = DBGSuccinct.build(new_seqs, g.k, mode=g.mode,
+                              with_counts=with_counts)
+    g2 = DBGSuccinct.merge([g, g_new])
     g2.save(args.out)
     print(f"extended: {g2.num_nodes()} nodes", file=sys.stderr)
 
