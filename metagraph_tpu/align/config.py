@@ -27,6 +27,18 @@ def dna_scoring_matrix(match: int = 2, transition: int = -3,
     return m
 
 
+def unit_scoring_matrix(match: int = 1) -> np.ndarray:
+    """Edit-distance (unit-cost) matrix: every mismatch scores -match, every
+    valid-character match scores +match (ref aligner_config.cpp:186-205)."""
+    m = np.full((128, 128), -match, dtype=np.int32)
+    for c in "ACGT":
+        m[ord(c), ord(c)] = match
+    for a in "ACGTacgt":
+        for b in "ACGTacgt":
+            m[ord(a), ord(b)] = m[ord(a.upper()), ord(b.upper())]
+    return m
+
+
 @dataclass
 class AlignerConfig:
     num_alternative_paths: int = 1
@@ -54,12 +66,15 @@ class AlignerConfig:
     match_score_val: int = 2
     transition: int = -3
     transversion: int = -3
+    edit_distance: bool = False          # --align-edit-distance: unit costs
     score_matrix: np.ndarray = field(default=None)
 
     def __post_init__(self):
         if self.score_matrix is None:
-            self.score_matrix = dna_scoring_matrix(
-                self.match_score_val, self.transition, self.transversion)
+            self.score_matrix = (
+                unit_scoring_matrix(1) if self.edit_distance
+                else dna_scoring_matrix(self.match_score_val, self.transition,
+                                        self.transversion))
 
     def clamp_to_k(self, k: int):
         self.min_seed_length = min(self.min_seed_length, k)

@@ -27,6 +27,44 @@ def _add_common(p):
                         "(ref --mmap, src/cli/config/config.cpp:122)")
 
 
+def _add_align_scoring_flags(p):
+    """Scoring/extension knobs shared by `align` and `query --align`
+    (ref cli/config/config.hpp:114-145; CLI stores penalties as positives,
+    negated in initialize_aligner_config, align.cpp:33-70)."""
+    p.add_argument("--align-match-score", type=int, default=2)
+    p.add_argument("--align-mm-transition-penalty", type=int, default=3)
+    p.add_argument("--align-mm-transversion-penalty", type=int, default=3)
+    p.add_argument("--align-gap-open-penalty", type=int, default=6)
+    p.add_argument("--align-gap-extension-penalty", type=int, default=2)
+    p.add_argument("--align-end-bonus", type=int, default=5)
+    p.add_argument("--align-xdrop", type=int, default=27)
+    p.add_argument("--align-max-nodes-per-seq-char", type=float, default=5.0)
+    p.add_argument("--align-max-num-seeds-per-locus", type=int, default=1000)
+    p.add_argument("--align-max-ram", type=float, default=200.0)
+    p.add_argument("--align-rel-score-cutoff", type=float, default=0.95)
+    p.add_argument("--align-no-seed-complexity-filter", action="store_true")
+
+
+def _aligner_scoring_kwargs(args):
+    """args -> AlignerConfig kwargs for the shared scoring flags."""
+    return dict(
+        match_score_val=args.align_match_score,
+        transition=-args.align_mm_transition_penalty,
+        transversion=-args.align_mm_transversion_penalty,
+        gap_opening_penalty=-args.align_gap_open_penalty,
+        gap_extension_penalty=-args.align_gap_extension_penalty,
+        left_end_bonus=args.align_end_bonus,
+        right_end_bonus=args.align_end_bonus,
+        xdrop=args.align_xdrop,
+        max_nodes_per_seq_char=args.align_max_nodes_per_seq_char,
+        max_num_seeds_per_locus=args.align_max_num_seeds_per_locus,
+        max_ram_per_alignment=args.align_max_ram,
+        rel_score_cutoff=args.align_rel_score_cutoff,
+        seed_complexity_filter=not args.align_no_seed_complexity_filter,
+        edit_distance=getattr(args, "align_edit_distance", False),
+    )
+
+
 def cmd_build(args):
     from ..seq_io.fasta import read_fasta, read_kmer_counts
     from ..graph.dbg_succinct import DBGSuccinct
@@ -460,7 +498,8 @@ def cmd_query(args):
     if args.align:
         from ..align.config import AlignerConfig
         aligner_config = AlignerConfig(
-            min_exact_match=args.align_min_exact_match)
+            min_exact_match=args.align_min_exact_match,
+            **_aligner_scoring_kwargs(args))
 
     out = sys.stdout
     num_top = args.num_top_labels if args.num_top_labels is not None else 2 ** 63
@@ -552,6 +591,7 @@ def cmd_align(args):
         num_alternative_paths=args.align_alternative_alignments,
         forward_and_reverse_complement=not args.align_only_forwards,
         post_chain_alignments=getattr(args, "align_post_chain", False),
+        **_aligner_scoring_kwargs(args),
     )
     if getattr(args, "align_chain", False) and not args.annotation:
         print("ERROR: Chaining only supported for seeds with coordinates. "
@@ -966,6 +1006,7 @@ def main(argv=None):
     p.add_argument("--fwd-and-reverse", action="store_true")
     p.add_argument("--align", action="store_true")
     p.add_argument("--align-min-exact-match", type=float, default=0.7)
+    _add_align_scoring_flags(p)
     # ref config.cpp:261-264,297: hull-expanded per-batch alignment graph
     p.add_argument("--batch-align", action="store_true",
                    help="align against a per-batch hull graph instead of "
@@ -1086,6 +1127,7 @@ def main(argv=None):
     p.add_argument("--align-min-path-score", type=int, default=0)
     p.add_argument("--align-alternative-alignments", type=int, default=1)
     p.add_argument("--align-edit-distance", action="store_true")
+    _add_align_scoring_flags(p)
     p.add_argument("--align-post-chain", action="store_true")
     p.add_argument("--align-chain", action="store_true")
     p.add_argument("--no-coord-mapping", action="store_true")

@@ -355,3 +355,35 @@ class TestWaveExtenderParity:
             outs.append([[(a.score, a.cigar.to_string(), a.orientation)
                           for a in al.align(r)] for r in reads])
         assert outs[0] == outs[1]
+
+
+class TestScoringKnobs:
+    """CLI-exposed scoring variants (ref config.hpp:114-145, --align-*)."""
+
+    SEQ = b"ACGTAGCTAGCATCAGTCATGCAAGGCTAGCA"
+
+    def _one_mismatch(self):
+        q = bytearray(self.SEQ)
+        q[15] = ord("T") if q[15] != ord("T") else ord("A")
+        return bytes(q)
+
+    def test_edit_distance_unit_costs(self):
+        # unit costs: match +1, mismatch -1 (ref unit_scoring_matrix)
+        al = make_aligner([self.SEQ], 11, edit_distance=True,
+                          forward_and_reverse_complement=False)
+        a = al.align(self._one_mismatch())[0]
+        assert a.cigar.get_num_matches() == len(self.SEQ) - 1
+        assert a.score == (len(self.SEQ) - 1) * 1 - 1 + 10
+
+    def test_custom_match_and_mismatch_scores(self):
+        al = make_aligner([self.SEQ], 11, match_score_val=3, transition=-5,
+                          transversion=-5,
+                          forward_and_reverse_complement=False)
+        a = al.align(self._one_mismatch())[0]
+        assert a.score == (len(self.SEQ) - 1) * 3 - 5 + 10
+
+    def test_end_bonus(self):
+        al = make_aligner([self.SEQ], 11, left_end_bonus=7, right_end_bonus=7,
+                          forward_and_reverse_complement=False)
+        a = al.align(self.SEQ)[0]
+        assert a.score == len(self.SEQ) * 2 + 14
