@@ -267,11 +267,36 @@ def cmd_annotate(args):
         # (ref cli/load/load_annotated_graph.cpp:68-123)
         from ..graph.canonical import CanonicalDBG
         g = CanonicalDBG(g)
+    # --index-header-coords needs the files in column order in ONE pass, so
+    # it overrides --separately (ref cli/annotate.cpp:478)
+    if getattr(args, "separately", False) \
+            and not getattr(args, "index_header_coords", False):
+        # one annotation per input file, files processed in parallel
+        # (ref cli/annotate.cpp:487-511: output = outfbase/<input basename>)
+        from concurrent.futures import ThreadPoolExecutor
+        os.makedirs(args.out, exist_ok=True)
+        outs = [os.path.join(args.out, os.path.basename(f))
+                for f in args.input]
+        with ThreadPoolExecutor(max_workers=max(args.parallel, 1)) as pool:
+            list(pool.map(
+                lambda fo: _annotate_files(g, base_rows, args, [fo[0]],
+                                           fo[1]),
+                zip(args.input, outs)))
+        return
+    _annotate_files(g, base_rows, args, list(args.input), args.out)
+
+
+def _annotate_files(g, base_rows, args, files, out_base):
+    """Annotate `files` into one annotation artifact at `out_base`."""
+    from ..seq_io.fasta import read_fasta
+    from ..annotation.column import ColumnMajorAnnotation
+    from ..annotation.annotated_dbg import AnnotatedDBG
+
     anno = ColumnMajorAnnotation(base_rows)
     ag = AnnotatedDBG(g, anno)
     coord_offsets = {}
     header_index = {}
-    for f in args.input:
+    for f in files:
         # reference uses the path as given for filename labels
         # (ref cli/annotate.cpp: config->refpath handling; tests pass paths)
         fname_label = f
@@ -300,7 +325,7 @@ def cmd_annotate(args):
                 # only sequences long enough to hold a k-mer are indexed
                 header_index.setdefault(labels[0], []).append(
                     (rec.name, len(rec.seq) - g.k + 1))
-    anno.save(args.out + ".column.annodbg",
+    anno.save(out_base + ".column.annodbg",
               codec=getattr(args, "anno_codec", "sorted"))
     if getattr(args, "index_header_coords", False):
         # per-column (header, num_kmers) index (ref cli/annotate.cpp:278,
@@ -311,8 +336,8 @@ def cmd_annotate(args):
         cth = CoordToHeader(
             [[h for h, _ in header_index.get(lab, [])] for lab in cols],
             [[n for _, n in header_index.get(lab, [])] for lab in cols])
-        cth.save(args.out)
-        print(f"CoordToHeader mapping serialized to {args.out}.seqs",
+        cth.save(out_base)
+        print(f"CoordToHeader mapping serialized to {out_base}.seqs",
               file=sys.stderr)
     print(f"annotated: {anno.num_labels} labels", file=sys.stderr)
 
@@ -988,6 +1013,10 @@ def main(argv=None):
     p.add_argument("--count-kmers", action="store_true")
     p.add_argument("--coordinates", action="store_true")
     p.add_argument("--index-header-coords", action="store_true")
+    p.add_argument("--separately", action="store_true",
+                   help="annotate each input file into its own annotation "
+                        "under the output directory "
+                        "(ref cli/annotate.cpp:487-511)")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_annotate)
 
