@@ -137,14 +137,17 @@ def cmd_build(args):
         return
     mem_cap = int(args.mem_cap_gb * (1 << 30)) if args.mem_cap_gb else None
     with PhaseTimer("construct BOSS"):
+        # dummy k-mers stay visible unless --mask-dummy, and the state tag
+        # selects the artifact layout (ref build.cpp:340, boss.hpp:325)
         g = DBGSuccinct.build(seqs, args.k, mode=args.mode,
                               with_counts=args.count_kmers,
                               bits_per_count=args.count_width,
-                              mask_dummy=True,
+                              mask_dummy=args.mask_dummy,
                               window_weights=weights if have_weights else None,
                               disk_swap=args.disk_swap, mem_cap_bytes=mem_cap)
+    g.boss.state = args.state
     with PhaseTimer("serialize"):
-        g.save(args.out, mmap_layout=args.mmap)
+        g.save(args.out, mmap_layout=args.mmap or args.state == "fast")
     print(f"graph built: k={args.k} nodes={g.num_nodes()}", file=sys.stderr)
 
 
@@ -234,6 +237,9 @@ def cmd_stats(args):
         print(f"k: {g.k}")
         print(f"nodes (k): {g.num_nodes()}")
         print(f"mode: {g.mode}")
+        if getattr(g, "boss", None) is not None:
+            # representation state tag (ref stats.cpp:40)
+            print(f"state: {g.boss.state}")
         print(f"max index (k): {g.max_index()}")
         if getattr(g, "boss", None) is not None \
                 and g.boss.weights is not None:
@@ -843,7 +849,8 @@ def cmd_concatenate(args):
     from ..succinct.construct import build_boss_arrays
     from ..succinct.boss import BOSS
     arrays = build_boss_arrays(kmers)
-    g = DBGSuccinct(BOSS(arrays), k, mode if args.mode is None else args.mode)
+    g = DBGSuccinct(BOSS(arrays), k, mode if args.mode is None else args.mode,
+                    mask_dummy=getattr(args, "clear_dummy", False))
     g.save(args.out)
     print(f"concatenated {len(chunks)} chunks: {g.num_nodes()} nodes",
           file=sys.stderr)
@@ -918,6 +925,15 @@ def cmd_transform(args):
                     f.write("\n")
         print(f"adjacency list written to {out}", file=sys.stderr)
         return
+    if getattr(args, "state", None):
+        # switch representation state: re-serialize under the new tag ('fast'
+        # -> raw mmap layout, others -> compressed npz); the in-memory
+        # batch-array layout is state-independent (ref transform_graph.cpp
+        # --state / BOSS::switch_state boss.cpp:325)
+        g.boss.state = args.state
+        g.save(args.out, mmap_layout=args.state == "fast")
+        print(f"graph re-serialized in state {args.state}", file=sys.stderr)
+        return
     if getattr(args, "mode", None) == "primary":
         # relabel basic -> primary without rebuilding; idempotent on
         # already-primary graphs, which are re-serialized unchanged
@@ -981,6 +997,10 @@ def main(argv=None):
     p.add_argument("--count-width", type=int, default=8)
     p.add_argument("--mask-dummy", action="store_true")
     p.add_argument("--in-ram", action="store_true")
+    p.add_argument("--state", default="stat",
+                   choices=["stat", "small", "fast", "dynamic"],
+                   help="representation state tag (ref boss.hpp:325); "
+                        "'fast' selects the raw mmap-able artifact layout")
     p.add_argument("--suffix", default=None,
                    help="build only the chunk for this node-suffix")
     p.add_argument("--disk-swap", default=None, metavar="DIR",
@@ -1063,6 +1083,10 @@ def main(argv=None):
                         "binary (sdsl state SMALL)")
     p.add_argument("--mode", default=None,
                    choices=["basic", "canonical", "primary"])
+    p.add_argument("--state", default=None,
+                   choices=["stat", "small", "fast", "dynamic"],
+                   help="re-serialize the graph under a new state tag "
+                        "(ref transform_graph.cpp --state)")
     p.add_argument("--bloom-fpp", type=float, default=1.0)
     p.add_argument("--bloom-bpk", type=float, default=4.0)
     p.add_argument("input", nargs="+")
@@ -1090,6 +1114,9 @@ def main(argv=None):
     p.add_argument("--len-suffix", type=int, default=1)
     p.add_argument("--mode", default=None)
     p.add_argument("--graph", default="succinct")
+    p.add_argument("--clear-dummy", action="store_true",
+                   help="mark dummy k-mers after concatenation "
+                        "(ref build.cpp:405-409)")
     p.set_defaults(func=cmd_concatenate)
 
     p = sub.add_parser("merge_anno")

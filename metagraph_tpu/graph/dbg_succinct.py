@@ -414,9 +414,9 @@ class DBGSuccinct:
     def save(self, path: str, mmap_layout: bool = False):
         out = path if path.endswith(".npz") else path + ".dbg.npz"
         if mmap_layout:
-            self.boss.save_mmap(out, mode=self.mode)
+            self.boss.save_mmap(out, mode=self.mode, masked=self.masked)
         else:
-            self.boss.save(out, mode=self.mode)
+            self.boss.save(out, mode=self.mode, masked=self.masked)
 
     @classmethod
     def load(cls, path: str, mode: str | None = None,
@@ -435,17 +435,19 @@ class DBGSuccinct:
             boss = BOSS.load(path, mmap=mmap)
             meta = np.load(base + ".meta.npz")
             m = str(meta["mode"]) if "mode" in meta else BASIC
-            return cls(boss, boss.k + 1, mode or m)
+            msk = bool(meta["masked"]) if "masked" in meta else True
+            return cls(boss, boss.k + 1, mode or m, mask_dummy=msk)
         # non-succinct representations carry a graph_type tag
         probe = np.load(path if path.endswith(".npz") else path + ".npz")
         if "graph_type" in probe and str(probe["graph_type"]) != "succinct":
             from .hash_graph import _KmerGraphBase
             return _KmerGraphBase.load_generic(probe)
         boss = BOSS.load(path)
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
         if mode is None:
-            z = np.load(path if path.endswith(".npz") else path + ".npz")
             mode = str(z["mode"]) if "mode" in z else BASIC
-        return cls(boss, boss.k + 1, mode)
+        msk = bool(z["masked"]) if "masked" in z.files else True
+        return cls(boss, boss.k + 1, mode, mask_dummy=msk)
 
 
 def _revcomp_bytes(seq: bytes) -> bytes:

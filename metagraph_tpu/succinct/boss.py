@@ -41,6 +41,13 @@ class BOSS:
         self.F = np.asarray(arrays.F, dtype=np.int64)
         self.valid = np.asarray(arrays.valid, dtype=np.uint8)
         self.weights = arrays.weights
+        # Representation state tag (ref boss.hpp:325 State SMALL/DYN/STAT/FAST).
+        # In this batch-array engine the four states collapse to one in-memory
+        # layout (dense arrays + bit-rank directories); the tag selects the
+        # on-disk layout: 'fast' -> raw mmap-able .npy files, others ->
+        # compressed npz.  'dynamic' is a tag only (edits go through the
+        # sorted-table merge path, see DBGSuccinct.merge).
+        self.state = "stat"
         self._build_indexes()
 
     # ------------------------------------------------------------------ setup
@@ -500,6 +507,7 @@ class BOSS:
 
     # ------------------------------------------------------------- serialize
     def save(self, path: str, **extra):
+        extra.setdefault("state", self.state)
         np.savez_compressed(
             path, k=self.k, alph_size=self.alph_size, W=self.W, last=self.last,
             F=self.F, valid=self.valid,
@@ -516,6 +524,7 @@ class BOSS:
             np.save(base + f".{name}.npy", getattr(self, name))
         if self.weights is not None:
             np.save(base + ".weights.npy", self.weights)
+        extra.setdefault("state", self.state)
         np.savez(base + ".meta.npz", k=self.k, alph_size=self.alph_size,
                  F=self.F, **extra)
 
@@ -536,10 +545,15 @@ class BOSS:
                 valid=np.load(base + ".valid.npy", mmap_mode=mode),
                 weights=np.load(wpath, mmap_mode=mode)
                 if os.path.exists(wpath) else None)
-            return cls(arrays)
+            boss = cls(arrays)
+            boss.state = str(meta["state"]) if "state" in meta else "fast"
+            return boss
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         w = z["weights"]
         arrays = BossArrays(
             k=int(z["k"]), alph_size=int(z["alph_size"]), W=z["W"], last=z["last"],
             F=z["F"], valid=z["valid"], weights=w if len(w) else None)
-        return cls(arrays)
+        boss = cls(arrays)
+        if "state" in z.files:
+            boss.state = str(z["state"])
+        return boss

@@ -29,18 +29,51 @@ def tiny_fa(tmp_path):
 
 class TestCLI:
     def test_build_stats(self, tiny_fa, tmp_path):
-        r = run_cli(["build", "-k", "11", "-o", "g", tiny_fa], tmp_path)
+        r = run_cli(["build", "--mask-dummy", "-k", "11", "-o", "g", tiny_fa], tmp_path)
         assert r.returncode == 0, r.stderr
         r = run_cli(["stats", "g.dbg.npz"], tmp_path)
         assert "k: 11" in r.stdout and "mode: basic" in r.stdout
 
+    @pytest.mark.parametrize("state", ["stat", "small", "fast", "dynamic"])
+    def test_build_states_unmasked(self, tiny_fa, tmp_path, state):
+        """ref integration_tests/test_build.py:50-65: without --mask-dummy
+        the node count includes dummy edges, and stats echoes the state."""
+        r = run_cli(["build", "-k", "11", "--state", state, "-o", "g",
+                     tiny_fa], tmp_path)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(["stats", "g.dbg.npz"], tmp_path)
+        assert f"state: {state}" in r.stdout
+        nodes = int(r.stdout.split("nodes (k): ")[1].split()[0])
+        maxidx = int(r.stdout.split("max index (k): ")[1].split()[0])
+        assert nodes == maxidx          # unmasked: dummy edges counted
+        # masked build of the same input has strictly fewer nodes
+        run_cli(["build", "--mask-dummy", "-k", "11", "-o", "gm", tiny_fa],
+                tmp_path)
+        rm = run_cli(["stats", "gm.dbg.npz"], tmp_path)
+        assert "state: stat" in rm.stdout
+        nm = int(rm.stdout.split("nodes (k): ")[1].split()[0])
+        assert nm < nodes
+
+    def test_transform_state_switch(self, tiny_fa, tmp_path):
+        run_cli(["build", "--mask-dummy", "-k", "11", "-o", "g", tiny_fa],
+                tmp_path)
+        r = run_cli(["transform", "--state", "fast", "-o", "gf",
+                     "g.dbg.npz"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(["stats", "gf.dbg.npz"], tmp_path)
+        assert "state: fast" in r.stdout
+        # masked flag survives the state switch, arrays identical
+        r = run_cli(["compare", "g.dbg.npz", "gf.dbg.npz"], tmp_path)
+        assert "Graphs are identical" in r.stdout
+
     def test_sharded_equals_direct(self, tiny_fa, tmp_path):
-        run_cli(["build", "-k", "11", "-o", "direct", tiny_fa], tmp_path)
+        run_cli(["build", "--mask-dummy", "-k", "11", "-o", "direct", tiny_fa], tmp_path)
         for s in ["$", "A", "C", "G", "T"]:
-            r = run_cli(["build", "-k", "11", "--suffix", s, "-o", "shard",
+            r = run_cli(["build", "--mask-dummy", "-k", "11", "--suffix", s, "-o", "shard",
                          tiny_fa], tmp_path)
             assert r.returncode == 0, r.stderr
-        r = run_cli(["concatenate", "-i", "shard", "-o", "joined"], tmp_path)
+        r = run_cli(["concatenate", "--clear-dummy", "-i", "shard",
+                     "-o", "joined"], tmp_path)
         assert r.returncode == 0, r.stderr
         r = run_cli(["compare", "joined.dbg.npz", "direct.dbg.npz"], tmp_path)
         assert "Graphs are identical" in r.stdout
@@ -50,8 +83,8 @@ class TestCLI:
         extra = tmp_path / "extra.fa"
         with open(extra, "w") as f:
             f.write(">x\n" + "".join(rng.choice(list("ACGT"), 200)) + "\n")
-        run_cli(["build", "-k", "11", "-o", "g1", tiny_fa], tmp_path)
-        run_cli(["build", "-k", "11", "-o", "g2", str(extra)], tmp_path)
+        run_cli(["build", "--mask-dummy", "-k", "11", "-o", "g1", tiny_fa], tmp_path)
+        run_cli(["build", "--mask-dummy", "-k", "11", "-o", "g2", str(extra)], tmp_path)
         r = run_cli(["extend", "-i", "g1.dbg.npz", "-o", "gx", str(extra)],
                     tmp_path)
         assert r.returncode == 0, r.stderr
@@ -66,14 +99,14 @@ class TestAugmentAnchors:
     """ref integration_tests/test_augment.py:72-107."""
 
     def test_augment_basic(self, tmp_path):
-        run_cli(["build", "-k", "20", "-o", "g",
+        run_cli(["build", "--mask-dummy", "-k", "20", "-o", "g",
                  f"{REF}/transcripts_100.fa"], tmp_path)
         r = run_cli(["extend", "-i", "g.dbg.npz", "-o", "ga",
                      f"{REF}/genome.MT.fa"], tmp_path)
         assert "59955 nodes" in r.stderr
 
     def test_augment_canonical(self, tmp_path):
-        run_cli(["build", "-k", "20", "--mode", "canonical", "-o", "g",
+        run_cli(["build", "--mask-dummy", "-k", "20", "--mode", "canonical", "-o", "g",
                  f"{REF}/transcripts_100.fa"], tmp_path)
         run_cli(["extend", "-i", "g.dbg.npz", "-o", "ga",
                  f"{REF}/genome.MT.fa"], tmp_path)
@@ -102,7 +135,7 @@ class TestTransformAnnoColumnOps:
     @pytest.fixture(scope="class")
     def setup(self, tmp_path_factory):
         d = str(tmp_path_factory.mktemp("colops"))
-        r = run_cli(["build", "-k", "20", "-o", "graph",
+        r = run_cli(["build", "--mask-dummy", "-k", "20", "-o", "graph",
                      f"{REF}/transcripts_100.fa"], d)
         assert r.returncode == 0, r.stderr
         r = run_cli(["annotate", "-i", "graph.dbg.npz", "--anno-header",
@@ -182,7 +215,7 @@ class TestHeaderCounts:
         import re
         d = str(tmp_path)
         fa = f"{REF}/logan_30.fa"
-        r = run_cli(["build", "-k", "31", "-o", "g", fa], d)
+        r = run_cli(["build", "--mask-dummy", "-k", "31", "-o", "g", fa], d)
         assert r.returncode == 0, r.stderr
         r = run_cli(["annotate", "-i", "g.dbg.npz", "--anno-header",
                      "--count-kmers", "-o", "a", fa], d)
@@ -215,7 +248,7 @@ class TestRowDiffStaged:
         (tmp_path / "s.fa").write_text(">s1\nACGTACGTAGGACCTTAGCAT\n"
                                        ">s2\nTTGGCCAATTGGCCAATTGG\n")
         (tmp_path / "q.fa").write_text(">q\nACGTACGTAGGACCTTAGCAT\n")
-        assert run_cli(["build", "-k", "11", "-o", "g", "s.fa"],
+        assert run_cli(["build", "--mask-dummy", "-k", "11", "-o", "g", "s.fa"],
                        d).returncode == 0
         assert run_cli(["annotate", "-i", "g.dbg.npz", "--anno-header",
                         "-o", "a", "s.fa"], d).returncode == 0
@@ -288,7 +321,7 @@ class TestQueryFiltersWithHeaderIndex:
                     ">seq3\nATCGATCG\n")
         with open(f"{d}/query_filter.fa", "w") as f:
             f.write(">query1\nTATCGATCGATCGATCG\n")
-        assert run_cli(["build", "-k", "5", "-o", "graph", "test_filter.fa"],
+        assert run_cli(["build", "--mask-dummy", "-k", "5", "-o", "graph", "test_filter.fa"],
                        d).returncode == 0
         r = run_cli(["annotate", "-i", "graph.dbg.npz", "--coordinates",
                      "--index-header-coords", "-o", "annotation",
@@ -325,7 +358,7 @@ class TestQuerySingleLabelSha:
     def test_sha224_anchors(self, tmp_path):
         import hashlib
         d = str(tmp_path)
-        assert run_cli(["build", "-k", "20", "-o", "graph",
+        assert run_cli(["build", "--mask-dummy", "-k", "20", "-o", "graph",
                         f"{REF}/transcripts_100.fa"], d).returncode == 0
         assert run_cli(["annotate", "-i", "graph.dbg.npz", "--anno-label",
                         "1", "-o", "anno1",
@@ -365,7 +398,7 @@ class TestFiveFilesHeaderEquivalence:
             files.append(f"file_{i}.fa")
         open(f"{d}/query.fa", "w").write(
             ">query\nGTATCGATTGATCGATCGGTATCGATTGATCGATCG\n")
-        assert run_cli(["build", "-k", "5", "-o", "graph"] + files,
+        assert run_cli(["build", "--mask-dummy", "-k", "5", "-o", "graph"] + files,
                        d).returncode == 0
         r = run_cli(["annotate", "-i", "graph.dbg.npz", "--coordinates",
                      "--index-header-coords", "-o", "annotation"] + files, d)
@@ -415,7 +448,7 @@ class TestMultiFileSeqsStats:
         open(f"{d}/query_multi.fa", "w").write(
             ">query1\nTATCGATCG\n>query2\nGCTAGCTA\n")
         files = ["file1.fa", "file2.fa", "file3.fa", "file4.fa"]
-        assert run_cli(["build", "-k", "5", "-o", "graph"] + files,
+        assert run_cli(["build", "--mask-dummy", "-k", "5", "-o", "graph"] + files,
                        d).returncode == 0
         r = run_cli(["annotate", "-i", "graph.dbg.npz", "--coordinates",
                      "--index-header-coords", "-o", "annotation"] + files, d)
@@ -465,7 +498,7 @@ class TestWeightedBuildAnchors:
 
     def test_canonical_weighted(self, tmp_path):
         d = str(tmp_path)
-        r = run_cli(["build", "-k", "20", "--mode", "canonical",
+        r = run_cli(["build", "--mask-dummy", "-k", "20", "--mode", "canonical",
                      "--count-kmers", "-o", "g",
                      f"{REF}/transcripts_1000.fa"], d)
         assert r.returncode == 0, r.stderr
@@ -475,7 +508,7 @@ class TestWeightedBuildAnchors:
 
     def test_tiny_k_count_saturation(self, tmp_path):
         d = str(tmp_path)
-        r = run_cli(["build", "-k", "2", "--count-kmers", "-o", "g",
+        r = run_cli(["build", "--mask-dummy", "-k", "2", "--count-kmers", "-o", "g",
                      f"{REF}/transcripts_100.fa"], d)
         assert r.returncode == 0, r.stderr
         out = run_cli(["stats", "g.dbg.npz"], d).stdout
@@ -491,7 +524,7 @@ class TestAnnotationReconversion:
         d = str(tmp_path)
         (tmp_path / "s.fa").write_text(
             ">a\nACGTACGTAGGACCTTAGCA\n>b\nTTGGCCAATTGGCCAATT\n")
-        assert run_cli(["build", "-k", "11", "-o", "g", "s.fa"],
+        assert run_cli(["build", "--mask-dummy", "-k", "11", "-o", "g", "s.fa"],
                        d).returncode == 0
         assert run_cli(["annotate", "-i", "g.dbg.npz", "--anno-header",
                         "-o", "base", "s.fa"], d).returncode == 0
@@ -517,7 +550,7 @@ class TestTransformExtras:
 
     def test_to_adj_list(self, tiny_fa, tmp_path):
         d = str(tmp_path)
-        run_cli(["build", "-k", "11", "-o", "g", str(tiny_fa)], d)
+        run_cli(["build", "--mask-dummy", "-k", "11", "-o", "g", str(tiny_fa)], d)
         r = run_cli(["transform", "--to-adj-list", "-o", "adj", "g.dbg.npz"],
                     d)
         assert r.returncode == 0, r.stderr
@@ -534,7 +567,7 @@ class TestTransformExtras:
 
     def test_mode_primary_relabel(self, tiny_fa, tmp_path):
         d = str(tmp_path)
-        run_cli(["build", "-k", "11", "-o", "g", str(tiny_fa)], d)
+        run_cli(["build", "--mask-dummy", "-k", "11", "-o", "g", str(tiny_fa)], d)
         r = run_cli(["transform", "--mode", "primary", "-o", "gp",
                      "g.dbg.npz"], d)
         assert r.returncode == 0, r.stderr
