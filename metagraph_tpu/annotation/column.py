@@ -42,6 +42,18 @@ class LabelEncoder:
     def __len__(self):
         return len(self._labels)
 
+    def rename(self, mapping: Dict[str, str]):
+        """Rename labels in place (ref annotation.cpp rename_labels); raises
+        on unknown source labels or duplicate target labels."""
+        for old in mapping:
+            if old not in self._index:
+                raise ValueError(f"Label '{old}' not found in annotation")
+        new_labels = [mapping.get(l, l) for l in self._labels]
+        if len(set(new_labels)) != len(new_labels):
+            raise ValueError("renaming produces duplicate labels")
+        self._labels = new_labels
+        self._index = {l: i for i, l in enumerate(self._labels)}
+
     @property
     def labels(self) -> List[str]:
         return self._labels

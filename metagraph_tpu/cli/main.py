@@ -389,6 +389,45 @@ def cmd_transform_anno(args):
         print(f"reference-format annotation written to {out}",
               file=sys.stderr)
         return
+    if getattr(args, "dump_text_anno", False):
+        # per-column text dump: "<rows> <set bits>" then one set-row index
+        # per line, file <out>.<j>.text.annodbg
+        # (ref annotate_column_compressed.cpp:1168-1191)
+        anno = load_annotation(args.input[0])
+        R = anno.num_rows
+        for j in range(anno.num_labels):
+            if hasattr(anno, "column_rows"):
+                rows = np.asarray(anno.column_rows(j))
+            elif hasattr(getattr(anno, "matrix", None), "get_column"):
+                # get_column returns set-row indices (ref binary_matrix.hpp)
+                rows = np.asarray(anno.matrix.get_column(j))
+            else:
+                raise SystemExit("[error] Dumping columns for this type "
+                                 "not implemented")
+            with open(f"{args.out}.{j}.text.annodbg", "w") as f:
+                f.write(f"{R} {len(rows)}\n")
+                f.write("".join(f"{int(r)}\n" for r in rows))
+        print(f"dumped {anno.num_labels} text columns", file=sys.stderr)
+        return
+    if getattr(args, "rename_cols", None):
+        # whitespace-separated "<old> <new>" pairs
+        # (ref transform_annotation.cpp:360-392)
+        toks = open(args.rename_cols).read().split()
+        if len(toks) % 2:
+            raise SystemExit(f"[error] Wrong format of the rules for "
+                             f"renaming annotation columns passed in file "
+                             f"'{args.rename_cols}'")
+        mapping = dict(zip(toks[::2], toks[1::2]))
+        anno = load_annotation(args.input[0])
+        try:
+            anno.encoder.rename(mapping)
+        except ValueError as e:
+            raise SystemExit(f"[error] {e}")
+        anno.save(args.out + (".column.annodbg"
+                              if isinstance(anno, ColumnMajorAnnotation)
+                              else f".{anno.representation}.annodbg"))
+        print(f"renamed {len(mapping)} labels", file=sys.stderr)
+        return
     if getattr(args, "compute_overlap", None):
         # inner product of columns (ref transform_annotation.cpp:556-590)
         base = load_annotation(args.compute_overlap)
@@ -1135,7 +1174,13 @@ def main(argv=None):
     p.add_argument("-i", "--infile-base", required=True)
     p.add_argument("-a", "--annotation", required=True)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--address", dest="host",
+                   help="interface to listen on (reference flag name; "
+                        "alias of --host, ref config.cpp)")
     p.add_argument("--port", type=int, default=5555)
+    p.add_argument("--threads-each", type=int, default=1,
+                   help="threads per request (accepted for reference-CLI "
+                        "compatibility; requests batch internally)")
     p.add_argument("--device", action="store_true",
                    help="serve queries through the device (TPU) pipeline")
     p.set_defaults(func=cmd_server_query)
@@ -1169,6 +1214,19 @@ def main(argv=None):
     p.add_argument("--max-value", type=int, default=None)
     p.add_argument("--anno-label", default=None)
     p.add_argument("--row-diff-stage", type=int, default=None)
+    p.add_argument("--greedy", action="store_true",
+                   help="greedy agglomerative column clustering for BRWT "
+                        "targets (ref annotation_converters.cpp "
+                        "convert_to_greedy_BRWT; the default here)")
+    p.add_argument("--rename-cols", default=None, metavar="FILE",
+                   help="whitespace-separated '<old> <new>' label pairs "
+                        "(ref transform_annotation.cpp:360)")
+    p.add_argument("--dump-text-anno", action="store_true",
+                   help="dump each column as <out>.<j>.text.annodbg "
+                        "(ref annotate_column_compressed.cpp:1168)")
+    p.add_argument("--linkage", action="store_true",
+                   help="accepted for reference-CLI compatibility (column "
+                        "linkage is computed internally)")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_transform_anno)
 

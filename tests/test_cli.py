@@ -158,6 +158,37 @@ class TestTransformAnnoColumnOps:
         assert r.returncode == 0, r.stderr
         assert len(r.stdout.encode()) == 156421  # ref test_transform_anno.py:75
 
+    def test_dump_text_anno(self, setup):
+        """Per-column text dump (ref annotate_column_compressed.cpp:1168)."""
+        r = run_cli(["transform_anno", "annotation.column.annodbg",
+                     "--dump-text-anno", "-o", "dumped"], setup)
+        assert r.returncode == 0, r.stderr
+        first = open(os.path.join(setup, "dumped.0.text.annodbg")).read()
+        lines = first.splitlines()
+        rows, nset = map(int, lines[0].split())
+        assert nset == len(lines) - 1
+        assert all(0 <= int(x) < rows for x in lines[1:])
+
+    def test_rename_cols(self, setup):
+        labels = [l for l in run_cli(
+            ["stats", "-a", "annotation.column.annodbg", "--print-col-names"],
+            setup).stdout.splitlines() if l and ":" not in l]
+        rules = os.path.join(setup, "rules.txt")
+        with open(rules, "w") as f:
+            f.write(f"{labels[0]} RENAMED_0\n")
+        r = run_cli(["transform_anno", "annotation.column.annodbg",
+                     "--rename-cols", rules, "-o", "renamed"], setup)
+        assert r.returncode == 0, r.stderr
+        out = run_cli(["stats", "-a", "renamed.column.annodbg",
+                       "--print-col-names"], setup).stdout
+        assert "RENAMED_0" in out and labels[0] not in out
+        # unknown label errors out (ref rename_labels)
+        with open(rules, "w") as f:
+            f.write("NO_SUCH_LABEL X\n")
+        r = run_cli(["transform_anno", "annotation.column.annodbg",
+                     "--rename-cols", rules, "-o", "renamed2"], setup)
+        assert r.returncode != 0
+
     @pytest.mark.parametrize("min_count,expected", [
         (1, "0.985871"), (5, "0.0704973"), (10, "0.003401"), (20, "0")])
     def test_aggregate_columns(self, setup, min_count, expected):
