@@ -59,13 +59,26 @@ class MetaGraphServer:
             top = int(payload.get("top_labels", 10000))
         except (TypeError, ValueError):
             raise ValueError("Value is not convertible to Int.")
+        anno = self.anno_graph.annotator
         if payload.get("query_coords", False):
+            if not getattr(anno, "has_coords", False):
+                # ref server.cpp check_labels_in_coordinates
+                raise ValueError(
+                    "Annotation does not support k-mer coordinate queries")
             mode = "coords"
         elif payload.get("query_counts", False):
+            if not getattr(anno, "has_values", False) \
+                    and not getattr(anno, "has_coords", False):
+                raise ValueError(
+                    "Annotation does not support k-mer count queries")
             mode = "counts"
         elif payload.get("with_signature", False):
             mode = "signature"
         elif payload.get("abundance_sum", False):
+            if not getattr(anno, "has_values", False) \
+                    and not getattr(anno, "has_coords", False):
+                raise ValueError(
+                    "Annotation does not support k-mer count queries")
             mode = "counts-sum"
         else:
             mode = "matches"

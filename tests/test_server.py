@@ -134,3 +134,44 @@ class TestApiErrorContract:
         assert code == 200
         assert len(data) == 1
         assert data[0]["results"] == []
+
+    def test_align_no_sequence(self, server_and_seqs):
+        # ref test_api.py:212-218: empty sequence aligns to nothing, not 400
+        code, data = self.post(server_and_seqs, "align", json.dumps(
+            {"FASTA": ">query\n", "min_exact_match": 0}))
+        assert code == 200
+        assert data[0]["alignments"] == []
+
+    def test_align_empty_fasta_desc(self, server_and_seqs):
+        _, seqs = server_and_seqs
+        code, data = self.post(server_and_seqs, "align", json.dumps(
+            {"FASTA": ">\n" + seqs[0][:40].decode(), "min_exact_match": 0}))
+        assert code == 200
+        assert data[0]["seq_description"] == ""
+
+    def test_search_empty_fasta_desc(self, server_and_seqs):
+        _, seqs = server_and_seqs
+        code, data = self.post(server_and_seqs, "search", json.dumps(
+            {"FASTA": ">\n" + seqs[0][:40].decode(), "top_labels": 5,
+             "discovery_fraction": 0.1}))
+        assert code == 200
+        assert data[0]["seq_description"] == ""
+
+    def test_search_no_coordinate_support(self, server_and_seqs):
+        # ref test_api.py:234-254: 400 with the exact message
+        _, seqs = server_and_seqs
+        code, data = self.post(server_and_seqs, "search", json.dumps(
+            {"FASTA": ">q\n" + seqs[0][:40].decode(), "top_labels": 5,
+             "discovery_fraction": 0.1, "query_coords": True}))
+        assert code == 400
+        assert "Annotation does not support k-mer coordinate queries" \
+            in data["error"]
+
+    def test_search_no_count_support(self, server_and_seqs):
+        _, seqs = server_and_seqs
+        code, data = self.post(server_and_seqs, "search", json.dumps(
+            {"FASTA": ">q\n" + seqs[0][:40].decode(), "top_labels": 5,
+             "discovery_fraction": 0.1, "abundance_sum": True}))
+        assert code == 400
+        assert "Annotation does not support k-mer count queries" \
+            in data["error"]
