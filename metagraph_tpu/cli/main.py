@@ -139,7 +139,14 @@ def cmd_build(args):
     with PhaseTimer("construct BOSS"):
         # dummy k-mers stay visible unless --mask-dummy, and the state tag
         # selects the artifact layout (ref build.cpp:340, boss.hpp:325)
+        from ..kmer.alphabets import ALPHABETS
+        if args.alphabet == "Protein" and args.mode != "basic":
+            # no reverse complement for amino acids (ref: canonical modes are
+            # not compiled for the Protein alphabet)
+            raise SystemExit("[error] canonical/primary modes are not "
+                             "supported for the Protein alphabet")
         g = DBGSuccinct.build(seqs, args.k, mode=args.mode,
+                              alphabet=ALPHABETS[args.alphabet],
                               with_counts=args.count_kmers,
                               bits_per_count=args.count_width,
                               mask_dummy=args.mask_dummy,
@@ -1040,6 +1047,10 @@ def main(argv=None):
                    choices=["stat", "small", "fast", "dynamic"],
                    help="representation state tag (ref boss.hpp:325); "
                         "'fast' selects the raw mmap-able artifact layout")
+    p.add_argument("--alphabet", default="DNA",
+                   choices=["DNA", "DNA5", "Protein"],
+                   help="k-mer alphabet (a runtime flag here; the reference "
+                        "selects it at compile time, kmer_extractor.hpp:32)")
     p.add_argument("--suffix", default=None,
                    help="build only the chunk for this node-suffix")
     p.add_argument("--disk-swap", default=None, metavar="DIR",

@@ -88,8 +88,10 @@ class DBGSuccinct:
                 have_w = False
             else:
                 wsets.append(np.asarray(g.boss.weights)[ve])
+        from ..kmer import packing
         merged, counts = merge_sorted_edge_sets(
-            sets, wsets if have_w and len(wsets) == len(sets) else None)
+            sets, wsets if have_w and len(wsets) == len(sets) else None,
+            bits=packing.bits_for_alphabet(g0.alphabet.sigma))
         arrays = build_boss_arrays(merged, alph_size=g0.alphabet.sigma,
                                    counts=counts)
         return cls(BOSS(arrays), g0.k, g0.mode, g0.alphabet, g0.masked)
@@ -131,8 +133,9 @@ class DBGSuccinct:
             rc = comp[codes[::-1]]
             rcw = np.lib.stride_tricks.sliding_window_view(rc, k)[::-1]
             order = packing.boss_priority_order(k)
-            kf = packing.pack_codes(wins, order)
-            kr = packing.pack_codes(rcw, order)
+            bits = packing.bits_for_alphabet(self.alphabet.sigma)
+            kf = packing.pack_codes(wins, order, bits=bits)
+            kr = packing.pack_codes(rcw, order, bits=bits)
             take_rc = _rows_greater(kf, kr)
             canon = np.where(take_rc[:, None], rcw, wins)
             return self.map_kmers_batch(np.ascontiguousarray(canon))
@@ -148,8 +151,9 @@ class DBGSuccinct:
             valid_edges = np.flatnonzero(boss.valid).astype(np.int64)
             kchars = boss.get_edge_seq(valid_edges)
             order = packing.boss_priority_order(self.k)
-            self._host_index = (packing.pack_codes(kchars, order), valid_edges,
-                                kchars)
+            bits = packing.bits_for_alphabet(self.alphabet.sigma)
+            self._host_index = (packing.pack_codes(kchars, order, bits=bits),
+                                valid_edges, kchars)
         return self._host_index
 
     def map_kmers_batch(self, chars: np.ndarray) -> np.ndarray:
@@ -161,8 +165,10 @@ class DBGSuccinct:
             return np.zeros(len(chars), dtype=np.int64)
         invalid = (chars >= self.alphabet.sigma).any(axis=1) \
             | (chars == 0).any(axis=1)
-        q = packing.pack_codes(np.where(invalid[:, None], 1, chars),
-                               packing.boss_priority_order(self.k))
+        q = packing.pack_codes(
+            np.where(invalid[:, None], 1, chars),
+            packing.boss_priority_order(self.k),
+            bits=packing.bits_for_alphabet(self.alphabet.sigma))
         pos = packing.searchsorted_rows(keys, q)
         pos_c = np.minimum(pos, len(keys) - 1)
         hit = (pos < len(keys)) & np.all(keys[pos_c] == q, axis=1) & ~invalid
@@ -414,9 +420,11 @@ class DBGSuccinct:
     def save(self, path: str, mmap_layout: bool = False):
         out = path if path.endswith(".npz") else path + ".dbg.npz"
         if mmap_layout:
-            self.boss.save_mmap(out, mode=self.mode, masked=self.masked)
+            self.boss.save_mmap(out, mode=self.mode, masked=self.masked,
+                                alphabet=self.alphabet.name)
         else:
-            self.boss.save(out, mode=self.mode, masked=self.masked)
+            self.boss.save(out, mode=self.mode, masked=self.masked,
+                           alphabet=self.alphabet.name)
 
     @classmethod
     def load(cls, path: str, mode: str | None = None,
@@ -436,7 +444,8 @@ class DBGSuccinct:
             meta = np.load(base + ".meta.npz")
             m = str(meta["mode"]) if "mode" in meta else BASIC
             msk = bool(meta["masked"]) if "masked" in meta else True
-            return cls(boss, boss.k + 1, mode or m, mask_dummy=msk)
+            return cls(boss, boss.k + 1, mode or m,
+                       alphabet=_alphabet_of(meta, boss), mask_dummy=msk)
         # non-succinct representations carry a graph_type tag
         probe = np.load(path if path.endswith(".npz") else path + ".npz")
         if "graph_type" in probe and str(probe["graph_type"]) != "succinct":
@@ -447,7 +456,20 @@ class DBGSuccinct:
         if mode is None:
             mode = str(z["mode"]) if "mode" in z else BASIC
         msk = bool(z["masked"]) if "masked" in z.files else True
-        return cls(boss, boss.k + 1, mode, mask_dummy=msk)
+        return cls(boss, boss.k + 1, mode,
+                   alphabet=_alphabet_of(z, boss), mask_dummy=msk)
+
+
+def _alphabet_of(meta, boss) -> Alphabet:
+    """Alphabet recorded in the artifact; legacy artifacts resolve by sigma."""
+    from ..kmer.alphabets import ALPHABETS
+    files = getattr(meta, "files", meta)
+    if "alphabet" in files:
+        return ALPHABETS[str(meta["alphabet"])]
+    for a in ALPHABETS.values():
+        if a.sigma == boss.alph_size:
+            return a
+    return DNA
 
 
 def _revcomp_bytes(seq: bytes) -> bytes:

@@ -33,6 +33,8 @@ class KmerExtractor:
         else:
             self._enc = alphabet.encode_table
         self._invalid = alphabet.sigma
+        # code width for packed keys: the invalid marker (== sigma) must fit
+        self._bits = packing.bits_for_alphabet(alphabet.sigma)
 
     def encode(self, seq: bytes | str) -> np.ndarray:
         if isinstance(seq, str):
@@ -92,7 +94,8 @@ class KmerExtractor:
             upacked, counts = packing.unique_rows(packed, w)
         else:
             upacked, counts = packing.unique_rows(packed)
-        return packing.unpack_codes(upacked, K, order), counts
+        return packing.unpack_codes(upacked, K, order,
+                                    bits=self._bits), counts
 
     def _packed_windows(self, seqs, K: int, mode: str,
                         window_weights=None):
@@ -102,7 +105,8 @@ class KmerExtractor:
         valid = self.valid_windows(codes, K)
         order = packing.boss_priority_order(K)
         if int(valid.sum()) == 0:
-            W = (K + 15) // 16
+            per = 64 // self._bits
+            W = (K + per - 1) // per
             return (np.zeros((0, W), dtype=np.uint64),
                     np.zeros(0, np.uint64) if window_weights is not None
                     else None)
@@ -122,7 +126,7 @@ class KmerExtractor:
 
         fwd = self.window_codes(codes, K)[valid]
         if mode == "basic":
-            return packing.pack_codes(fwd, order), weights
+            return packing.pack_codes(fwd, order, bits=self._bits), weights
         # complement table extended so the invalid separator maps to itself
         comp = np.concatenate(
             [self.alphabet.complement_table,
@@ -132,14 +136,15 @@ class KmerExtractor:
         rc_all = np.lib.stride_tricks.sliding_window_view(rc_codes, K)
         rc = rc_all[::-1][valid]
         if mode == "both":
-            packed = np.concatenate([packing.pack_codes(fwd, order),
-                                     packing.pack_codes(rc, order)], axis=0)
+            packed = np.concatenate(
+                [packing.pack_codes(fwd, order, bits=self._bits),
+                 packing.pack_codes(rc, order, bits=self._bits)], axis=0)
             if weights is not None:
                 weights = np.concatenate([weights, weights])
             return packed, weights
         if mode == "canonical":
-            kf = packing.pack_codes(fwd, order)
-            kr = packing.pack_codes(rc, order)
+            kf = packing.pack_codes(fwd, order, bits=self._bits)
+            kr = packing.pack_codes(rc, order, bits=self._bits)
             take_rc = _rows_greater(kf, kr)
             return np.where(take_rc[:, None], kr, kf), weights
         raise ValueError(f"unknown mode {mode!r}")
@@ -180,7 +185,8 @@ class KmerExtractor:
         if upacked.shape[0] == 0:
             return (np.zeros((0, K), dtype=np.uint8),
                     np.zeros(0, np.uint64) if with_counts else None)
-        return packing.unpack_codes(upacked, K, order), counts
+        return packing.unpack_codes(upacked, K, order,
+                                    bits=self._bits), counts
 
 
 def _rows_greater(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -34,18 +34,21 @@ def colex_priority_order(K: int) -> np.ndarray:
     return np.arange(K - 1, -1, -1, dtype=np.int64)
 
 
-def pack_codes(chars: np.ndarray, order: np.ndarray | None = None) -> np.ndarray:
-    """Pack (N, K) uint8 codes into (N, W) uint64 nibble words.
+def pack_codes(chars: np.ndarray, order: np.ndarray | None = None,
+               bits: int = 4) -> np.ndarray:
+    """Pack (N, K) uint8 codes into (N, W) uint64 words.
 
     ``order`` lists columns most-significant first; default is left-to-right.
     Word 0 is the most significant word; within a word, the first character of
-    the group sits in the top nibble.  Codes must be < 16.
+    the group sits in the top slot.  ``bits`` per code: 4 (codes < 16; the
+    DNA/DNA5 default, 16 chars/word) or 8 (codes < 256; Protein, 8 chars/word).
+    Both are order-preserving: packed-row comparison == code-row comparison.
     """
     chars = np.asarray(chars)
     if chars.ndim == 1:
         chars = chars[None, :]
     N, K = chars.shape
-    if N > 1024 and chars.dtype == np.uint8:
+    if bits == 4 and N > 1024 and chars.dtype == np.uint8:
         from .. import native
         out = native.pack_rows64(
             chars, order if order is not None
@@ -54,31 +57,41 @@ def pack_codes(chars: np.ndarray, order: np.ndarray | None = None) -> np.ndarray
             return out
     if order is not None:
         chars = chars[:, order]
-    W = (K + 15) // 16
+    per = 64 // bits
+    W = (K + per - 1) // per
     out = np.zeros((N, W), dtype=np.uint64)
     for j in range(K):
-        w, slot = divmod(j, 16)
-        shift = np.uint64(60 - 4 * slot)
+        w, slot = divmod(j, per)
+        shift = np.uint64(64 - bits - bits * slot)
         out[:, w] |= chars[:, j].astype(np.uint64) << shift
     return out
 
 
-def unpack_codes(packed: np.ndarray, K: int, order: np.ndarray | None = None) -> np.ndarray:
+def unpack_codes(packed: np.ndarray, K: int, order: np.ndarray | None = None,
+                 bits: int = 4) -> np.ndarray:
     """Inverse of pack_codes: (N, W) uint64 -> (N, K) uint8 codes."""
     packed = np.asarray(packed, dtype=np.uint64)
     if packed.ndim == 1:
         packed = packed[None, :]
     N = packed.shape[0]
+    per = 64 // bits
+    mask = np.uint64((1 << bits) - 1)
     chars = np.empty((N, K), dtype=np.uint8)
     for j in range(K):
-        w, slot = divmod(j, 16)
-        shift = np.uint64(60 - 4 * slot)
-        chars[:, j] = ((packed[:, w] >> shift) & np.uint64(0xF)).astype(np.uint8)
+        w, slot = divmod(j, per)
+        shift = np.uint64(64 - bits - bits * slot)
+        chars[:, j] = ((packed[:, w] >> shift) & mask).astype(np.uint8)
     if order is not None:
         inv = np.empty_like(order)
         inv[order] = np.arange(len(order))
         chars = chars[:, inv]
     return chars
+
+
+def bits_for_alphabet(alph_size: int) -> int:
+    """Code width for pack_codes: 4 when every code (incl. the invalid-char
+    marker == alph_size) fits a nibble, else 8."""
+    return 4 if alph_size < 16 else 8
 
 
 def _void_view(packed: np.ndarray) -> np.ndarray:

@@ -63,6 +63,14 @@ class QueryEngine:
         self.n_threads = max(int(n_threads), 1)   # ref -p/--parallel
         self._host_index = None
         self._device_index = None
+        alpha = getattr(self._base, "alphabet", None)
+        # packed-key width for host index keys (8-bit for Protein)
+        self._bits = packing.bits_for_alphabet(alpha.sigma) if alpha else 4
+        if self._bits != 4 and self.use_device:
+            # the device hash layouts are 4-bit nibble words (pack_kmers32);
+            # wide alphabets take the host path until an 8-bit device key
+            # layout lands
+            self.use_device = False
 
     # ------------------------------------------------------------ indexing
     def _build_host_index(self):
@@ -73,14 +81,14 @@ class QueryEngine:
         if boss is None:
             # generic representation: enumerate k-mers + node ids, sort keys
             kchars, ids = self._base.node_kmers_and_ids()
-            keys = packing.pack_codes(kchars, order)
+            keys = packing.pack_codes(kchars, order, bits=self._bits)
             perm = packing.argsort_rows(keys) if hasattr(
                 packing, "argsort_rows") else np.lexsort(keys.T[::-1])
             self._host_index = (keys[perm], ids[perm])
             return
         valid_edges = np.flatnonzero(boss.valid).astype(np.int64)
         kchars = boss.get_edge_seq(valid_edges)
-        keys = packing.pack_codes(kchars, order)
+        keys = packing.pack_codes(kchars, order, bits=self._bits)
         # construction emits valid edges in BOSS (sorted) order already
         self._host_index = (keys, valid_edges)
 
@@ -143,7 +151,8 @@ class QueryEngine:
                               dtype=np.int64)[:n]
         self._build_host_index()
         keys, edge_ids = self._host_index
-        q = packing.pack_codes(sub, packing.boss_priority_order(k))
+        q = packing.pack_codes(sub, packing.boss_priority_order(k),
+                               bits=self._bits)
         pos = packing.searchsorted_rows(keys, q)
         pos_c = np.minimum(pos, len(keys) - 1)
         hit = (pos < len(keys)) & np.all(keys[pos_c] == q, axis=1)

@@ -46,19 +46,21 @@ class BossArrays:
         return len(self.W) - 1
 
 
-def _node_key(chars: np.ndarray) -> np.ndarray:
+def _node_key(chars: np.ndarray, bits: int = 4) -> np.ndarray:
     """Packed co-lex key of the source node s[0..K-2] of each edge string."""
     K = chars.shape[1]
-    return packing.pack_codes(chars[:, : K - 1], packing.colex_priority_order(K - 1))
+    return packing.pack_codes(chars[:, : K - 1],
+                              packing.colex_priority_order(K - 1), bits=bits)
 
 
-def _target_key(chars: np.ndarray) -> np.ndarray:
+def _target_key(chars: np.ndarray, bits: int = 4) -> np.ndarray:
     """Packed co-lex key of the target node s[1..K-1]."""
     K = chars.shape[1]
-    return packing.pack_codes(chars[:, 1:], packing.colex_priority_order(K - 1))
+    return packing.pack_codes(chars[:, 1:],
+                              packing.colex_priority_order(K - 1), bits=bits)
 
 
-def generate_dummy_kmers(kmers: np.ndarray) -> np.ndarray:
+def generate_dummy_kmers(kmers: np.ndarray, bits: int = 4) -> np.ndarray:
     """All dummy edges needed for the BOSS table of the given real edges.
 
     ``kmers``: (N, K) sorted unique real edge strings (codes 1..alph-1).
@@ -80,14 +82,14 @@ def generate_dummy_kmers(kmers: np.ndarray) -> np.ndarray:
     # BOSS edge order is (source-node co-lex, label): the packed source keys
     # arrive ALREADY SORTED, so unique sources are an adjacent-dedupe — only
     # the target keys need a sort (1 sort instead of 4 void-dtype uniques)
-    src_keys = packing.pack_codes(source_nodes, order_k)
+    src_keys = packing.pack_codes(source_nodes, order_k, bits=bits)
     s_new = np.ones(N, dtype=bool)
     if N > 1:
         np.any(src_keys[1:] != src_keys[:-1], axis=1, out=s_new[1:])
     src_first = np.flatnonzero(s_new)
     src_keys_u = src_keys[src_first]
 
-    tgt_key_all = packing.pack_codes(target_nodes, order_k)
+    tgt_key_all = packing.pack_codes(target_nodes, order_k, bits=bits)
     t_idx = packing.lexsort_rows(tgt_key_all)
     ts = tgt_key_all[t_idx]
     t_new = np.ones(N, dtype=bool)
@@ -115,7 +117,8 @@ def generate_dummy_kmers(kmers: np.ndarray) -> np.ndarray:
     # --- higher-level sources (ref boss_chunk_construct.cpp:380-397) ---------
     for _ in range(2, k + 1):
         nodes = level[:, : K - 1]
-        keys = packing.pack_codes(nodes, packing.colex_priority_order(k))
+        keys = packing.pack_codes(nodes, packing.colex_priority_order(k),
+                                  bits=bits)
         _, first = np.unique(packing._void_view(keys), return_index=True)
         uniq_nodes = nodes[np.sort(first)]
         level = np.concatenate(
@@ -141,7 +144,8 @@ def emit_boss(stream: np.ndarray, alph_size: int,
     node_last = stream[:, K - 2].astype(np.int64)       # curF
     first_char = stream[:, 0].astype(np.int64)          # kmer[1] in ref indexing
 
-    node_keys = _node_key(stream)
+    bits = packing.bits_for_alphabet(alph_size)
+    node_keys = _node_key(stream, bits)
     same_node_next = packing.rows_equal_adjacent(node_keys)
 
     # redundant dummy sink rows: label $, non-$ node ending, next row same node
@@ -152,7 +156,7 @@ def emit_boss(stream: np.ndarray, alph_size: int,
 
     # minus flags: within each label c>0, a row whose target node equals the
     # previous label-c row's target node is a non-first incoming edge
-    tkeys = _target_key(stream)
+    tkeys = _target_key(stream, bits)
     minus = np.zeros(M, dtype=bool)
     for c in range(1, alph_size):
         idx = np.flatnonzero(keep & (labels == c))
@@ -188,7 +192,7 @@ def emit_boss(stream: np.ndarray, alph_size: int,
                       valid=valid, weights=weights)
 
 
-def merge_sorted_edge_sets(kmer_sets, count_sets=None):
+def merge_sorted_edge_sets(kmer_sets, count_sets=None, bits: int = 4):
     """Linear merge of BOSS-sorted unique edge-string sets (the sorted-table
     merge of ref src/graph/representation/succinct/boss_merge.cpp merge():
     co-iterate the sorted tables, no contig re-extraction or global re-sort).
@@ -207,8 +211,9 @@ def merge_sorted_edge_sets(kmer_sets, count_sets=None):
     acc, acc_keys, acc_c = sets[0], None, counts[0]
     for s, c in zip(sets[1:], counts[1:]):
         assert s.shape[1] == K
-        ka = packing.pack_codes(acc, order) if acc_keys is None else acc_keys
-        kb = packing.pack_codes(s, order)
+        ka = packing.pack_codes(acc, order, bits=bits) \
+            if acc_keys is None else acc_keys
+        kb = packing.pack_codes(s, order, bits=bits)
         na, nb = len(acc), len(s)
         # final rank of a-rows: own index + #b-rows strictly before (ties ->
         # a first); of b-rows: own index + #a-rows at-or-before
@@ -249,12 +254,14 @@ def build_boss_arrays(kmers: np.ndarray, alph_size: int = 5,
     Mirrors construct_boss_chunk (ref boss_chunk_construct.cpp:341-462).
     """
     N, K = kmers.shape
-    dummies = generate_dummy_kmers(kmers)
+    bits = packing.bits_for_alphabet(alph_size)
+    dummies = generate_dummy_kmers(kmers, bits=bits)
     all0 = np.zeros((1, K), dtype=np.uint8)
     stream = np.concatenate([all0, kmers, dummies], axis=0)
 
     order = packing.boss_priority_order(K)
-    sort_idx = packing.lexsort_rows(packing.pack_codes(stream, order))
+    sort_idx = packing.lexsort_rows(
+        packing.pack_codes(stream, order, bits=bits))
     stream = stream[sort_idx]
 
     stream_counts = None

@@ -23,6 +23,7 @@ def _engine(graph):
     eng.use_device = False
     eng._host_index = None
     eng._device_index = None
+    eng._bits = 4
     return eng
 
 

@@ -54,6 +54,30 @@ class TestCLI:
         nm = int(rm.stdout.split("nodes (k): ")[1].split()[0])
         assert nm < nodes
 
+    def test_build_protein_alphabet(self, tmp_path):
+        """build --alphabet Protein round-trips through save/load/map."""
+        fa = tmp_path / "p.fa"
+        fa.write_text(">p1\nMKVLAATGLVKWKPNNEMKVLAATG\n>p2\nGGPLMKVLAATG\n")
+        r = run_cli(["build", "--mask-dummy", "--alphabet", "Protein",
+                     "-k", "5", "-o", "g", str(fa)], tmp_path)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(["stats", "g.dbg.npz"], tmp_path)
+        assert "k: 5" in r.stdout
+        # annotate + query on the protein graph
+        r = run_cli(["annotate", "-i", "g.dbg.npz", "--anno-filename",
+                     "-o", "anno", str(fa)], tmp_path)
+        assert r.returncode == 0, r.stderr
+        qfa = tmp_path / "q.fa"
+        qfa.write_text(">q\nMKVLAATG\n")
+        r = run_cli(["query", "-i", "g.dbg.npz", "-a", "anno.column.annodbg",
+                     str(qfa)], tmp_path)
+        assert r.returncode == 0, r.stderr
+        assert "p.fa" in r.stdout
+        # canonical protein is rejected (no reverse complement)
+        r = run_cli(["build", "--alphabet", "Protein", "--mode", "canonical",
+                     "-k", "5", "-o", "gc", str(fa)], tmp_path)
+        assert r.returncode != 0
+
     def test_transform_state_switch(self, tiny_fa, tmp_path):
         run_cli(["build", "--mask-dummy", "-k", "11", "-o", "g", tiny_fa],
                 tmp_path)

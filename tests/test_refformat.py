@@ -34,6 +34,21 @@ class TestReferenceDbg:
         assert g.boss.alph_size == 27
         assert g.num_nodes() == 57
 
+    def test_protein_graph_bit_exact(self):
+        """Building from the example protein fasta reproduces the reference's
+        serialized BOSS arrays exactly (8-bit packed keys, sigma=27)."""
+        from metagraph_tpu.seq_io.fasta import read_fasta
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        from metagraph_tpu.kmer.alphabets import PROTEIN
+        g = load_reference_boss(f"{EX}/graphs/test_Protein_graph.dbg")
+        recs = read_fasta(f"{EX}/test_Protein_sequences.fa")
+        mine = DBGSuccinct.build([r.seq for r in recs], 20, alphabet=PROTEIN)
+        for name in ("W", "last", "F", "valid"):
+            np.testing.assert_array_equal(getattr(g.boss, name),
+                                          getattr(mine.boss, name))
+        for r in read_fasta(f"{EX}/test_Protein_query.fa"):
+            assert (mine.map_to_nodes(r.seq) > 0).all()
+
     def test_dbg_succinct_load_dispatches(self):
         from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
         g = DBGSuccinct.load(f"{EX}/graphs/test_DNA_graph.dbg")
