@@ -58,9 +58,19 @@ class DefaultColumnExtender:
         ps = np.zeros(len(query) + 1, dtype=np.int64)
         ps[:-1] = diag[::-1].cumsum()[::-1]
         self.partial_sums = ps
-        # profile per char: score row indexed by query pos + 1 shift
+        # profile per char: score row indexed by query pos + 1 shift.
+        # Chars come from the graph's alphabet (DNA default keeps the fixed
+        # 6-row ACGT$N layout for stable device shapes; Protein profiles all
+        # 26 letters, 'X' is the catch-all wildcard row)
+        alpha = getattr(graph, "alphabet", None)
+        if alpha is not None and alpha.sigma > 6:
+            self.profile_chars = alpha.letters.upper().encode()
+            self.wildcard = ord("X")
+        else:
+            self.profile_chars = b"ACGT$N"
+            self.wildcard = ord("N")
         self.profile: Dict[int, np.ndarray] = {}
-        for c in b"ACGT$N":
+        for c in self.profile_chars:
             row = config.score_matrix[c].astype(np.int64)
             prof = np.full(len(query) + 1, NINF, dtype=np.int64)
             prof[1:] = row[q]
@@ -330,7 +340,8 @@ class DefaultColumnExtender:
         col = Column(size, node, parent_i, c, offset, begin, begin, node_score)
         prof = self.profile.get(c)
         if prof is None:
-            prof = self.profile[ord("N")] if ord("N") in self.profile \
+            prof = self.profile[self.wildcard] if self.wildcard \
+                in self.profile \
                 else np.full(len(self.query) + 1, NINF, dtype=np.int64)
         # previous column S/F aligned to this band
         Sp = np.full(size + 1, NINF, dtype=np.int64)   # Sp[j] = S_prev at begin+j-1

@@ -29,10 +29,6 @@ from .config import NINF
 from .extender import Column, DefaultColumnExtender
 
 _BIG = np.int64(2 ** 62)
-# profile row index per char (extender profiles exist for b"ACGT$N")
-_CHAR_IDX = np.full(256, 5, dtype=np.int64)
-for _i, _c in enumerate(b"ACGT$N"):
-    _CHAR_IDX[_c] = _i
 
 
 def _outgoing_batch(graph, nodes: np.ndarray):
@@ -150,8 +146,14 @@ class WaveExtender(DefaultColumnExtender):
         partial_sum_offset = int(self.partial_sums[start + wsize])
         seed_offset = seed.offset - 1
 
-        # profile matrix (6, WS): rows for ACGT$N sliced to the window
-        P = np.stack([self.profile[c][start: start + WS] for c in b"ACGT$N"])
+        # profile matrix (C, WS): one row per alphabet char (ACGT$N for DNA,
+        # the full letter set for Protein), sliced to the window
+        pchars = self.profile_chars
+        P = np.stack([self.profile[c][start: start + WS] for c in pchars])
+        char_idx = np.full(256, list(pchars).index(self.wildcard),
+                           dtype=np.int64)
+        for _i, _c in enumerate(pchars):
+            char_idx[_c] = _i
         pss = self.partial_sums[start: start + WS]
 
         # ---- root column (extender.py:207-209 + extend_ins_end, full width)
@@ -274,7 +276,7 @@ class WaveExtender(DefaultColumnExtender):
 
             # ---- batched column recurrence (computed by the wave driver)
             S, E, F = yield ("wave", (
-                SpM_all[pr], SpF_all[pr], Fp_eff[pr], P[_CHAR_IDX[chars_arr]],
+                SpM_all[pr], SpF_all[pr], Fp_eff[pr], P[char_idx[chars_arr]],
                 score_arr, offs_arr > 1, band_lo[pr], band_hi[pr],
                 np.full(len(pr), xdrop_cutoff, dtype=np.int64),
                 cfg.gap_opening_penalty, cfg.gap_extension_penalty))

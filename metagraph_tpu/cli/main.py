@@ -111,8 +111,9 @@ def cmd_build(args):
         # suffix-sharded chunk build (ref build.cpp:110-158): keep only
         # k-mers whose node ends with the suffix; '$'-suffixes hold no
         # real k-mers in the set-based chunk format
+        from ..kmer.alphabets import ALPHABETS
         from ..kmer.extractor import KmerExtractor
-        ex = KmerExtractor()
+        ex = KmerExtractor(ALPHABETS[args.alphabet])
         collector_mode = {"basic": "basic", "canonical": "both",
                           "primary": "basic"}[args.mode]
         kmers, _ = ex.extract(seqs, args.k, mode=collector_mode)
@@ -574,8 +575,10 @@ def cmd_query(args):
     aligner_config = None
     if args.align:
         from ..align.config import AlignerConfig
+        alpha = getattr(engine._base, "alphabet", None)
         aligner_config = AlignerConfig(
             min_exact_match=args.align_min_exact_match,
+            protein=alpha is not None and alpha.name == "Protein",
             **_aligner_scoring_kwargs(args))
 
     out = sys.stdout
@@ -660,6 +663,7 @@ def cmd_align(args):
         print(f"wrote {out_path}", file=sys.stderr)
         return
 
+    base_g = g.graph if hasattr(g, "get_base_node") else g
     cfg = AlignerConfig(
         min_exact_match=args.align_min_exact_match,
         min_seed_length=args.align_min_seed_length,
@@ -668,6 +672,8 @@ def cmd_align(args):
         num_alternative_paths=args.align_alternative_alignments,
         forward_and_reverse_complement=not args.align_only_forwards,
         post_chain_alignments=getattr(args, "align_post_chain", False),
+        protein=getattr(base_g, "alphabet", None) is not None
+        and base_g.alphabet.name == "Protein",
         **_aligner_scoring_kwargs(args),
     )
     if getattr(args, "align_chain", False) and not args.annotation:

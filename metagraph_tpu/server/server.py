@@ -99,12 +99,16 @@ class MetaGraphServer:
         fasta = payload.get("FASTA")
         if fasta is None:
             raise ValueError("No input sequences received from client")
+        g = self.anno_graph.graph
+        base = g.graph if hasattr(g, "get_base_node") else g
+        alpha = getattr(base, "alphabet", None)
         cfg = AlignerConfig(
             min_exact_match=float(payload.get("min_exact_match", 0.7)),
             num_alternative_paths=max(
                 1, int(payload.get("max_alternative_alignments", 1))),
             max_nodes_per_seq_char=float(
                 payload.get("max_num_nodes_per_seq_char", 5.0)),
+            protein=alpha is not None and alpha.name == "Protein",
         )
         aligner = DBGAligner(self.anno_graph.graph, cfg)
         records = _parse_fasta_string(fasta)

@@ -387,3 +387,54 @@ class TestScoringKnobs:
                           forward_and_reverse_complement=False)
         a = al.align(self.SEQ)[0]
         assert a.score == len(self.SEQ) * 2 + 14
+
+
+class TestProteinAlignment:
+    """BLOSUM62 scoring over Protein graphs (ref aligner_config.cpp:146-152,
+    207-254; no reverse-complement pass for amino acids)."""
+
+    @pytest.fixture(scope="class")
+    def pgraph(self):
+        from metagraph_tpu.seq_io.fasta import read_fasta
+        from metagraph_tpu.kmer.alphabets import PROTEIN
+        EX = "/root/reference/metagraph/examples/data"
+        recs = read_fasta(f"{EX}/test_Protein_sequences.fa")
+        g = DBGSuccinct.build([r.seq for r in recs], 20, alphabet=PROTEIN)
+        return g, recs
+
+    def test_exact_protein_alignment(self, pgraph):
+        from metagraph_tpu.align.config import blosum62_scoring_matrix
+        g, recs = pgraph
+        cfg = AlignerConfig(protein=True)
+        assert not cfg.forward_and_reverse_complement
+        al = DBGAligner(g, cfg)
+        q = recs[0].seq[5:45]
+        a = al.align(q)[0]
+        assert a.cigar.to_string() == f"{len(q)}="
+        m = blosum62_scoring_matrix()
+        qa = np.frombuffer(q, dtype=np.uint8)
+        assert a.score == int(m[qa, qa].sum()) + \
+            cfg.left_end_bonus + cfg.right_end_bonus
+
+    def test_protein_mismatch_blosum_score(self, pgraph):
+        g, recs = pgraph
+        cfg = AlignerConfig(protein=True)
+        al = DBGAligner(g, cfg)
+        q = bytearray(recs[0].seq[5:45])
+        orig = q[20]
+        q[20] = ord("W") if orig != ord("W") else ord("A")
+        a = al.align(bytes(q))[0]
+        assert "X" in a.cigar.to_string()
+        # batch path byte-identical to the sequential one
+        b = al.align_batch([bytes(q)])[0][0]
+        assert (b.cigar.to_string(), b.score) == (a.cigar.to_string(), a.score)
+
+    def test_blosum62_values(self):
+        from metagraph_tpu.align.config import blosum62_scoring_matrix
+        m = blosum62_scoring_matrix()
+        # spot values from the published BLOSUM62 table
+        assert m[ord("W"), ord("W")] == 11
+        assert m[ord("A"), ord("A")] == 4
+        assert m[ord("W"), ord("A")] == -3
+        assert m[ord("J"), ord("J")] == 1        # unknown letters: diag +1
+        assert m[ord("J"), ord("A")] == -4
