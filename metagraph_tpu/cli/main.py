@@ -626,8 +626,25 @@ def cmd_align(args):
                         nodes.append(hits[0] if hits else 0)
                     nodes = np.array(nodes, dtype=np.int64)
                 matched = int((nodes > 0).sum())
-                uniq = len(set(nodes[nodes > 0].tolist()))
-                print(f"{rec.name}\t{matched}/{len(nodes)}/{uniq}")
+                if getattr(args, "query_presence", False):
+                    # >= ceil-complement threshold (ref align.cpp:139-151)
+                    min_disc = len(nodes) - int(
+                        len(nodes) * (1 - args.align_min_kmers_fraction))
+                    found = matched >= min_disc
+                    if getattr(args, "filter_present", False):
+                        if found:
+                            sys.stdout.write(
+                                f">{rec.name}\n{rec.seq.decode()}\n")
+                    else:
+                        print(int(found))
+                elif args.count_kmers:
+                    uniq = len(set(nodes[nodes > 0].tolist()))
+                    print(f"{rec.name}\t{matched}/{len(nodes)}/{uniq}")
+                else:
+                    # per-k-mer node mapping (ref align.cpp:168-173)
+                    s = rec.seq.decode()
+                    for i, n in enumerate(nodes):
+                        print(f"{s[i: i + L]}: {int(n)}")
         return
 
     if args.out and args.out.endswith(".gfa"):
@@ -1265,6 +1282,15 @@ def main(argv=None):
     p.add_argument("--map", action="store_true")
     p.add_argument("--align-length", type=int, default=None)
     p.add_argument("--count-kmers", action="store_true")
+    p.add_argument("--query-presence", action="store_true",
+                   help="with --map: print 1/0 per sequence by discovery "
+                        "threshold (ref align.cpp:139-151)")
+    p.add_argument("--filter-present", action="store_true",
+                   help="with --query-presence: emit matching sequences "
+                        "as FASTA instead of 1/0")
+    p.add_argument("--align-min-kmers-fraction", type=float, default=1.0,
+                   help="discovery fraction for --query-presence "
+                        "(ref config discovery_fraction for map mode)")
     p.add_argument("--json", action="store_true")
     p.add_argument("--compacted", action="store_true")
     p.add_argument("input", nargs="+")
