@@ -628,3 +628,36 @@ class TestTransformExtras:
         assert r.returncode == 0, r.stderr
         out = run_cli(["stats", "gp.dbg.npz"], d).stdout
         assert "mode: primary" in out
+
+
+@pytest.mark.anchors
+class TestAlignMapAnchors:
+    """ref integration_tests/test_align.py:66-121: exact --map --count-kmers
+    output lines on genome.MT k=11 (full-k and sub-k --align-length 10)."""
+
+    EXPECT_K = ["MT-10/1\t1/140/1", "MT-8/1\t140/140/140",
+                "MT-6/1\t140/140/140", "MT-4/1\t0/140/0",
+                "MT-2/1\t140/140/140", "MT-11/1\t1/140/1",
+                "MT-11/1\t1/140/1"]
+    EXPECT_SUBK = ["MT-10/1\t3/141/3", "MT-8/1\t141/141/141",
+                   "MT-6/1\t141/141/141", "MT-4/1\t1/141/1",
+                   "MT-2/1\t141/141/141", "MT-11/1\t4/141/4",
+                   "MT-11/1\t3/141/3"]
+
+    @pytest.fixture(scope="class")
+    def mtgraph(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("mtmap"))
+        r = run_cli(["build", "--mask-dummy", "-k", "11", "-o", "mt",
+                     f"{REF}/genome.MT.fa"], d)
+        assert r.returncode == 0, r.stderr
+        return d
+
+    def test_map_count_kmers(self, mtgraph):
+        r = run_cli(["align", "-i", "mt.dbg.npz", "--map", "--count-kmers",
+                     f"{REF}/genome_MT1.fq"], mtgraph)
+        assert r.stdout.rstrip().split("\n") == self.EXPECT_K
+
+    def test_map_count_kmers_subk(self, mtgraph):
+        r = run_cli(["align", "-i", "mt.dbg.npz", "--map", "--count-kmers",
+                     "--align-length", "10", f"{REF}/genome_MT1.fq"], mtgraph)
+        assert r.stdout.rstrip().split("\n") == self.EXPECT_SUBK
