@@ -240,6 +240,47 @@ def cmd_stats(args):
                 print("column names:")
                 for name in a.encoder.labels:
                     print(name)
+            quantiles = [float(x) for x in
+                         (args.count_quantiles or "").split()]
+            if quantiles or args.print_counts_hist:
+                # per-column count quantiles/histogram over the stored
+                # k-mer count values (ref stats.cpp:304-366)
+                print("===================== COUNTS STATS "
+                      "=====================")
+                if not getattr(a, "has_values", False):
+                    print("[error] Printing statistics for counts is only "
+                          "supported for column annotations with counts",
+                          file=sys.stderr)
+                    raise SystemExit(1)
+                if any(q < 0.0 or q > 1.0 for q in quantiles):
+                    print("[error] Count quantiles must be in interval "
+                          "[0, 1]", file=sys.stderr)
+                    raise SystemExit(1)
+                hdr = "Column-index\tLabel\tNum-counts"
+                hdr += "".join(f"\tQuantile({q:g})" for q in quantiles)
+                if args.print_counts_hist:
+                    hdr += "\tHistogram(count:multiplicity[,...])"
+                print(hdr)
+                a.freeze()
+                for j in range(a.num_labels):
+                    vals = np.asarray(a._values[j])
+                    line = f"{j}\t{a.encoder.decode(j)}\t{len(vals)}"
+                    hv, hc = (np.unique(vals, return_counts=True)
+                              if len(vals) else (np.zeros(0), np.zeros(0)))
+                    cum = np.cumsum(hc)
+                    for q in quantiles:
+                        if len(hv):
+                            # first value whose cumulative multiplicity
+                            # reaches q*total (ref algorithms.hpp:361-385)
+                            i = int(np.searchsorted(cum, q * cum[-1]))
+                            line += f"\t{int(hv[min(i, len(hv) - 1)])}"
+                        else:
+                            line += "\tnan"
+                    if args.print_counts_hist:
+                        line += "\t" + ",".join(
+                            f"{int(v)}:{int(c)}" for v, c in zip(hv, hc))
+                    print(line)
+                print("=" * 56)
             continue
         g = DBGSuccinct.load(f)
         print(f"k: {g.k}")
@@ -255,6 +296,12 @@ def cmd_stats(args):
             nnz = int((w > 0).sum())
             print(f"nnz weights: {nnz}")
             print(f"avg weight: {float(w.sum()) / max(nnz, 1):.6g}")
+            if args.print_counts_hist:
+                # node-weight histogram (ref stats.cpp:124-135)
+                hv, hc = np.unique(w[w > 0], return_counts=True)
+                print("weights histogram:")
+                print(",".join(f"{int(v)}:{int(c)}"
+                               for v, c in zip(hv, hc)))
         if args.verbose and getattr(g, "boss", None) is not None:
             # W / last distributions (ref cli/stats.cpp:33-178)
             boss = g.boss
@@ -1089,6 +1136,12 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("-a", "--annotation", default=None)
     p.add_argument("--print-col-names", action="store_true")
+    p.add_argument("--count-quantiles", default=None, metavar="Q...",
+                   help="space-separated quantiles in [0,1] of each "
+                        "column's k-mer counts (ref stats.cpp:304-366)")
+    p.add_argument("--print-counts-hist", action="store_true",
+                   help="graph: node-weight histogram; annotation: "
+                        "per-column count histogram")
     p.add_argument("input", nargs="*")
     p.set_defaults(func=cmd_stats)
 

@@ -661,3 +661,31 @@ class TestAlignMapAnchors:
         r = run_cli(["align", "-i", "mt.dbg.npz", "--map", "--count-kmers",
                      "--align-length", "10", f"{REF}/genome_MT1.fq"], mtgraph)
         assert r.stdout.rstrip().split("\n") == self.EXPECT_SUBK
+
+
+class TestCountsStats:
+    """stats --count-quantiles / --print-counts-hist (ref stats.cpp:304-366,
+    weighted-quantile semantics from common/algorithms.hpp:361-385)."""
+
+    def test_counts_stats(self, tmp_path):
+        fa = tmp_path / "in.fa"
+        fa.write_text(">s1\nACGTACGTACGTACGTACGT\n>s2\nACGTACGTACGTAAAAAAAA\n")
+        run_cli(["build", "--mask-dummy", "--count-kmers", "-k", "7",
+                 "-o", "g", str(fa)], tmp_path)
+        r = run_cli(["stats", "--print-counts-hist", "g.dbg.npz"], tmp_path)
+        assert "weights histogram:" in r.stdout
+        assert "1:5,2:1,4:1,5:1,6:2" in r.stdout
+        run_cli(["annotate", "-i", "g.dbg.npz", "--anno-filename",
+                 "--count-kmers", "-o", "a", str(fa)], tmp_path)
+        r = run_cli(["stats", "-a", "a.column.annodbg",
+                     "--count-quantiles", "0 0.5 1",
+                     "--print-counts-hist"], tmp_path)
+        line = [l for l in r.stdout.splitlines() if l.startswith("0\t")][0]
+        cols = line.split("\t")
+        assert cols[2] == "10"                 # Num-counts
+        assert cols[3:6] == ["1", "1", "6"]    # quantiles 0 / 0.5 / 1
+        assert cols[6] == "1:5,2:1,4:1,5:1,6:2"
+        # out-of-range quantile errors
+        r = run_cli(["stats", "-a", "a.column.annodbg",
+                     "--count-quantiles", "1.5"], tmp_path)
+        assert r.returncode != 0

@@ -192,3 +192,23 @@ class TestGraphTypePersistenceCLI:
             assert g2.num_nodes() == g.num_nodes()
             np.testing.assert_array_equal(g2.map_to_nodes(seqs[0]),
                                           g.map_to_nodes(seqs[0]))
+
+
+class TestDNA5Alphabet:
+    """DNA5: N is a real, self-complementary character
+    (ref alphabets.hpp:81-85)."""
+
+    def test_canonical_dna5_build_and_map(self):
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        from metagraph_tpu.kmer.alphabets import DNA5
+        seqs = [b"ACGTNNACGTACGNTTTGGAGCACGT", b"NNNNACGTACGNNN"]
+        g = DBGSuccinct.build(seqs, 5, alphabet=DNA5, mode="canonical")
+        # a k-mer and its reverse complement map to the same node (N<->N)
+        m = g.map_to_nodes(b"ACGTN")
+        mrc = g.map_to_nodes(b"NACGT")
+        assert m[0] == mrc[0] > 0
+        # basic-mode DNA treats N as invalid; DNA5 indexes it
+        gd = DBGSuccinct.build(seqs, 5)
+        assert (gd.map_to_nodes_sequentially(b"ACGTN") == 0).all()
+        g5 = DBGSuccinct.build(seqs, 5, alphabet=DNA5)
+        assert (g5.map_to_nodes_sequentially(b"ACGTN") > 0).any()
