@@ -1118,7 +1118,7 @@ def main(argv=None):
                    help="representation state tag (ref boss.hpp:325); "
                         "'fast' selects the raw mmap-able artifact layout")
     p.add_argument("--alphabet", default="DNA",
-                   choices=["DNA", "DNA5", "Protein"],
+                   choices=["DNA", "DNA5", "Protein", "DNA_CASE"],
                    help="k-mer alphabet (a runtime flag here; the reference "
                         "selects it at compile time, kmer_extractor.hpp:32)")
     p.add_argument("--suffix", default=None,

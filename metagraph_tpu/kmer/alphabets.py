@@ -76,5 +76,9 @@ DNA5 = Alphabet("DNA5", "$ACGTN", (0, 4, 3, 2, 1, 5))
 # Protein: ref alphabets.hpp:26-41 (no complement; X at the end is the catch-all)
 PROTEIN = Alphabet("Protein", "$ABCDEFGHIJKLMNOPQRSTUVWYZX", ())
 
+# Case-sensitive DNA: ref alphabets.hpp:107-123 ($ACGTNacgt; complement maps
+# A<->t, C<->g, G<->c, T<->a, N<->N — case flips across strands)
+DNA_CS = Alphabet("DNA_CASE", "$ACGTNacgt", (0, 9, 8, 7, 6, 5, 4, 3, 2, 1))
 
-ALPHABETS = {a.name: a for a in (DNA, DNA5, PROTEIN)}
+
+ALPHABETS = {a.name: a for a in (DNA, DNA5, PROTEIN, DNA_CS)}

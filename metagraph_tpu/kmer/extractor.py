@@ -32,6 +32,10 @@ class KmerExtractor:
             self._enc = dna_encode_table()
         else:
             self._enc = alphabet.encode_table
+            if alphabet.name == "DNA_CASE":
+                # U/u encode as T/t (ref kCharToDNACaseSent RNA handling)
+                self._enc[ord("U")] = self._enc[ord("T")]
+                self._enc[ord("u")] = self._enc[ord("t")]
         self._invalid = alphabet.sigma
         # code width for packed keys: the invalid marker (== sigma) must fit
         self._bits = packing.bits_for_alphabet(alphabet.sigma)

@@ -212,3 +212,23 @@ class TestDNA5Alphabet:
         assert (gd.map_to_nodes_sequentially(b"ACGTN") == 0).all()
         g5 = DBGSuccinct.build(seqs, 5, alphabet=DNA5)
         assert (g5.map_to_nodes_sequentially(b"ACGTN") > 0).any()
+
+
+class TestCaseSensitiveDNA:
+    """DNA_CASE ($ACGTNacgt): complement flips case across strands
+    (ref alphabets.hpp:107-123)."""
+
+    def test_case_sensitive_build_and_canonical(self):
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        from metagraph_tpu.kmer.alphabets import DNA_CS
+        g = DBGSuccinct.build([b"ACGTacgtNNaCgT", b"acgtACGT"], 4,
+                              alphabet=DNA_CS, mode="canonical")
+        # rc(ACGT) = acgt under case-flipping complement
+        m1, m2 = g.map_to_nodes(b"ACGT"), g.map_to_nodes(b"acgt")
+        assert m1[0] == m2[0] > 0
+        # case stays distinct without canonicalization
+        s1 = g.map_to_nodes_sequentially(b"ACGT")
+        s2 = g.map_to_nodes_sequentially(b"acgt")
+        assert s1[0] != s2[0]
+        # U/u encode as T/t
+        assert (g.map_to_nodes(b"ACGU") == g.map_to_nodes(b"ACGT")).all()
