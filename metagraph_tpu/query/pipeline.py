@@ -66,11 +66,9 @@ class QueryEngine:
         alpha = getattr(self._base, "alphabet", None)
         # packed-key width for host index keys (8-bit for Protein)
         self._bits = packing.bits_for_alphabet(alpha.sigma) if alpha else 4
-        if self._bits != 4 and self.use_device:
-            # the device hash layouts are 4-bit nibble words (pack_kmers32);
-            # wide alphabets take the host path until an 8-bit device key
-            # layout lands
-            self.use_device = False
+        # device hash keys use 4-bit words for DNA-family alphabets and
+        # 8-bit words for wide ones (pack_kmers32 bits); only the 2-bit
+        # wire-key epoch stays DNA-only (_build_device_index2 gates itself)
 
     # ------------------------------------------------------------ indexing
     def _build_host_index(self):
@@ -100,12 +98,14 @@ class QueryEngine:
         if boss is None:
             kchars, ids = self._base.node_kmers_and_ids()
             self._device_index = ops.DeviceHashIndex.from_packed(
-                ops.pack_kmers32(kchars), ids.astype(np.uint32))
+                ops.pack_kmers32(kchars, bits=self._bits),
+                ids.astype(np.uint32))
             return
         valid_edges = np.flatnonzero(boss.valid)
         kchars = boss.get_edge_seq(valid_edges)
         self._device_index = ops.DeviceHashIndex.from_packed(
-            ops.pack_kmers32(kchars), valid_edges.astype(np.uint32))
+            ops.pack_kmers32(kchars, bits=self._bits),
+            valid_edges.astype(np.uint32))
 
     _device_index2 = None
 
@@ -138,7 +138,7 @@ class QueryEngine:
             self._build_device_index()
             import jax.numpy as jnp
             from ..succinct import ops
-            q = ops.pack_kmers32(sub)
+            q = ops.pack_kmers32(sub, bits=self._bits)
             # pad to the next power of two so lookup shapes (and therefore
             # XLA compilations) are bounded across batch sizes
             n = len(q)
@@ -429,7 +429,11 @@ class QueryEngine:
         if (not self.use_device or ag.coord_to_header is not None
                 or self._canonical_offset is not None
                 or getattr(self.graph, "mode", None) == "canonical"
-                or getattr(self._base, "boss", None) is None):
+                or getattr(self._base, "boss", None) is None
+                or self._bits != 4):
+            # wide alphabets (Protein): the fused epochs' on-device window
+            # packing is 4-bit/2-bit; those batches take the un-fused device
+            # path (_map_windows with 8-bit keys) instead
             return None
         from ..annotation.ops import DeviceAnnotation
         danno = self._build_device_annotation()

@@ -46,26 +46,32 @@ def _ceil_log2(n: int) -> int:
 # packing helpers (host-side, uint32 words for device)
 # --------------------------------------------------------------------------
 
-def pack_codes32(chars: np.ndarray, order: np.ndarray | None = None) -> np.ndarray:
-    """(N, K) uint8 codes -> (N, W32) uint32 nibble words (device layout)."""
+def pack_codes32(chars: np.ndarray, order: np.ndarray | None = None,
+                 bits: int = 4) -> np.ndarray:
+    """(N, K) uint8 codes -> (N, W32) uint32 words (device layout).
+
+    ``bits`` per code: 4 (8 chars/word, DNA-family) or 8 (4 chars/word,
+    Protein and other wide alphabets)."""
     chars = np.asarray(chars)
     if chars.ndim == 1:
         chars = chars[None, :]
     N, K = chars.shape
     if order is not None:
         chars = chars[:, order]
-    W = _ceil_div(K, 8)
+    per = 32 // bits
+    W = _ceil_div(K, per)
     out = np.zeros((N, W), dtype=np.uint32)
     for j in range(K):
-        w, slot = divmod(j, 8)
-        out[:, w] |= chars[:, j].astype(np.uint32) << np.uint32(28 - 4 * slot)
+        w, slot = divmod(j, per)
+        out[:, w] |= chars[:, j].astype(np.uint32) \
+            << np.uint32(32 - bits - bits * slot)
     return out
 
 
-def pack_kmers32(chars: np.ndarray) -> np.ndarray:
+def pack_kmers32(chars: np.ndarray, bits: int = 4) -> np.ndarray:
     """Pack edge k-mer code matrices in BOSS comparison order."""
     K = chars.shape[1]
-    return pack_codes32(chars, packing.boss_priority_order(K))
+    return pack_codes32(chars, packing.boss_priority_order(K), bits=bits)
 
 
 def pack_kmers2(chars: np.ndarray) -> np.ndarray:

@@ -373,3 +373,50 @@ class TestWireEpoch:
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
         np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+
+class TestWideAlphabetDeviceIndex:
+    """8-bit device hash keys for Protein graphs (pack_kmers32 bits=8):
+    query --device matches the host path on wide alphabets."""
+
+    def test_protein_device_query_matches_host(self):
+        from metagraph_tpu.seq_io.fasta import read_fasta
+        from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+        from metagraph_tpu.kmer.alphabets import PROTEIN
+        from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+        from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+        from metagraph_tpu.query.pipeline import QueryEngine
+        EX = "/root/reference/metagraph/examples/data"
+        recs = read_fasta(f"{EX}/test_Protein_sequences.fa")
+        g = DBGSuccinct.build([r.seq for r in recs], 20, alphabet=PROTEIN)
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        for r in recs:
+            ag.annotate_sequence(r.seq, [r.name])
+        qs = [r.seq for r in read_fasta(f"{EX}/test_Protein_query.fa")]
+        mk = lambda: [type("R", (), {"name": f"q{i}", "seq": s})()
+                      for i, s in enumerate(qs)]
+        host = QueryEngine(ag, use_device=False)
+        dev = QueryEngine(ag, use_device=True)
+        assert dev._bits == 8
+        for mode in ("labels", "matches"):
+            rh = [r.to_string()
+                  for r in host.query_records(mk(), mode, 10, 0.7, 0.0)]
+            rd = [r.to_string()
+                  for r in dev.query_records(mk(), mode, 10, 0.7, 0.0)]
+            assert rh == rd
+
+    def test_pack_codes32_8bit_roundtrip_order(self):
+        import numpy as np
+        from metagraph_tpu.succinct import ops
+        from metagraph_tpu.kmer import packing
+        rng = np.random.default_rng(0)
+        chars = rng.integers(0, 27, (500, 21)).astype(np.uint8)
+        keys = ops.pack_kmers32(chars, bits=8)
+        # row order under the packed keys == row order under the raw codes
+        order = packing.boss_priority_order(21)
+        ref = np.lexsort(chars[:, order][:, ::-1].T)
+        import numpy.lib.recfunctions as rf
+        got = np.lexsort(keys[:, ::-1].T)
+        assert np.array_equal(
+            chars[ref], chars[got]) or np.array_equal(ref, got)
