@@ -44,3 +44,44 @@ class TestWorkflow:
         q = read_fasta(samples[0])[0].seq
         labels = ag.get_labels(q, 0.9)
         assert labels == ["sample0"]
+
+
+class TestWorkflowCLI:
+    """metagraph-workflows build CLI (ref workflows/metagraph_workflows/cli.py)."""
+
+    def _seqs_dir(self, tmp_path):
+        import numpy as np
+        d = tmp_path / "seqs"
+        d.mkdir()
+        rng = np.random.default_rng(1)
+        for i in range(2):
+            with open(d / f"s{i}.fa", "w") as f:
+                for j in range(3):
+                    f.write(f">r{j}\n"
+                            + "".join(rng.choice(list("ACGT"), 300)) + "\n")
+        return d
+
+    def test_build_cli_dryrun_and_run(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+        d = self._seqs_dir(tmp_path)
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+        base = [sys.executable, "-m", "metagraph_tpu.workflows.cli", "build",
+                str(tmp_path / "out"), "--seqs-dir-path", str(d), "-k", "15"]
+        r = subprocess.run(base + ["--dryrun"], capture_output=True,
+                           text=True, env=env, cwd=tmp_path)
+        assert r.returncode == 0 and "2 samples" in r.stderr
+        assert not (tmp_path / "out").exists()
+        r = subprocess.run(base, capture_output=True, text=True, env=env,
+                           cwd=tmp_path)
+        assert r.returncode == 0, r.stderr
+        assert "workflow done" in r.stderr
+        assert (tmp_path / "out" / "joint.dbg.npz").exists()
+        # mutually exclusive inputs enforced
+        r = subprocess.run(base + ["--seqs-file-list-path", "x"],
+                           capture_output=True, text=True, env=env,
+                           cwd=tmp_path)
+        assert r.returncode != 0
