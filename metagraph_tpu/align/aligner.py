@@ -125,6 +125,12 @@ class DBGAligner:
                  seeder_class=None, extender_class=None):
         self.graph = graph
         self.config = (config or AlignerConfig()).clamp_to_k(graph.k)
+        alpha = getattr(graph, "alphabet", None)
+        if alpha is not None and alpha.name == "DNA_CASE":
+            # the byte-level revcomp used by the rc re-extension pass does
+            # not case-flip; align forward-only on the case-sensitive
+            # alphabet (its complement flips case across strands)
+            self.config.forward_and_reverse_complement = False
         if seeder_class is None:
             # ref DBGAligner<SuffixSeeder<UniMEMSeeder>> default
             seeder_class = (SuffixUniMEMSeeder
@@ -171,7 +177,13 @@ class DBGAligner:
 
     def align_gen(self, query: bytes, extender_default=None):
         """Generator producing compute_wave requests; returns alignments."""
-        query = bytes(query).upper()
+        alpha = getattr(self.graph, "alphabet", None)
+        if alpha is None or alpha.name != "DNA_CASE":
+            # case folds to the canonical form — except for the
+            # case-sensitive alphabet, where case is part of the character
+            query = bytes(query).upper()
+        else:
+            query = bytes(query)
         aggregator = AlignmentAggregator(self.config)
 
         def add_alignment(aln: Alignment):

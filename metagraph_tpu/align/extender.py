@@ -63,9 +63,11 @@ class DefaultColumnExtender:
         # 6-row ACGT$N layout for stable device shapes; Protein profiles all
         # 26 letters, 'X' is the catch-all wildcard row)
         alpha = getattr(graph, "alphabet", None)
-        if alpha is not None and alpha.sigma > 6:
-            self.profile_chars = alpha.letters.upper().encode()
-            self.wildcard = ord("X")
+        if alpha is not None and alpha.name != "DNA":
+            # full letter set, case preserved (DNA_CASE keeps lowercase
+            # rows); wildcard = the alphabet's catch-all character
+            self.profile_chars = alpha.letters.encode()
+            self.wildcard = ord("X") if "X" in alpha.letters else ord("N")
         else:
             self.profile_chars = b"ACGT$N"
             self.wildcard = ord("N")
@@ -75,6 +77,13 @@ class DefaultColumnExtender:
             prof = np.full(len(query) + 1, NINF, dtype=np.int64)
             prof[1:] = row[q]
             self.profile[c] = prof
+        # per-char profile row index for the batched wave kernel (built once;
+        # unknown chars take the wildcard row)
+        self.char_idx = np.full(
+            256, list(self.profile_chars).index(self.wildcard),
+            dtype=np.int64)
+        for _i, _c in enumerate(self.profile_chars):
+            self.char_idx[_c] = _i
         self.conv_checker: Dict[int, Tuple[int, np.ndarray]] = {}
         self.seed: Optional[Alignment] = None
         self._explored_prev = 0

@@ -147,13 +147,10 @@ class WaveExtender(DefaultColumnExtender):
         seed_offset = seed.offset - 1
 
         # profile matrix (C, WS): one row per alphabet char (ACGT$N for DNA,
-        # the full letter set for Protein), sliced to the window
-        pchars = self.profile_chars
-        P = np.stack([self.profile[c][start: start + WS] for c in pchars])
-        char_idx = np.full(256, list(pchars).index(self.wildcard),
-                           dtype=np.int64)
-        for _i, _c in enumerate(pchars):
-            char_idx[_c] = _i
+        # the full letter set otherwise), sliced to the window
+        P = np.stack([self.profile[c][start: start + WS]
+                      for c in self.profile_chars])
+        char_idx = self.char_idx
         pss = self.partial_sums[start: start + WS]
 
         # ---- root column (extender.py:207-209 + extend_ins_end, full width)

@@ -126,7 +126,8 @@ def cmd_build(args):
                           == scodes[None, :], axis=1)
             kmers = kmers[keep]
         np.savez_compressed(f"{args.out}.{args.suffix}.chunk.npz",
-                            kmers=kmers, k=args.k, mode=args.mode)
+                            kmers=kmers, k=args.k, mode=args.mode,
+                            alphabet=args.alphabet)
         print(f"chunk {args.suffix}: {len(kmers)} k-mers", file=sys.stderr)
         return
     if getattr(args, "graph", "succinct") != "succinct":
@@ -338,6 +339,11 @@ def cmd_annotate(args):
         os.makedirs(args.out, exist_ok=True)
         outs = [os.path.join(args.out, os.path.basename(f))
                 for f in args.input]
+        if len(set(outs)) != len(outs):
+            # two inputs with the same basename would silently overwrite
+            # each other's annotation
+            raise SystemExit("[error] --separately requires unique input "
+                             "file basenames")
         with ThreadPoolExecutor(max_workers=max(args.parallel, 1)) as pool:
             list(pool.map(
                 lambda fo: _annotate_files(g, base_rows, args, [fo[0]],
@@ -907,7 +913,7 @@ def cmd_extend(args):
     for f in args.input:
         new_seqs.extend(r.seq for r in read_fasta(f))
     g_new = DBGSuccinct.build(new_seqs, g.k, mode=g.mode,
-                              with_counts=with_counts)
+                              alphabet=g.alphabet, with_counts=with_counts)
     g2 = DBGSuccinct.merge([g, g_new])
     g2.save(args.out)
     print(f"extended: {g2.num_nodes()} nodes", file=sys.stderr)
@@ -952,20 +958,28 @@ def cmd_concatenate(args):
         raise SystemExit(f"no chunks found at {args.infile_base}.*.chunk.npz")
     parts = []
     k = mode = None
+    alpha_name = "DNA"
     for c in chunks:
         z = np.load(c, allow_pickle=True)
         k = int(z["k"])
         mode = str(z["mode"])
+        if "alphabet" in z.files:
+            alpha_name = str(z["alphabet"])
         if len(z["kmers"]):
             parts.append(z["kmers"])
+    from ..kmer.alphabets import ALPHABETS
+    alpha = ALPHABETS[alpha_name]
+    bits = packing.bits_for_alphabet(alpha.sigma)
     kmers = np.concatenate(parts, axis=0) if parts         else np.zeros((0, k), dtype=np.uint8)
     order = packing.boss_priority_order(k)
-    upacked, _ = packing.unique_rows(packing.pack_codes(kmers, order))
-    kmers = packing.unpack_codes(upacked, k, order)
+    upacked, _ = packing.unique_rows(packing.pack_codes(kmers, order,
+                                                        bits=bits))
+    kmers = packing.unpack_codes(upacked, k, order, bits=bits)
     from ..succinct.construct import build_boss_arrays
     from ..succinct.boss import BOSS
-    arrays = build_boss_arrays(kmers)
+    arrays = build_boss_arrays(kmers, alph_size=alpha.sigma)
     g = DBGSuccinct(BOSS(arrays), k, mode if args.mode is None else args.mode,
+                    alphabet=alpha,
                     mask_dummy=getattr(args, "clear_dummy", False))
     g.save(args.out)
     print(f"concatenated {len(chunks)} chunks: {g.num_nodes()} nodes",
@@ -1341,9 +1355,12 @@ def main(argv=None):
     p.add_argument("--filter-present", action="store_true",
                    help="with --query-presence: emit matching sequences "
                         "as FASTA instead of 1/0")
-    p.add_argument("--align-min-kmers-fraction", type=float, default=1.0,
+    p.add_argument("--align-min-kmers-fraction",
+                   "--min-kmers-fraction-label",
+                   type=float, default=0.7,
                    help="discovery fraction for --query-presence "
-                        "(ref config discovery_fraction for map mode)")
+                        "(ref config.hpp:136 discovery_fraction, "
+                        "default 0.7)")
     p.add_argument("--json", action="store_true")
     p.add_argument("--compacted", action="store_true")
     p.add_argument("input", nargs="+")

@@ -245,9 +245,11 @@ class DBGSuccinct:
             keep &= boss.valid[child] > 0
         owner, child, ch = owner[keep], child[keep], ch[keep]
         char_code = self.alphabet.decode_table[ch].astype(np.int64)
-        # decode_table yields lowercase? ensure uppercase ASCII
-        lower = (char_code >= 97) & (char_code <= 122)
-        char_code = np.where(lower, char_code - 32, char_code)
+        if self.alphabet.name != "DNA_CASE":
+            # fold to uppercase ASCII (case carries information only in the
+            # case-sensitive alphabet)
+            lower = (char_code >= 97) & (char_code <= 122)
+            char_code = np.where(lower, char_code - 32, char_code)
         return owner, child, char_code
 
     def call_incoming_kmers(self, node: int):

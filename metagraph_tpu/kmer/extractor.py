@@ -32,10 +32,23 @@ class KmerExtractor:
             self._enc = dna_encode_table()
         else:
             self._enc = alphabet.encode_table
-            if alphabet.name == "DNA_CASE":
-                # U/u encode as T/t (ref kCharToDNACaseSent RNA handling)
+            if alphabet.name == "DNA5":
+                # ref kBOSSCharToDNA (shared with DNA5): unknown chars are
+                # the catch-all 'N' (a REAL character here), U/u -> T
+                self._enc[self._enc == alphabet.sigma] = \
+                    self._enc[ord("N")]
+                self._enc[ord("U")] = self._enc[ord("T")]
+                self._enc[ord("u")] = self._enc[ord("T")]
+            elif alphabet.name == "DNA_CASE":
+                # ref kBOSSCharToDNACaseSent: unknown -> 'N', U -> T, u -> t
+                self._enc[self._enc == alphabet.sigma] = \
+                    self._enc[ord("N")]
                 self._enc[ord("U")] = self._enc[ord("T")]
                 self._enc[ord("u")] = self._enc[ord("t")]
+            elif alphabet.name == "Protein":
+                # ref kBOSSCharToProtein: unknown -> catch-all 'X'
+                self._enc[self._enc == alphabet.sigma] = \
+                    self._enc[ord("X")]
         self._invalid = alphabet.sigma
         # code width for packed keys: the invalid marker (== sigma) must fit
         self._bits = packing.bits_for_alphabet(alphabet.sigma)

@@ -175,7 +175,8 @@ def construct_batch_graph(engine, seqs: List[bytes],
             [ex.alphabet.complement_table,
              np.arange(sigma, ex._invalid + 1)]).astype(np.uint8)
         wins_cat = np.concatenate([wins_cat, comp[wins_cat][:, ::-1]])
-    keys = packing.pack_codes(wins_cat)
+    bits = packing.bits_for_alphabet(ex.alphabet.sigma)
+    keys = packing.pack_codes(wins_cat, bits=bits)
     order = packing.lexsort_rows(keys)
     skeys = keys[order]
     new = np.empty(len(skeys), dtype=bool)
@@ -201,7 +202,7 @@ def construct_batch_graph(engine, seqs: List[bytes],
     succ = np.repeat(wins_u[:, 1:], nb, axis=0)
     succ = np.concatenate(
         [succ, np.tile(bases, U)[:, None]], axis=1)
-    succ_in = packing.rows_in(keys_u, packing.pack_codes(succ))
+    succ_in = packing.rows_in(keys_u, packing.pack_codes(succ, bits=bits))
     outdeg = succ_in.reshape(U, nb).sum(axis=1)
 
     starts = []
@@ -215,10 +216,10 @@ def construct_batch_graph(engine, seqs: List[bytes],
         pred = np.repeat(wins_u[unmatched][:, :-1], nb, axis=0)
         pred = np.concatenate(
             [np.tile(bases, len(unmatched))[:, None], pred], axis=1)
-        ppos = packing.searchsorted_rows(keys_u, packing.pack_codes(pred))
+        pkeys = packing.pack_codes(pred, bits=bits)
+        ppos = packing.searchsorted_rows(keys_u, pkeys)
         ppos_c = np.minimum(ppos, U - 1)
-        pin = (ppos < U) & np.all(keys_u[ppos_c]
-                                  == packing.pack_codes(pred), axis=1)
+        pin = (ppos < U) & np.all(keys_u[ppos_c] == pkeys, axis=1)
         for j in np.unique(ppos_c[pin]):
             if nodes_u[j] > 0:
                 starts.append((wins_u[j], int(nodes_u[j])))
@@ -235,5 +236,6 @@ def construct_batch_graph(engine, seqs: List[bytes],
     build_seqs = segments + hull_seqs
     if not build_seqs:
         return None, None
-    small = DBGSuccinct.build(build_seqs, k, mode=mode)
+    small = DBGSuccinct.build(build_seqs, k, mode=mode,
+                              alphabet=ex.alphabet)
     return small, stats

@@ -67,8 +67,11 @@ class QueryEngine:
         # packed-key width for host index keys (8-bit for Protein)
         self._bits = packing.bits_for_alphabet(alpha.sigma) if alpha else 4
         # device hash keys use 4-bit words for DNA-family alphabets and
-        # 8-bit words for wide ones (pack_kmers32 bits); only the 2-bit
-        # wire-key epoch stays DNA-only (_build_device_index2 gates itself)
+        # 8-bit words for wide ones (pack_kmers32 bits).  The FUSED epochs'
+        # on-device window packing (2-bit wire keys, device_pack_windows,
+        # native tile_pack2) is strictly DNA: DNA5/DNA_CASE/Protein batches
+        # take the un-fused device path (_map_windows) instead
+        self._fused_ok = alpha is None or alpha.name == "DNA"
 
     # ------------------------------------------------------------ indexing
     def _build_host_index(self):
@@ -430,10 +433,10 @@ class QueryEngine:
                 or self._canonical_offset is not None
                 or getattr(self.graph, "mode", None) == "canonical"
                 or getattr(self._base, "boss", None) is None
-                or self._bits != 4):
-            # wide alphabets (Protein): the fused epochs' on-device window
-            # packing is 4-bit/2-bit; those batches take the un-fused device
-            # path (_map_windows with 8-bit keys) instead
+                or not self._fused_ok):
+            # non-DNA alphabets: the fused epochs' on-device window packing
+            # is DNA-only; those batches take the un-fused device path
+            # (_map_windows, 4/8-bit keys) instead
             return None
         from ..annotation.ops import DeviceAnnotation
         danno = self._build_device_annotation()

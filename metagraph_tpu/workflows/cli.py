@@ -43,6 +43,8 @@ def init_build(args) -> int:
         output_dir=str(args.output_dir),
         k=args.k if args.k is not None else 31,
         annotation_format=fmt,
+        base_name=args.base_name,
+        labels_source=args.annotation_labels_source,
     )
     log = (lambda *a: print(*a, file=sys.stderr)) if args.verbose \
         else (lambda *a: None)
@@ -83,9 +85,11 @@ def main(argv=None) -> int:
                         "builds the primary joint graph")
     p.add_argument("--annotation-format", action="append", default=[],
                    choices=ANNOTATION_FORMATS)
-    p.add_argument("--annotation-labels-source", default="sequence_headers",
-                   choices=LABEL_SOURCES)
-    p.add_argument("--threads", type=int, default=None)
+    p.add_argument("--annotation-labels-source",
+                   default="sequence_file_names", choices=LABEL_SOURCES)
+    p.add_argument("--threads", type=int, default=None,
+                   help="accepted for compatibility; stages are "
+                        "batch-vectorized rather than threaded")
     p.add_argument("--force", action="store_true")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--dryrun", action="store_true")

