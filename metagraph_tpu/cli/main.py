@@ -237,6 +237,27 @@ def cmd_stats(args):
                 per = ", ".join(f"{k}: {v}"
                                 for k, v in sorted(Counter(codecs).items()))
                 print(f"column vectors: {per}")
+            from ..annotation.matrix import BRWT
+            if isinstance(getattr(a, "matrix", None), BRWT):
+                # Multi-BRWT tree stats (ref stats.cpp:175-184)
+                nodes, arity_sum, internal, leaf_cols = 0, 0, 0, 0
+                stack = [a.matrix.root]
+                while stack:
+                    n = stack.pop()
+                    nodes += 1
+                    if n.children:
+                        internal += 1
+                        arity_sum += len(n.children)
+                        stack.extend(n.children)
+                    else:
+                        leaf_cols += 1
+                print("=================== Multi-BRWT STATS "
+                      "===================")
+                print(f"num nodes: {nodes}")
+                print(f"avg arity: "
+                      f"{arity_sum / max(internal, 1):.6g}")
+                # shrinkage: stored index bits relative to a flat layout
+                print(f"shrinkage: {leaf_cols / max(nodes, 1):.6g}")
             if args.print_col_names:
                 print("column names:")
                 for name in a.encoder.labels:
