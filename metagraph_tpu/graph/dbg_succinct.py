@@ -387,21 +387,49 @@ class DBGSuccinct:
     def nodes_in_suffix_range(self, first: int, last: int,
                               max_num_allowed_matches: int = 2 ** 63):
         """Enumerate valid edges incoming to each node in the BOSS range
-        [first, last] (ref dbg_succinct.cpp:344-378); [] on overflow."""
+        [first, last] (ref dbg_succinct.cpp:344-378); [] on overflow.
+
+        Vectorized: one batched select/bwd per range plus one batched
+        rank/select sweep over the minus-flagged incoming groups (the
+        reference walks each group edge by edge)."""
         boss = self.boss
-        rank_first = int(boss.rank_last(np.array([first]))[0])
-        rank_last = int(boss.rank_last(np.array([last]))[0])
-        nodes = []
-        for r in range(rank_first, rank_last + 1):
-            e = int(boss.select_last(np.array([r]))[0])
-            x = int(boss.bwd(np.array([e]))[0])
-            d = int(boss.node_last_char(np.array([e]))[0])
-            for inc in boss.call_incoming_to_target(x, d):
-                if self._valid_node(inc):
-                    nodes.append(inc)
-            if len(nodes) > max_num_allowed_matches:
-                return []
-        return nodes
+        rf = int(boss.rank_last(np.array([first]))[0])
+        rl = int(boss.rank_last(np.array([last]))[0])
+        if rl < rf:
+            return []
+        rs = np.arange(rf, rl + 1, dtype=np.int64)
+        e = boss.select_last(rs)
+        x = boss.bwd(e)                       # first incoming edge (W == d)
+        d = boss.node_last_char(e)
+        M = len(boss.W)
+        # end of each incoming group: the next W == d edge after x (exclusive)
+        rk_d = boss.rank_W(x, d)
+        tot_d = boss.rank_W(np.full(len(x), M - 1, dtype=np.int64), d)
+        stop = np.where(tot_d > rk_d, boss.select_W(d, rk_d + 1), M)
+        hi = stop - 1
+        # minus-flagged members (W == d + alph) inside (x, hi]
+        dm = d + boss.alph_size
+        base = boss.rank_W(x, dm)
+        cnt = boss.rank_W(hi, dm) - base
+        total = len(x) + int(cnt.sum())
+        # emit in reference order: per group ascending — x, then its
+        # minus-flagged edges (select_W is monotone in the rank)
+        offs = np.concatenate([[0], np.cumsum(cnt + 1)])
+        out = np.empty(total, dtype=np.int64)
+        out[offs[:-1]] = x
+        if total > len(x):
+            owner = np.repeat(np.arange(len(x)), cnt)
+            ranks = base[owner] + (np.arange(len(owner))
+                                   - np.repeat(np.cumsum(cnt) - cnt, cnt)) + 1
+            minus = boss.select_W(dm[owner], ranks)
+            mask = np.ones(total, dtype=bool)
+            mask[offs[:-1]] = False
+            out[mask] = minus
+        if self.masked:
+            out = out[boss.valid[out] > 0]
+        if len(out) > max_num_allowed_matches:
+            return []
+        return out.tolist()
 
     def get_node_sequence(self, node: int) -> bytes:
         if self._host_index is not None:
