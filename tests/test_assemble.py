@@ -55,3 +55,50 @@ class TestDiffAssembly:
         assert results["metasub_other"] == [WANT_OTHER]
         assert results["metasub_by_kmer"] == [WANT_OTHER]
         assert results["metasub_sym_diff"] == [WANT_SYM]
+
+
+import pytest
+
+
+@pytest.mark.anchors
+class TestAssembleGFAAnchors:
+    """ref integration_tests/test_assemble.py:15-140: exact GFA record
+    counts for assemble --unitigs --to-gfa and align -o .gfa P-lines on
+    canonical transcripts_100 k=20."""
+
+    EXPECT = {"--compacted": {"H": 1, "S": 1252, "L": 1634},
+              "": {"H": 1, "S": 91584, "L": 91966}}
+
+    @pytest.fixture(scope="class")
+    def graph_dir(self, tmp_path_factory):
+        from tests.test_cli import run_cli
+        d = str(tmp_path_factory.mktemp("gfa"))
+        r = run_cli(["build", "--mask-dummy", "--mode", "canonical",
+                     "-k", "20", "-o", "graph",
+                     "/root/reference/metagraph/tests/data/transcripts_100.fa"],
+                    d)
+        assert r.returncode == 0, r.stderr
+        return d
+
+    @pytest.mark.parametrize("flag", ["--compacted", ""])
+    def test_gfa_record_counts(self, graph_dir, flag):
+        import os
+        from collections import Counter
+        from tests.test_cli import run_cli
+        args = ["assemble", "graph.dbg.npz", "-o", "assembled",
+                "--unitigs", "--to-gfa"] + ([flag] if flag else [])
+        r = run_cli(args, graph_dir)
+        assert r.returncode == 0, r.stderr
+        counts = Counter(line[0] for line in open(
+            os.path.join(graph_dir, "assembled.gfa")) if line.strip())
+        assert dict(counts) == self.EXPECT[flag]
+        # align -o <gfa> appends P-lines for the query paths
+        args = ["align", "-i", "graph.dbg.npz", "-o", "assembled.gfa"] \
+            + ([flag] if flag else []) \
+            + ["/root/reference/metagraph/tests/data/transcripts_100.fa"]
+        r = run_cli(args, graph_dir)
+        assert r.returncode == 0, r.stderr
+        plines = sum(1 for line in open(
+            os.path.join(graph_dir, "assembled.path.gfa"))
+            if line.startswith("P"))
+        assert plines == 100
