@@ -750,3 +750,29 @@ class TestNonDnaAlphabetCLIPaths:
         assert r.stdout.strip() != r2.stdout.strip() or \
             (r.stdout.strip(), r2.stdout.strip()) == ("1", "0") or True
         assert r2.stdout.strip() == "0"
+
+
+@pytest.mark.anchors
+class TestLargeKCountWidthAnchors:
+    """ref integration_tests/test_build_weighted.py:280-363: multiword
+    (>64-bit) k-mers with wide count storage — exact avg-weight anchors on
+    the CG*10^6 input."""
+
+    @pytest.mark.parametrize("k,width,avg", [
+        (4, 2, None), (29, 32, 999986), (35, 32, 999983),
+        (70, 32, 999966), (70, 8, 255)])
+    def test_count_width(self, tmp_path, k, width, avg):
+        import gzip
+        with gzip.open(tmp_path / "cg.fasta.gz", "wb") as f:
+            f.write(b">CG\n")
+            f.write(b"CG" * 10 ** 6)
+        r = run_cli(["build", "--mask-dummy", "-k", str(k), "--count-kmers",
+                     "--count-width", str(width), "-o", "g", "cg.fasta.gz"],
+                    tmp_path)
+        assert r.returncode == 0, r.stderr
+        out = run_cli(["stats", "g.dbg.npz"], tmp_path).stdout
+        stats = dict(l.split(": ") for l in out.splitlines() if ": " in l)
+        assert stats["k"] == str(k)
+        assert stats["nodes (k)"] in ("2", "256")
+        if avg is not None:
+            assert stats["avg weight"] == str(avg)
