@@ -99,6 +99,26 @@ def cmd_build(args):
         if counts is not None:
             have_weights = True
             weights.extend(counts)
+        elif args.count_kmers:
+            # Logan-style per-sequence ka:f/km:f header abundances stand in
+            # for per-window counts (ref string_utils.cpp:26-36 used by
+            # parse_sequences.hpp for --count-kmers)
+            from ..seq_io.fasta import parse_abundance
+            got_any = False
+            rec_w = []
+            for r in recs:
+                ab = parse_abundance(getattr(r, "comment", "") or r.name)
+                if ab is not None:
+                    got_any = True
+                    rec_w.append(np.full(max(len(r.seq) - args.k + 1, 0),
+                                         ab, dtype=np.uint64))
+                else:
+                    rec_w.append(None)
+            if got_any:
+                have_weights = True
+                weights.extend(rec_w)
+            else:
+                weights.extend([None] * len(recs))
         else:
             weights.extend([None] * len(recs))
     if have_weights:

@@ -31,7 +31,12 @@ def parse_abundance(comment: str):
     if not m:
         return None
     try:
-        return max(1, round(float(m.group(2))))
+        v = float(m.group(2))
+        # llround semantics: half rounds AWAY from zero (Python's round is
+        # banker's — diverges on x.5, e.g. 12.5)
+        import math
+        return max(1, int(math.floor(v + 0.5)) if v >= 0
+                   else int(math.ceil(v - 0.5)))
     except ValueError:
         return None
 

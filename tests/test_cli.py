@@ -280,7 +280,9 @@ class TestHeaderCounts:
             if line.startswith(">"):
                 lab = line.split()[0][1:]
                 m = re.search(r"(ka|km):f:([0-9.eE+-]+)", line)
-                expected[lab] = max(1, round(float(m.group(2))))
+                import math
+                # llround: half away from zero (matches the reference)
+                expected[lab] = max(1, math.floor(float(m.group(2)) + 0.5))
         r = run_cli(["query", "--query-mode", "counts", "-i", "g.dbg.npz",
                      "-a", "a.column.annodbg", fa], d)
         assert r.returncode == 0, r.stderr
@@ -776,3 +778,19 @@ class TestLargeKCountWidthAnchors:
         assert stats["nodes (k)"] in ("2", "256")
         if avg is not None:
             assert stats["avg weight"] == str(avg)
+
+
+@pytest.mark.anchors
+class TestLoganBuildWeights:
+    """ref test_build_weighted.py:365-381: build --count-kmers derives node
+    weights from Logan ka:f header abundances; exact avg-weight anchor."""
+
+    def test_logan_header_weights(self, tmp_path):
+        r = run_cli(["build", "--count-kmers", "-k", "31", "-o", "lg",
+                     f"{REF}/logan_30.fa"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        out = run_cli(["stats", "lg.dbg.npz"], tmp_path).stdout
+        stats = dict(l.split(": ") for l in out.splitlines() if ": " in l)
+        assert stats["nnz weights"] == "728"
+        assert stats["avg weight"] == "7.74863"
+        assert stats["nodes (k)"] == "1079"
