@@ -72,6 +72,62 @@ class ColumnMajorAnnotation:
         self._frozen = False
         self.has_values = False
         self.has_coords = False
+        # bounded-RAM builder state (ref ColumnCompressed disk swap,
+        # annotate_column_compressed.hpp:26): spill directory + RAM cap
+        self._swap_dir = None
+        self._swap_cap = 0
+        self._acc_bytes = 0
+        self._spills: List[str] = []
+
+    # -------------------------------------------------------- disk swap
+    def enable_disk_swap(self, tmp_dir: str, mem_cap_bytes: int):
+        """Bound the builder's accumulation RAM: buffered (row[,value/coord])
+        arrays spill to npz chunks once the cap is exceeded; freeze() streams
+        them back one column at a time (the reference's --disk-swap /
+        --mem-cap-gb behavior for `annotate`)."""
+        import tempfile
+        assert not self._frozen
+        self._swap_dir = tempfile.mkdtemp(prefix="mg_annoswap_",
+                                          dir=tmp_dir or None)
+        self._swap_cap = max(int(mem_cap_bytes), 1 << 16)
+
+    def _track(self, arr: np.ndarray):
+        if self._swap_dir is None:
+            return
+        self._acc_bytes += arr.nbytes
+        if self._acc_bytes >= self._swap_cap:
+            self._spill()
+
+    def _spill(self):
+        import os
+        payload = {}
+        for c in range(len(self.encoder)):
+            if self._rows[c]:
+                payload[f"r{c}"] = np.concatenate(
+                    [np.atleast_1d(a) for a in self._rows[c]])
+                self._rows[c] = []
+            if self._values[c]:
+                payload[f"v{c}"] = np.concatenate(self._values[c], axis=0)
+                self._values[c] = []
+            if self._coords[c]:
+                payload[f"c{c}"] = np.concatenate(self._coords[c], axis=0)
+                self._coords[c] = []
+        if not payload:
+            return
+        path = os.path.join(self._swap_dir,
+                            f"chunk{len(self._spills)}.npz")
+        np.savez(path, **payload)
+        self._spills.append(path)
+        self._acc_bytes = 0
+
+    def _spilled_parts(self, kind: str, c: int) -> List[np.ndarray]:
+        out = []
+        for path in self._spills:
+            with np.load(path) as z:
+                key = f"{kind}{c}"
+                if key in z.files:
+                    out.append(z[key])
+        return out
 
     # ------------------------------------------------------------- building
     def _col(self, label: str) -> int:
@@ -85,7 +141,9 @@ class ColumnMajorAnnotation:
     def add_labels(self, rows: np.ndarray, labels: Sequence[str]):
         assert not self._frozen
         for label in labels:
-            self._rows[self._col(label)].append(np.asarray(rows, dtype=np.int64))
+            a = np.asarray(rows, dtype=np.int64)
+            self._rows[self._col(label)].append(a)
+            self._track(a)
 
     def add_label_counts(self, rows: np.ndarray, counts: np.ndarray,
                          labels: Sequence[str]):
@@ -94,9 +152,10 @@ class ColumnMajorAnnotation:
         self.has_values = True
         for label in labels:
             c = self._col(label)
-            self._values[c].append(
-                np.stack([np.asarray(rows, dtype=np.int64),
-                          np.asarray(counts, dtype=np.int64)], axis=1))
+            a = np.stack([np.asarray(rows, dtype=np.int64),
+                          np.asarray(counts, dtype=np.int64)], axis=1)
+            self._values[c].append(a)
+            self._track(a)
 
     def add_label_coords(self, rows: np.ndarray, coords: np.ndarray,
                          labels: Sequence[str]):
@@ -105,9 +164,10 @@ class ColumnMajorAnnotation:
         self.has_coords = True
         for label in labels:
             c = self._col(label)
-            self._coords[c].append(
-                np.stack([np.asarray(rows, dtype=np.int64),
-                          np.asarray(coords, dtype=np.int64)], axis=1))
+            a = np.stack([np.asarray(rows, dtype=np.int64),
+                          np.asarray(coords, dtype=np.int64)], axis=1)
+            self._coords[c].append(a)
+            self._track(a)
 
     def freeze(self):
         """Dedupe + sort all columns after building."""
@@ -115,9 +175,15 @@ class ColumnMajorAnnotation:
             return
         rows_out, vals_out, coords_out = [], [], []
         for c in range(len(self.encoder)):
-            parts = self._rows[c]
+            parts = self._rows[c] + self._spilled_parts("r", c) \
+                if self._spills else self._rows[c]
             r = (np.unique(np.concatenate(parts)) if parts
                  else np.zeros(0, dtype=np.int64))
+            if self._spills:
+                self._values[c] = self._values[c] \
+                    + self._spilled_parts("v", c)
+                self._coords[c] = self._coords[c] \
+                    + self._spilled_parts("c", c)
             if self._values[c]:
                 rv = np.concatenate(self._values[c], axis=0)
                 # sum counts per row (multiple sources add up)
@@ -142,6 +208,11 @@ class ColumnMajorAnnotation:
         self._values = vals_out
         self._coords = coords_out
         self._frozen = True
+        if self._spills:
+            import shutil
+            shutil.rmtree(self._swap_dir, ignore_errors=True)
+            self._spills = []
+            self._swap_dir = None
 
     # -------------------------------------------------------------- queries
     @property

@@ -401,6 +401,12 @@ def _annotate_files(g, base_rows, args, files, out_base):
     from ..annotation.annotated_dbg import AnnotatedDBG
 
     anno = ColumnMajorAnnotation(base_rows)
+    if getattr(args, "disk_swap", None) is not None \
+            or getattr(args, "mem_cap_gb", None) is not None:
+        # bounded-RAM column building (ref annotate.cpp --disk-swap /
+        # --mem-cap-gb: ColumnCompressed buffer swap)
+        cap = int((args.mem_cap_gb or 0.25) * (1 << 30))
+        anno.enable_disk_swap(args.disk_swap, cap)
     ag = AnnotatedDBG(g, anno)
     coord_offsets = {}
     header_index = {}
@@ -1218,6 +1224,11 @@ def main(argv=None):
                    help="annotate each input file into its own annotation "
                         "under the output directory "
                         "(ref cli/annotate.cpp:487-511)")
+    p.add_argument("--disk-swap", default=None, metavar="DIR",
+                   help="spill directory for bounded-RAM column building "
+                        "(ref annotate.cpp --disk-swap)")
+    p.add_argument("--mem-cap-gb", type=float, default=None,
+                   help="RAM cap for the column builder buffers")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_annotate)
 

@@ -794,3 +794,31 @@ class TestLoganBuildWeights:
         assert stats["nnz weights"] == "728"
         assert stats["avg weight"] == "7.74863"
         assert stats["nodes (k)"] == "1079"
+
+
+class TestAnnotateDiskSwap:
+    """ref test_annotate.py:282-324: annotate --disk-swap --mem-cap-gb
+    produces an identical annotation under a tiny RAM cap."""
+
+    def test_disk_swap_annotation_identical(self, tmp_path):
+        run_cli(["build", "--mask-dummy", "-k", "20", "-o", "graph",
+                 f"{REF}/transcripts_100.fa"], tmp_path)
+        r = run_cli(["annotate", "--anno-header", "--count-kmers",
+                     "--disk-swap", str(tmp_path), "--mem-cap-gb", "1e-6",
+                     "-i", "graph.dbg.npz", "-o", "swap",
+                     f"{REF}/transcripts_100.fa"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(["annotate", "--anno-header", "--count-kmers",
+                     "-i", "graph.dbg.npz", "-o", "ram",
+                     f"{REF}/transcripts_100.fa"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        import numpy as np
+        za = np.load(tmp_path / "swap.column.annodbg.npz", allow_pickle=True)
+        zb = np.load(tmp_path / "ram.column.annodbg.npz", allow_pickle=True)
+        assert sorted(za.files) == sorted(zb.files)
+        for k in za.files:
+            a, b = za[k], zb[k]
+            assert np.array_equal(a, b), k
+        out = run_cli(["stats", "-a", "swap.column.annodbg"],
+                      tmp_path).stdout
+        assert "labels: 100" in out
