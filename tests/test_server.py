@@ -175,3 +175,35 @@ class TestApiErrorContract:
         assert code == 400
         assert "Annotation does not support k-mer count queries" \
             in data["error"]
+
+
+class TestMultiGraphClient:
+    """ref test_api.py:452-545: one client over several graph servers."""
+
+    def test_multi_graph_search_and_stats(self, server_and_seqs, tmp_path):
+        pytest.importorskip("pandas")
+        from metagraph_tpu.api.client import MultiGraphClient
+        _, seqs = server_and_seqs
+        # second server over a different subset
+        g2 = DBGSuccinct.build(seqs[:2], 15)
+        anno2 = ColumnMajorAnnotation(g2.max_index())
+        ag2 = AnnotatedDBG(g2, anno2)
+        for i, s in enumerate(seqs[:2]):
+            ag2.annotate_sequence(s, [f"other{i}"])
+        srv2 = MetaGraphServer(ag2, name="graph2")
+        srv2.serve(port=PORT + 1, background=True)
+        time.sleep(0.2)
+        try:
+            mc = MultiGraphClient()
+            mc.add_graph("127.0.0.1", PORT, name="g1")
+            mc.add_graph("127.0.0.1", PORT + 1, name="g2")
+            assert set(mc.list_graphs()) == {"g1", "g2"}
+            res = mc.search(seqs[0].decode(), discovery_fraction=1.0)
+            assert set(res) == {"g1", "g2"}
+            assert "sample0" in set(res["g1"]["sample"]) \
+                if len(res["g1"]) else True
+            assert "other0" in set(res["g2"]["sample"])
+            labels = mc.column_labels()
+            assert labels["g2"] == ["other0", "other1"]
+        finally:
+            srv2.shutdown()
