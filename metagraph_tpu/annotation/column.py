@@ -120,14 +120,21 @@ class ColumnMajorAnnotation:
         self._spills.append(path)
         self._acc_bytes = 0
 
-    def _spilled_parts(self, kind: str, c: int) -> List[np.ndarray]:
-        out = []
+    def _spilled_all(self, c: int):
+        """(rows, values, coords) parts of column c across all spill chunks —
+        each chunk archive is opened ONCE per column (npz members load
+        lazily, so only this column's arrays are read)."""
+        rs, vs, cs = [], [], []
         for path in self._spills:
             with np.load(path) as z:
-                key = f"{kind}{c}"
-                if key in z.files:
-                    out.append(z[key])
-        return out
+                files = set(z.files)
+                if f"r{c}" in files:
+                    rs.append(z[f"r{c}"])
+                if f"v{c}" in files:
+                    vs.append(z[f"v{c}"])
+                if f"c{c}" in files:
+                    cs.append(z[f"c{c}"])
+        return rs, vs, cs
 
     # ------------------------------------------------------------- building
     def _col(self, label: str) -> int:
@@ -175,15 +182,14 @@ class ColumnMajorAnnotation:
             return
         rows_out, vals_out, coords_out = [], [], []
         for c in range(len(self.encoder)):
-            parts = self._rows[c] + self._spilled_parts("r", c) \
-                if self._spills else self._rows[c]
+            parts = self._rows[c]
+            if self._spills:
+                sp_r, sp_v, sp_c = self._spilled_all(c)
+                parts = parts + sp_r
+                self._values[c] = self._values[c] + sp_v
+                self._coords[c] = self._coords[c] + sp_c
             r = (np.unique(np.concatenate(parts)) if parts
                  else np.zeros(0, dtype=np.int64))
-            if self._spills:
-                self._values[c] = self._values[c] \
-                    + self._spilled_parts("v", c)
-                self._coords[c] = self._coords[c] \
-                    + self._spilled_parts("c", c)
             if self._values[c]:
                 rv = np.concatenate(self._values[c], axis=0)
                 # sum counts per row (multiple sources add up)
@@ -208,7 +214,7 @@ class ColumnMajorAnnotation:
         self._values = vals_out
         self._coords = coords_out
         self._frozen = True
-        if self._spills:
+        if self._swap_dir is not None:
             import shutil
             shutil.rmtree(self._swap_dir, ignore_errors=True)
             self._spills = []

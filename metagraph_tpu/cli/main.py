@@ -260,7 +260,7 @@ def cmd_stats(args):
             from ..annotation.matrix import BRWT
             if isinstance(getattr(a, "matrix", None), BRWT):
                 # Multi-BRWT tree stats (ref stats.cpp:175-184)
-                nodes, arity_sum, internal, leaf_cols = 0, 0, 0, 0
+                nodes, arity_sum, internal, rate_sum = 0, 0, 0, 0.0
                 stack = [a.matrix.root]
                 while stack:
                     n = stack.pop()
@@ -268,16 +268,17 @@ def cmd_stats(args):
                     if n.children:
                         internal += 1
                         arity_sum += len(n.children)
+                        # mean index-bitmap density over internal nodes
+                        # (ref brwt.cpp:553-566 shrinking_rate)
+                        rate_sum += float(n.bitmap.sum()) / max(
+                            len(n.bitmap), 1)
                         stack.extend(n.children)
-                    else:
-                        leaf_cols += 1
                 print("=================== Multi-BRWT STATS "
                       "===================")
                 print(f"num nodes: {nodes}")
                 print(f"avg arity: "
                       f"{arity_sum / max(internal, 1):.6g}")
-                # shrinkage: stored index bits relative to a flat layout
-                print(f"shrinkage: {leaf_cols / max(nodes, 1):.6g}")
+                print(f"shrinkage: {rate_sum / max(internal, 1):.6g}")
             if args.print_col_names:
                 print("column names:")
                 for name in a.encoder.labels:
@@ -405,8 +406,8 @@ def _annotate_files(g, base_rows, args, files, out_base):
             or getattr(args, "mem_cap_gb", None) is not None:
         # bounded-RAM column building (ref annotate.cpp --disk-swap /
         # --mem-cap-gb: ColumnCompressed buffer swap)
-        cap = int((args.mem_cap_gb or 0.25) * (1 << 30))
-        anno.enable_disk_swap(args.disk_swap, cap)
+        cap_gb = 0.25 if args.mem_cap_gb is None else args.mem_cap_gb
+        anno.enable_disk_swap(args.disk_swap, int(cap_gb * (1 << 30)))
     ag = AnnotatedDBG(g, anno)
     coord_offsets = {}
     header_index = {}

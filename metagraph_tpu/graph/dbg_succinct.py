@@ -397,6 +397,22 @@ class DBGSuccinct:
         rl = int(boss.rank_last(np.array([last]))[0])
         if rl < rf:
             return []
+        if not self.masked and rl - rf + 1 > max_num_allowed_matches:
+            # every group contributes >= 1 node, so the cap is already blown
+            return []
+        if rl - rf + 1 > max(4 * max_num_allowed_matches, 1 << 14):
+            # masked graphs: enumerate a prefix big enough that the valid
+            # count must exceed the cap unless most candidates are dummies —
+            # then fall through to the full sweep only if it didn't
+            head = self._nodes_in_rank_range(
+                rf, rf + max(4 * max_num_allowed_matches, 1 << 14) - 1)
+            if len(head) > max_num_allowed_matches:
+                return []
+        return self._nodes_in_rank_range(rf, rl, max_num_allowed_matches)
+
+    def _nodes_in_rank_range(self, rf: int, rl: int,
+                             max_num_allowed_matches: int = 2 ** 63):
+        boss = self.boss
         rs = np.arange(rf, rl + 1, dtype=np.int64)
         e = boss.select_last(rs)
         x = boss.bwd(e)                       # first incoming edge (W == d)

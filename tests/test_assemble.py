@@ -57,9 +57,6 @@ class TestDiffAssembly:
         assert results["metasub_sym_diff"] == [WANT_SYM]
 
 
-import pytest
-
-
 @pytest.mark.anchors
 class TestAssembleGFAAnchors:
     """ref integration_tests/test_assemble.py:15-140: exact GFA record

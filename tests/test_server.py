@@ -200,8 +200,7 @@ class TestMultiGraphClient:
             assert set(mc.list_graphs()) == {"g1", "g2"}
             res = mc.search(seqs[0].decode(), discovery_fraction=1.0)
             assert set(res) == {"g1", "g2"}
-            assert "sample0" in set(res["g1"]["sample"]) \
-                if len(res["g1"]) else True
+            assert len(res["g1"]) and "sample0" in set(res["g1"]["sample"])
             assert "other0" in set(res["g2"]["sample"])
             labels = mc.column_labels()
             assert labels["g2"] == ["other0", "other1"]
