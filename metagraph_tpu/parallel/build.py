@@ -54,9 +54,18 @@ def _rows_greater_j(rows: jnp.ndarray, cut: jnp.ndarray) -> jnp.ndarray:
     return gt
 
 
+_SORT_FN_CACHE = {}
+
+
 def sharded_sort_unique_fn(mesh: Mesh, m: int, B: int, W: int):
     """Jitted sharded sort: (m*B, W) keys sharded over 'shard' ->
-    per-shard sorted rows + uniqueness mask, range-exchanged via all_to_all."""
+    per-shard sorted rows + uniqueness mask, range-exchanged via all_to_all.
+    Cached per (mesh devices, m, B, W) — rebuilding the shard_map closure
+    forces a full XLA recompile otherwise."""
+    key = (tuple(d.id for d in mesh.devices.flat), m, B, W)
+    cached = _SORT_FN_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P("shard", None), P(None, None)),
@@ -87,7 +96,9 @@ def sharded_sort_unique_fn(mesh: Mesh, m: int, B: int, W: int):
         new = new.at[0].set(True)
         return s, new
 
-    return jax.jit(_step)
+    fn = jax.jit(_step)
+    _SORT_FN_CACHE[key] = fn
+    return fn
 
 
 def sharded_sort_unique(keys: np.ndarray, mesh: Mesh | None = None,

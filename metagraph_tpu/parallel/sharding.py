@@ -62,11 +62,17 @@ def shard_kmer_index(keys: np.ndarray, ids: np.ndarray, mesh: Mesh):
 
 
 def shard_hash_table(table: np.ndarray, mesh: Mesh):
-    """Shard the bucketized hash table by bucket range over 'model'."""
+    """Shard the bucketized hash table by bucket range over 'model'.
+
+    Returns (sharded table, rows_per_shard, n_buckets).  ``n_buckets`` is the
+    TRUE bucket count of the index — queries must hash modulo this, not the
+    padded rows_per_shard * m, or every lookup lands in the wrong bucket
+    whenever the model axis doesn't divide the bucket count."""
     m = mesh.shape["model"]
+    n_buckets = table.shape[0]
     table = pad_rows(table, m, fill=np.iinfo(np.uint32).max)
     return (jax.device_put(table, jax.NamedSharding(mesh, P("model", None))),
-            table.shape[0] // m)
+            table.shape[0] // m, n_buckets)
 
 
 def shard_annotation(bitmap: np.ndarray, mesh: Mesh):
@@ -83,7 +89,8 @@ def shard_annotation(bitmap: np.ndarray, mesh: Mesh):
 
 
 def sharded_annotated_query_fn(mesh: Mesh, rows_per_shard: int,
-                               labels_per_shard: int, num_seqs: int):
+                               labels_per_shard: int, num_seqs: int,
+                               n_buckets: int | None = None):
     """The full multi-chip query step:
 
       * hash-index buckets range-sharded over 'model' (suffix-shard analog);
@@ -91,7 +98,16 @@ def sharded_annotated_query_fn(mesh: Mesh, rows_per_shard: int,
       * annotation labels sharded over 'model'; per-sequence label counts
         computed locally -> output sharded (data, model)
       * query batch sharded over 'data'
+
+    Contract: ``num_seqs`` must divide evenly over the 'data' axis (pad the
+    sequence batch), and ``seq_ids`` are SHARD-LOCAL (0..num_seqs/data-1 on
+    every shard) — windows with out-of-range ids would be dropped silently
+    by segment_sum otherwise.
     """
+    if num_seqs % mesh.shape["data"]:
+        raise ValueError(
+            f"num_seqs={num_seqs} must be a multiple of the data axis "
+            f"({mesh.shape['data']}); pad the sequence batch")
     from ..annotation.ops import count_labels
     from ..succinct.ops import BUCKET, _hash_words
 
@@ -101,7 +117,10 @@ def sharded_annotated_query_fn(mesh: Mesh, rows_per_shard: int,
                   P("data")),
         out_specs=(P("data", "model"), P("data")), check_vma=False)
     def _step(table_shard, bitmap_shard, queries, seq_ids):
-        n_buckets_global = rows_per_shard * mesh.shape["model"]
+        # hash modulo the index's TRUE bucket count (shard_hash_table pads
+        # rows to the mesh, which must not change the modulus)
+        n_buckets_global = n_buckets if n_buckets is not None \
+            else rows_per_shard * mesh.shape["model"]
         my = jax.lax.axis_index("model") * rows_per_shard
         # single-probe layout (see DeviceHashIndex): one bucket row per query
         b = _hash_words(queries, n_buckets_global, 1)

@@ -503,8 +503,10 @@ class DeviceQueryPipeline:
         boss = graph.boss
         valid_edges = np.flatnonzero(boss.valid)
         kchars = boss.get_edge_seq(valid_edges)
+        from ..kmer.packing import bits_for_alphabet
+        self._bits = bits_for_alphabet(graph.alphabet.sigma)
         # host copies kept for CPU-baseline / debug cross-checks
-        self.index_keys = graph_ops.pack_kmers32(kchars)
+        self.index_keys = graph_ops.pack_kmers32(kchars, bits=self._bits)
         self.index_ids = valid_edges.astype(np.uint32)
         self.index = graph_ops.DeviceHashIndex.from_packed(
             self.index_keys, self.index_ids)
@@ -522,13 +524,21 @@ class DeviceQueryPipeline:
         """
         k = self.k
         ex = self.graph.extractor
+        if seqs and max(len(s) for s in seqs) >= (1 << 24):
+            # per-(seq,label) counts are folded with exact-integer f32
+            # matmuls (integral below 2^24); split longer sequences
+            raise ValueError("sequences longer than 2^24 bp must be split "
+                             "before the device count fold (f32 exactness "
+                             "bound)")
         canonical = getattr(self.graph, "mode", None) == "canonical"
         comp = np.concatenate(
             [ex.alphabet.complement_table,
              np.arange(ex.alphabet.sigma, ex._invalid + 1)]).astype(np.uint8) \
             if canonical else None
         from .. import native
-        if native.get_lib() is not None:
+        if native.get_lib() is not None and self._bits == 4:
+            # the native packer emits 4-bit nibble words (DNA-family);
+            # wide alphabets take the host path below with 8-bit words
             sep = np.array([ex.alphabet.sigma], dtype=np.uint8)
             codes_list = [ex.encode(s) for s in seqs]
             num_kmers = [max(len(c) - k + 1, 0) for c in codes_list]
@@ -556,6 +566,7 @@ class DeviceQueryPipeline:
             W = (k + 7) // 8
             return (np.zeros((0, W), dtype=np.uint32),
                     np.zeros(0, dtype=np.int32), num_kmers)
+        per = 32 // self._bits
         q_parts, sid_parts = [], []
         num_kmers = []
         for i, s in enumerate(seqs):
@@ -567,14 +578,16 @@ class DeviceQueryPipeline:
             wins = np.lib.stride_tricks.sliding_window_view(codes, k)
             bad = np.concatenate([[0], np.cumsum(codes >= ex.alphabet.sigma)])
             valid = (bad[k:] - bad[:-k]) == 0
-            packed = np.zeros((n, graph_ops._ceil_div(k, 8)), dtype=np.uint32)
+            packed = np.zeros((n, graph_ops._ceil_div(k, per)),
+                              dtype=np.uint32)
             if valid.any():
-                pk = graph_ops.pack_kmers32(wins[valid])
+                pk = graph_ops.pack_kmers32(wins[valid], bits=self._bits)
                 if canonical:
                     rc_wins = np.lib.stride_tricks.sliding_window_view(
                         comp[codes[::-1]], k)[::-1]
                     pk = _rowmin_packed(
-                        pk, graph_ops.pack_kmers32(rc_wins[valid]))
+                        pk, graph_ops.pack_kmers32(rc_wins[valid],
+                                                   bits=self._bits))
                 packed[valid] = pk
                 packed[~valid] = np.iinfo(np.uint32).max
             else:
@@ -585,7 +598,8 @@ class DeviceQueryPipeline:
             queries = np.concatenate(q_parts)
             seq_ids = np.concatenate(sid_parts)
         else:
-            queries = np.zeros((0, graph_ops._ceil_div(k, 8)), dtype=np.uint32)
+            queries = np.zeros((0, graph_ops._ceil_div(k, per)),
+                               dtype=np.uint32)
             seq_ids = np.zeros(0, dtype=np.int32)
         return queries, seq_ids, num_kmers
 

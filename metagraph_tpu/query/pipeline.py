@@ -438,6 +438,11 @@ class QueryEngine:
             # is DNA-only; those batches take the un-fused device path
             # (_map_windows, 4/8-bit keys) instead
             return None
+        if seqs and max(len(s) for s in seqs) >= (1 << 24):
+            # the fused epochs fold per-sequence counts with exact-integer
+            # f32 matmuls, which round above 2^24; a single sequence that
+            # long can exceed the bound — take the exact host-count path
+            return None
         from ..annotation.ops import DeviceAnnotation
         danno = self._build_device_annotation()
         if not isinstance(danno, DeviceAnnotation):

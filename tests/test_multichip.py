@@ -49,7 +49,7 @@ def test_sharded_query_counts_match_host(tiny, data, model):
     g, anno, ag, seqs = tiny
     mesh = _mesh(data, model)
     pipe = DeviceQueryPipeline(g, anno)
-    table_shard, rows_per_shard = sh.shard_hash_table(
+    table_shard, rows_per_shard, n_buckets = sh.shard_hash_table(
         np.asarray(pipe.index.table), mesh)
     bitmap_shard, labels_per_shard = sh.shard_annotation(
         pipe.annotation.unpacked(), mesh)
@@ -68,7 +68,8 @@ def test_sharded_query_counts_match_host(tiny, data, model):
     sid_d = jax.device_put(np.concatenate(sid_parts),
                            NamedSharding(mesh, P("data")))
     step = sh.sharded_annotated_query_fn(mesh, rows_per_shard,
-                                         labels_per_shard, data)
+                                         labels_per_shard, data,
+                                         n_buckets=n_buckets)
     counts, present = step(table_shard, bitmap_shard, q_d, sid_d)
     counts, present = np.asarray(counts), np.asarray(present)
     ref = pipe.query_labels(qseqs, "matches", 2 ** 63, 0.0, 0.0)
@@ -85,7 +86,7 @@ def test_sharded_counts_feed_thresholds(tiny, df, pf):
     g, anno, ag, seqs = tiny
     mesh = _mesh(2, 4)
     pipe = DeviceQueryPipeline(g, anno)
-    table_shard, rows_per_shard = sh.shard_hash_table(
+    table_shard, rows_per_shard, n_buckets = sh.shard_hash_table(
         np.asarray(pipe.index.table), mesh)
     bitmap_shard, labels_per_shard = sh.shard_annotation(
         pipe.annotation.unpacked(), mesh)
@@ -102,7 +103,8 @@ def test_sharded_counts_feed_thresholds(tiny, df, pf):
     sid_d = jax.device_put(np.concatenate(sid_parts),
                            NamedSharding(mesh, P("data")))
     step = sh.sharded_annotated_query_fn(mesh, rows_per_shard,
-                                         labels_per_shard, 2)
+                                         labels_per_shard, 2,
+                                         n_buckets=n_buckets)
     counts, present = np.asarray(step(table_shard, bitmap_shard, q_d,
                                       sid_d)[0]), None
     for i, s in enumerate(qseqs):
@@ -140,6 +142,41 @@ def test_sharded_lookup_mesh_shapes(tiny, shape):
     q_d = jax.device_put(qpad, NamedSharding(mesh, P("data", None)))
     got = np.asarray(fn(keys_d, ids_d, q_d))[: len(q)]
     assert np.array_equal(got, valid_edges[:: 3])
+
+
+def test_shard_hash_table_preserves_modulus(tiny):
+    """Padding the bucket directory to the mesh must not change the hash
+    modulus: a tiny index (few buckets) on a wide model axis still hits."""
+    g, anno, ag, seqs = tiny
+    mesh = _mesh(1, 8)
+    # tiny index: only the first 20 valid edges -> very few buckets
+    import numpy as np
+    from metagraph_tpu.succinct import ops
+    boss = g.boss
+    ve = np.flatnonzero(boss.valid)[:20]
+    keys = ops.pack_kmers32(boss.get_edge_seq(ve))
+    idx = ops.DeviceHashIndex.from_packed(keys, ve.astype(np.uint32))
+    table_shard, rows_per_shard, n_buckets = sh.shard_hash_table(
+        np.asarray(idx.table), mesh)
+    fn = sh.sharded_lookup_fn(mesh)
+    # lookup path uses range sharding, exercise the annotated step instead
+    bitmap_shard, labels_per_shard = sh.shard_annotation(
+        ag.annotator.unpacked() if hasattr(ag.annotator, "unpacked")
+        else __import__("metagraph_tpu.annotation.ops", fromlist=["x"])
+        .DeviceAnnotation.from_column_annotation(
+            anno, g.max_index()).unpacked(), mesh)
+    step = sh.sharded_annotated_query_fn(mesh, rows_per_shard,
+                                         labels_per_shard, 1,
+                                         n_buckets=n_buckets)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax
+    q = keys[:8]
+    q_d = jax.device_put(q, NamedSharding(mesh, P("data", None)))
+    sid_d = jax.device_put(np.zeros(8, np.int32),
+                           NamedSharding(mesh, P("data")))
+    counts, present = step(table_shard, bitmap_shard, q_d, sid_d)
+    # every query is a real indexed k-mer: all 8 must hit
+    assert int(np.asarray(present).sum()) == 8
 
 
 @pytest.mark.parametrize("n_devices", [8, 5, 3])
