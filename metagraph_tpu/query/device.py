@@ -64,6 +64,55 @@ def query_epoch(table: jnp.ndarray, bitmap: jnp.ndarray, queries: jnp.ndarray,
     return counts.astype(jnp.int32), present.astype(jnp.int32)
 
 
+
+def _tile_label_counts(bitmap, nodes_ct, num_labels):
+    """(C, T) node ids (0 = miss) -> ((C, L) int32 tile label counts,
+    (C,) int32 tile hits).  Fused gather -> int8 bit-expand -> int32 tile
+    sum: ~20% faster than int32 expansion on v5e (exact: tile sums < 2^31).
+    The ONE counting body shared by every epoch variant."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    hit = nodes_ct > 0
+    rows = jnp.where(hit, nodes_ct - 1, 0)
+    words = anno_ops.gather_anno_rows(bitmap, rows, num_labels) \
+        * hit[..., None].astype(jnp.uint32)
+    Lw = words.shape[-1]
+    bits = ((words[..., None] >> shifts) & 1).astype(jnp.int8)
+    tc = bits.sum(axis=1, dtype=jnp.int32).reshape(
+        nodes_ct.shape[0], Lw * 32)
+    return tc[:, :num_labels], hit.sum(axis=1, dtype=jnp.int32)
+
+
+def _fold_tiles(tc, th, tile_seq, num_seqs):
+    """(Ntiles, L)/(Ntiles,) int32 tile sums -> per-sequence (S, L) counts
+    + (S,) present via one f32 matmul (exact: per-cell sums < 2^24; callers
+    enforce the sequence-length bound)."""
+    tile_counts = tc.astype(jnp.float32)
+    tile_hit = th.astype(jnp.float32)
+    onehot = (tile_seq[:, None]
+              == jnp.arange(num_seqs, dtype=tile_seq.dtype)[None, :]
+              ).astype(jnp.float32)
+    counts = jax.lax.dot_general(onehot, tile_counts,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    present = jnp.sum(onehot * tile_hit[:, None], axis=0)
+    return counts.astype(jnp.int32), present.astype(jnp.int32)
+
+
+def _pack_selection_mask(counts, present, dsel, selmin):
+    """Fused threshold selection: pack (counts >= dsel & present >= selmin)
+    into uint32 words (the host downloads S*L/32 bits)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    ok = present >= selmin
+    sel = (counts >= dsel[:, None]) & ok[:, None]
+    S, L = sel.shape
+    padL = (-L) % 32
+    if padL:
+        sel = jnp.pad(sel, ((0, 0), (0, padL)))
+    w = (sel.reshape(S, -1, 32).astype(jnp.uint32)
+         << shifts[None, None, :])
+    return w.sum(axis=2, dtype=jnp.uint32)
+
+
 TILE = 256   # windows per tile in the tiled count layout
 
 
@@ -92,34 +141,16 @@ def query_epoch_tiled(table: jnp.ndarray, bitmap: jnp.ndarray,
         tile_seq = jnp.concatenate([tile_seq, jnp.zeros(pad, tile_seq.dtype)])
     nc = queries.shape[0] // C
     qs = queries.reshape(nc, C, T, W)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
 
     def body(carry, q):
         nodes = graph_ops._hash_lookup(table, q.reshape(C * T, W))
         nodes = nodes.reshape(C, T)
-        hit = nodes > 0
-        rows = jnp.where(hit, nodes - 1, 0)
-        words = anno_ops.gather_anno_rows(bitmap, rows, num_labels) \
-            * hit[..., None].astype(jnp.uint32)
-        Lw = words.shape[-1]
-        # int8 bit expansion + int32-accumulated tile sum: ~20% faster
-        # than int32 expansion on v5e (exact: tile sums < 2^31)
-        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int8)
-        tc = bits.sum(axis=1, dtype=jnp.int32).reshape(C, Lw * 32)
-        return carry, (tc[:, :num_labels], hit.sum(axis=1, dtype=jnp.int32),
-                   nodes)
+        tc, th = _tile_label_counts(bitmap, nodes, num_labels)
+        return carry, (tc, th, nodes)
     _, (tc, th, nodes) = jax.lax.scan(body, 0, qs)
-    tile_counts = tc.reshape(nc * C, num_labels).astype(jnp.float32)
-    tile_hit = th.reshape(nc * C).astype(jnp.float32)
-    # exact: tile counts < 2^24, sums < 2^24 -> f32 matmul is integral
-    onehot = (tile_seq[:, None]
-              == jnp.arange(num_seqs, dtype=tile_seq.dtype)[None, :]
-              ).astype(jnp.float32)
-    counts = jax.lax.dot_general(onehot, tile_counts, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    present = jnp.sum(onehot * tile_hit[:, None], axis=0)
-    return (counts.astype(jnp.int32), present.astype(jnp.int32),
-            nodes.reshape(nc * C, T))
+    counts, present = _fold_tiles(tc.reshape(nc * C, num_labels),
+                                  th.reshape(nc * C), tile_seq, num_seqs)
+    return counts, present, nodes.reshape(nc * C, T)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
@@ -144,7 +175,6 @@ def query_epoch_codes(table: jnp.ndarray, bitmap: jnp.ndarray,
             [code_tiles, jnp.full((pad, TK), 5, code_tiles.dtype)])
         tile_seq = jnp.concatenate([tile_seq, jnp.zeros(pad, tile_seq.dtype)])
     nc = code_tiles.shape[0] // C
-    shifts = jnp.arange(32, dtype=jnp.uint32)
 
     def body(carry, chunk):
         packed, valid = graph_ops.device_pack_windows(
@@ -152,28 +182,12 @@ def query_epoch_codes(table: jnp.ndarray, bitmap: jnp.ndarray,
         W = packed.shape[-1]
         nodes = graph_ops._hash_lookup(table, packed.reshape(C * T, W))
         nodes = jnp.where(valid, nodes.reshape(C, T), 0)
-        hit = nodes > 0
-        rows = jnp.where(hit, nodes - 1, 0)
-        words = anno_ops.gather_anno_rows(bitmap, rows, num_labels) \
-            * hit[..., None].astype(jnp.uint32)
-        Lw = words.shape[-1]
-        # int8 bit expansion + int32-accumulated tile sum: ~20% faster
-        # than int32 expansion on v5e (exact: tile sums < 2^31)
-        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int8)
-        tc = bits.sum(axis=1, dtype=jnp.int32).reshape(C, Lw * 32)
-        return carry, (tc[:, :num_labels], hit.sum(axis=1, dtype=jnp.int32),
-                   nodes)
+        tc, th = _tile_label_counts(bitmap, nodes, num_labels)
+        return carry, (tc, th, nodes)
     _, (tc, th, nodes) = jax.lax.scan(body, 0, code_tiles.reshape(nc, C, TK))
-    tile_counts = tc.reshape(nc * C, num_labels).astype(jnp.float32)
-    tile_hit = th.reshape(nc * C).astype(jnp.float32)
-    onehot = (tile_seq[:, None]
-              == jnp.arange(num_seqs, dtype=tile_seq.dtype)[None, :]
-              ).astype(jnp.float32)
-    counts = jax.lax.dot_general(onehot, tile_counts, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    present = jnp.sum(onehot * tile_hit[:, None], axis=0)
-    return (counts.astype(jnp.int32), present.astype(jnp.int32),
-            nodes.reshape(nc * C, T))
+    counts, present = _fold_tiles(tc.reshape(nc * C, num_labels),
+                                  th.reshape(nc * C), tile_seq, num_seqs)
+    return counts, present, nodes.reshape(nc * C, T)
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
@@ -210,7 +224,6 @@ def query_epoch_codes2(table: jnp.ndarray, bitmap: jnp.ndarray,
             [validb, jnp.zeros((pad, validb.shape[1]), validb.dtype)])
         tile_seq = jnp.concatenate([tile_seq, jnp.zeros(pad, tile_seq.dtype)])
     nc = packed2.shape[0] // C
-    shifts = jnp.arange(32, dtype=jnp.uint32)
     sh2 = jnp.arange(0, 8, 2, dtype=jnp.uint8)       # 2-bit lane shifts
     sh1 = jnp.arange(8, dtype=jnp.uint8)             # valid-bit lane shifts
 
@@ -224,40 +237,15 @@ def query_epoch_codes2(table: jnp.ndarray, bitmap: jnp.ndarray,
         W = packed.shape[-1]
         nodes = graph_ops._hash_lookup(table, packed.reshape(C * T, W))
         nodes = jnp.where(valid, nodes.reshape(C, T), 0)
-        hit = nodes > 0
-        rows = jnp.where(hit, nodes - 1, 0)
-        words = anno_ops.gather_anno_rows(bitmap, rows, num_labels) \
-            * hit[..., None].astype(jnp.uint32)
-        Lw = words.shape[-1]
-        # int8 bit expansion + int32-accumulated tile sum: ~20% faster
-        # than int32 expansion on v5e (exact: tile sums < 2^31)
-        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int8)
-        tc = bits.sum(axis=1, dtype=jnp.int32).reshape(C, Lw * 32)
-        return carry, (tc[:, :num_labels], hit.sum(axis=1, dtype=jnp.int32),
-                   nodes)
+        tc, th = _tile_label_counts(bitmap, nodes, num_labels)
+        return carry, (tc, th, nodes)
     _, (tc, th, nodes) = jax.lax.scan(
         body, 0, (packed2.reshape(nc, C, PB),
                   validb.reshape(nc, C, validb.shape[1])))
-    tile_counts = tc.reshape(nc * C, num_labels).astype(jnp.float32)
-    tile_hit = th.reshape(nc * C).astype(jnp.float32)
-    onehot = (tile_seq[:, None]
-              == jnp.arange(num_seqs, dtype=tile_seq.dtype)[None, :]
-              ).astype(jnp.float32)
-    counts = jax.lax.dot_general(onehot, tile_counts, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    present = jnp.sum(onehot * tile_hit[:, None], axis=0)
-    counts = counts.astype(jnp.int32)
-    present = present.astype(jnp.int32)
+    counts, present = _fold_tiles(tc.reshape(nc * C, num_labels),
+                                  th.reshape(nc * C), tile_seq, num_seqs)
     # fused selection (select_mask_epoch inlined — saves a dispatch RTT)
-    ok = present >= selmin
-    sel = (counts >= dsel[:, None]) & ok[:, None]
-    S, L = sel.shape
-    padL = (-L) % 32
-    if padL:
-        sel = jnp.pad(sel, ((0, 0), (0, padL)))
-    w = (sel.reshape(S, -1, 32).astype(jnp.uint32)
-         << shifts[None, None, :])
-    mask = w.sum(axis=2, dtype=jnp.uint32)
+    mask = _pack_selection_mask(counts, present, dsel, selmin)
     return mask, counts, present, nodes.reshape(nc * C, T)
 
 
@@ -287,7 +275,6 @@ def query_epoch_wire(table2: jnp.ndarray, bitmap: jnp.ndarray,
             [vwords, jnp.zeros((pad, vwords.shape[1]), vwords.dtype)])
         tile_seq = jnp.concatenate([tile_seq, jnp.zeros(pad, tile_seq.dtype)])
     nc = words.shape[0] // C
-    shifts = jnp.arange(32, dtype=jnp.uint32)
 
     def body(carry, x):
         wd, vw = x
@@ -295,38 +282,14 @@ def query_epoch_wire(table2: jnp.ndarray, bitmap: jnp.ndarray,
         valid = graph_ops.window_valid2(vw, K, T)            # (C, T)
         nodes = graph_ops._hash_lookup(table2, keys.reshape(C * T, 2))
         nodes = jnp.where(valid, nodes.reshape(C, T), 0)
-        hit = nodes > 0
-        rows = jnp.where(hit, nodes - 1, 0)
-        words_a = anno_ops.gather_anno_rows(bitmap, rows, num_labels) \
-            * hit[..., None].astype(jnp.uint32)
-        Lw = words_a.shape[-1]
-        # int8 bit expansion + int32-accumulated tile sum (exact: < 2^31)
-        bits = ((words_a[..., None] >> shifts) & 1).astype(jnp.int8)
-        tc = bits.sum(axis=1, dtype=jnp.int32).reshape(C, Lw * 32)
-        return carry, (tc[:, :num_labels], hit.sum(axis=1, dtype=jnp.int32),
-                       nodes)
+        tc, th = _tile_label_counts(bitmap, nodes, num_labels)
+        return carry, (tc, th, nodes)
     _, (tc, th, nodes) = jax.lax.scan(
         body, 0, (words.reshape(nc, C, NW),
                   vwords.reshape(nc, C, vwords.shape[1])))
-    tile_counts = tc.reshape(nc * C, num_labels).astype(jnp.float32)
-    tile_hit = th.reshape(nc * C).astype(jnp.float32)
-    onehot = (tile_seq[:, None]
-              == jnp.arange(num_seqs, dtype=tile_seq.dtype)[None, :]
-              ).astype(jnp.float32)
-    counts = jax.lax.dot_general(onehot, tile_counts, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    present = jnp.sum(onehot * tile_hit[:, None], axis=0)
-    counts = counts.astype(jnp.int32)
-    present = present.astype(jnp.int32)
-    ok = present >= selmin
-    sel = (counts >= dsel[:, None]) & ok[:, None]
-    S, L = sel.shape
-    padL = (-L) % 32
-    if padL:
-        sel = jnp.pad(sel, ((0, 0), (0, padL)))
-    w = (sel.reshape(S, -1, 32).astype(jnp.uint32)
-         << shifts[None, None, :])
-    mask = w.sum(axis=2, dtype=jnp.uint32)
+    counts, present = _fold_tiles(tc.reshape(nc * C, num_labels),
+                                  th.reshape(nc * C), tile_seq, num_seqs)
+    mask = _pack_selection_mask(counts, present, dsel, selmin)
     return mask, counts, present, nodes.reshape(nc * C, T)
 
 
@@ -413,29 +376,13 @@ def count_epoch_tiled(bitmap: jnp.ndarray, nodes: jnp.ndarray,
         nodes = jnp.concatenate([nodes, jnp.zeros((pad, T), nodes.dtype)])
         tile_seq = jnp.concatenate([tile_seq, jnp.zeros(pad, tile_seq.dtype)])
     nc = nodes.shape[0] // C
-    shifts = jnp.arange(32, dtype=jnp.uint32)
 
     def body(carry, nn):
-        hit = nn > 0
-        rows = jnp.where(hit, nn - 1, 0)
-        words = anno_ops.gather_anno_rows(bitmap, rows, num_labels) \
-            * hit[..., None].astype(jnp.uint32)
-        Lw = words.shape[-1]
-        # int8 bit expansion + int32-accumulated tile sum: ~20% faster
-        # than int32 expansion on v5e (exact: tile sums < 2^31)
-        bits = ((words[..., None] >> shifts) & 1).astype(jnp.int8)
-        tc = bits.sum(axis=1, dtype=jnp.int32).reshape(C, Lw * 32)
-        return carry, (tc[:, :num_labels], hit.sum(axis=1, dtype=jnp.int32))
+        tc, th = _tile_label_counts(bitmap, nn, num_labels)
+        return carry, (tc, th)
     _, (tc, th) = jax.lax.scan(body, 0, nodes.reshape(nc, C, T))
-    tile_counts = tc.reshape(nc * C, num_labels).astype(jnp.float32)
-    tile_hit = th.reshape(nc * C).astype(jnp.float32)
-    onehot = (tile_seq[:, None]
-              == jnp.arange(num_seqs, dtype=tile_seq.dtype)[None, :]
-              ).astype(jnp.float32)
-    counts = jax.lax.dot_general(onehot, tile_counts, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    present = jnp.sum(onehot * tile_hit[:, None], axis=0)
-    return counts.astype(jnp.int32), present.astype(jnp.int32)
+    return _fold_tiles(tc.reshape(nc * C, num_labels),
+                       th.reshape(nc * C), tile_seq, num_seqs)
 
 
 @jax.jit
