@@ -56,13 +56,9 @@ def _row_less(a: np.ndarray, b: np.ndarray) -> bool:
 
 
 def _rows_greater(rows: np.ndarray, cut: np.ndarray) -> np.ndarray:
-    """Vectorized rows > cut (lexicographic over word columns)."""
-    gt = np.zeros(len(rows), dtype=bool)
-    decided = np.zeros(len(rows), dtype=bool)
-    for j in range(rows.shape[1]):
-        gt |= ~decided & (rows[:, j] > cut[j])
-        decided |= rows[:, j] != cut[j]
-    return gt
+    """Vectorized rows > cut (shared loop in kmer/packing.py)."""
+    from . import packing
+    return packing.rows_lex_gt(rows, cut)
 
 
 def _hi64(keys: np.ndarray) -> Tuple[np.ndarray, int]:

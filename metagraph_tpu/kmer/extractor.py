@@ -207,10 +207,5 @@ class KmerExtractor:
 
 
 def _rows_greater(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Lexicographic a > b per row for (N, W) uint64 words."""
-    gt = np.zeros(a.shape[0], dtype=bool)
-    decided = np.zeros(a.shape[0], dtype=bool)
-    for w in range(a.shape[1]):
-        gt |= (~decided) & (a[:, w] > b[:, w])
-        decided |= a[:, w] != b[:, w]
-    return gt
+    """Lexicographic a > b per row (shared loop in kmer/packing.py)."""
+    return packing.rows_lex_gt(a, b)

@@ -88,6 +88,31 @@ def unpack_codes(packed: np.ndarray, K: int, order: np.ndarray | None = None,
     return chars
 
 
+def rows_lex_lt(a, b, xp=np):
+    """Lexicographic a < b over the trailing word axis; b broadcasts
+    (single cut row or same shape).  Works for numpy and jax.numpy (pass
+    xp=jnp inside jit) — the ONE row-compare loop shared by extractor,
+    disk sort, device ops, sharded build, and the device pipeline."""
+    lt = xp.zeros(a.shape[:-1], dtype=bool)
+    decided = xp.zeros(a.shape[:-1], dtype=bool)
+    for w in range(a.shape[-1]):
+        aw, bw = a[..., w], b[..., w]
+        lt = lt | (~decided & (aw < bw))
+        decided = decided | (aw != bw)
+    return lt
+
+
+def rows_lex_gt(a, b, xp=np):
+    """Lexicographic a > b over the trailing word axis (see rows_lex_lt)."""
+    gt = xp.zeros(a.shape[:-1], dtype=bool)
+    decided = xp.zeros(a.shape[:-1], dtype=bool)
+    for w in range(a.shape[-1]):
+        aw, bw = a[..., w], b[..., w]
+        gt = gt | (~decided & (aw > bw))
+        decided = decided | (aw != bw)
+    return gt
+
+
 def bits_for_alphabet(alph_size: int) -> int:
     """Code width for pack_codes: 4 when every code (incl. the invalid-char
     marker == alph_size) fits a nibble, else 8."""

@@ -45,13 +45,9 @@ def sample_boundaries(keys: np.ndarray, m: int,
 
 
 def _rows_greater_j(rows: jnp.ndarray, cut: jnp.ndarray) -> jnp.ndarray:
-    """rows > cut lexicographically, vectorized (jnp)."""
-    gt = jnp.zeros(rows.shape[0], dtype=bool)
-    decided = jnp.zeros(rows.shape[0], dtype=bool)
-    for j in range(rows.shape[1]):
-        gt = gt | (~decided & (rows[:, j] > cut[j]))
-        decided = decided | (rows[:, j] != cut[j])
-    return gt
+    """rows > cut lexicographically (shared loop in kmer/packing.py)."""
+    from ..kmer import packing
+    return packing.rows_lex_gt(rows, cut, xp=jnp)
 
 
 _SORT_FN_CACHE = {}

@@ -437,11 +437,8 @@ def tile_layout(queries: np.ndarray, seq_ids: np.ndarray, num_seqs: int,
 
 def _rowmin_packed(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Rowwise lexicographic min of two (N, W) packed-word arrays."""
-    lt = np.zeros(len(a), dtype=bool)
-    decided = np.zeros(len(a), dtype=bool)
-    for j in range(a.shape[1]):
-        lt |= ~decided & (a[:, j] < b[:, j])
-        decided |= a[:, j] != b[:, j]
+    from ..kmer import packing
+    lt = packing.rows_lex_lt(a, b)
     return np.where(lt[:, None], a, b)
 
 

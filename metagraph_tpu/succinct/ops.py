@@ -206,15 +206,8 @@ class DeviceKmerIndex:
 
 
 def _rows_less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Lexicographic a < b over trailing word axis; shapes (..., W)."""
-    W = a.shape[-1]
-    lt = jnp.zeros(a.shape[:-1], dtype=bool)
-    decided = jnp.zeros(a.shape[:-1], dtype=bool)
-    for w in range(W):
-        aw, bw = a[..., w], b[..., w]
-        lt = jnp.where(~decided & (aw < bw), True, lt)
-        decided = decided | (aw != bw)
-    return lt
+    """Lexicographic a < b (shared loop in kmer/packing.py, jnp mode)."""
+    return packing.rows_lex_lt(a, b, xp=jnp)
 
 
 @jax.jit
