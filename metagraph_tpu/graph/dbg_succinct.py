@@ -126,10 +126,7 @@ class DBGSuccinct:
             if len(codes) < k:
                 return np.zeros(0, dtype=np.int64)
             wins = np.lib.stride_tricks.sliding_window_view(codes, k)
-            comp = np.concatenate(
-                [self.alphabet.complement_table,
-                 np.arange(self.alphabet.sigma, ex._invalid + 1)]
-            ).astype(np.uint8)
+            comp = ex.extended_complement_table()
             rc = comp[codes[::-1]]
             rcw = np.lib.stride_tricks.sliding_window_view(rc, k)[::-1]
             order = packing.boss_priority_order(k)

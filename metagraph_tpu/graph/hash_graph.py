@@ -156,10 +156,7 @@ class DBGHashGraph(_KmerGraphBase):
         for i in np.flatnonzero(valid):
             self._insert(wins[i])
         if both:
-            comp = np.concatenate(
-                [self.alphabet.complement_table,
-                 np.arange(self.alphabet.sigma,
-                           self.extractor._invalid + 1)]).astype(np.uint8)
+            comp = self.extractor.extended_complement_table()
             rc_codes = comp[codes[::-1]]
             rwins = np.lib.stride_tricks.sliding_window_view(rc_codes, self.k)
             for i in np.flatnonzero(valid[::-1]):

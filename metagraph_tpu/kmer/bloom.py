@@ -103,10 +103,7 @@ class KmerBloomFilter:
         valid = (bad[k:] - bad[:-k]) == 0
         chars = wins.copy()
         if self.canonical_mode:
-            comp = np.concatenate(
-                [ex.alphabet.complement_table,
-                 np.arange(ex.alphabet.sigma, ex._invalid + 1)]
-            ).astype(np.uint8)
+            comp = ex.extended_complement_table()
             rc = comp[codes[::-1]]
             rcw = np.lib.stride_tricks.sliding_window_view(rc, k)[::-1]
             order = packing.boss_priority_order(k)

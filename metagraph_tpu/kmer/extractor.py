@@ -72,6 +72,15 @@ class KmerExtractor:
             return sep[:0]
         return np.concatenate(parts)
 
+    def extended_complement_table(self) -> np.ndarray:
+        """Complement map extended so the separator/invalid code maps to
+        itself — the ONE table shared by every canonical window path
+        (extractor, graph mapping, device pipeline, batch query graph)."""
+        return np.concatenate(
+            [self.alphabet.complement_table,
+             np.arange(self.alphabet.sigma,
+                       self._invalid + 1)]).astype(np.uint8)
+
     def valid_windows(self, codes: np.ndarray, K: int) -> np.ndarray:
         """Bool mask over window starts: window [j, j+K) contains no invalid code."""
         n = codes.shape[0]
@@ -144,10 +153,7 @@ class KmerExtractor:
         fwd = self.window_codes(codes, K)[valid]
         if mode == "basic":
             return packing.pack_codes(fwd, order, bits=self._bits), weights
-        # complement table extended so the invalid separator maps to itself
-        comp = np.concatenate(
-            [self.alphabet.complement_table,
-             np.arange(self.alphabet.sigma, self._invalid + 1)]).astype(np.uint8)
+        comp = self.extended_complement_table()
         # rc of window j of `codes` == window (n-K-j) of rc(codes)
         rc_codes = comp[codes[::-1]]
         rc_all = np.lib.stride_tricks.sliding_window_view(rc_codes, K)

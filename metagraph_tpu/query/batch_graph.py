@@ -171,9 +171,7 @@ def construct_batch_graph(engine, seqs: List[bytes],
     #    adjacency needed for hull start detection
     wins_cat = np.concatenate(all_wins)
     if mode == "canonical":
-        comp = np.concatenate(
-            [ex.alphabet.complement_table,
-             np.arange(sigma, ex._invalid + 1)]).astype(np.uint8)
+        comp = ex.extended_complement_table()
         wins_cat = np.concatenate([wins_cat, comp[wins_cat][:, ::-1]])
     bits = packing.bits_for_alphabet(ex.alphabet.sigma)
     keys = packing.pack_codes(wins_cat, bits=bits)

@@ -475,10 +475,7 @@ class DeviceQueryPipeline:
                              "before the device count fold (f32 exactness "
                              "bound)")
         canonical = getattr(self.graph, "mode", None) == "canonical"
-        comp = np.concatenate(
-            [ex.alphabet.complement_table,
-             np.arange(ex.alphabet.sigma, ex._invalid + 1)]).astype(np.uint8) \
-            if canonical else None
+        comp = ex.extended_complement_table() if canonical else None
         from .. import native
         if native.get_lib() is not None and self._bits == 4:
             # the native packer emits 4-bit nibble words (DNA-family);

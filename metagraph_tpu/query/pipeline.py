@@ -184,17 +184,15 @@ class QueryEngine:
                 # ref sequence_graph.hpp:49)
                 from ..kmer import packing
                 from ..kmer.extractor import _rows_greater
-                comp = np.concatenate(
-                    [ex.alphabet.complement_table,
-                     np.arange(ex.alphabet.sigma,
-                               ex._invalid + 1)]).astype(np.uint8)
+                comp = ex.extended_complement_table()
                 rc_cat = comp[cat[::-1]]
                 rc_aligned = np.lib.stride_tricks.sliding_window_view(
                     rc_cat, k)[::-1]
                 wf, wr = wins[valid], rc_aligned[valid]
                 order = packing.boss_priority_order(k)
-                take_rc = _rows_greater(packing.pack_codes(wf, order),
-                                        packing.pack_codes(wr, order))
+                take_rc = _rows_greater(
+                    packing.pack_codes(wf, order, bits=self._bits),
+                    packing.pack_codes(wr, order, bits=self._bits))
                 nodes_flat[valid] = self._map_windows(np.ascontiguousarray(
                     np.where(take_rc[:, None], wr, wf)))
             else:
@@ -203,10 +201,7 @@ class QueryEngine:
                 # canonical wrapper: resolve misses on the rc strand
                 miss = valid & (nodes_flat == 0)
                 if miss.any():
-                    comp = np.concatenate(
-                        [ex.alphabet.complement_table,
-                         np.arange(ex.alphabet.sigma,
-                                   ex._invalid + 1)]).astype(np.uint8)
+                    comp = ex.extended_complement_table()
                     rc_cat = comp[cat[::-1]]
                     rc_wins = np.lib.stride_tricks.sliding_window_view(rc_cat, k)
                     rc_aligned = rc_wins[::-1]
