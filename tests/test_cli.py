@@ -129,6 +129,20 @@ class TestAugmentAnchors:
                      f"{REF}/genome.MT.fa"], tmp_path)
         assert "59955 nodes" in r.stderr
 
+    def test_augment_weights_summed(self, tmp_path):
+        """ref test_augment.py:146-163: augmenting with identical sequences
+        doubles node weights and keeps the node set unchanged."""
+        run_cli(["build", "--mask-dummy", "--count-kmers", "-k", "20",
+                 "-o", "g", f"{REF}/transcripts_100.fa"], tmp_path)
+        before = run_cli(["stats", "g.dbg.npz"], tmp_path).stdout
+        run_cli(["extend", "-i", "g.dbg.npz", "-o", "gx",
+                 f"{REF}/transcripts_100.fa"], tmp_path)
+        after = run_cli(["stats", "gx.dbg.npz"], tmp_path).stdout
+        get = lambda out, key: [l.split(": ")[1] for l in out.splitlines()
+                                if l.startswith(key)][0]
+        assert get(before, "nodes (k)") == get(after, "nodes (k)")
+        assert float(get(after, "avg weight")) ==             2 * float(get(before, "avg weight"))
+
     def test_augment_canonical(self, tmp_path):
         run_cli(["build", "--mask-dummy", "-k", "20", "--mode", "canonical", "-o", "g",
                  f"{REF}/transcripts_100.fa"], tmp_path)
