@@ -953,9 +953,10 @@ def load_annotation(path: str):
 
 
 def convert_annotation(anno: ColumnMajorAnnotation, target: str,
-                       graph=None, out_base: str | None = None
-                       ) -> BinaryMatrix:
-    """ref annotation_converters.cpp convert<>() family."""
+                       graph=None, out_base: str | None = None,
+                       max_path_length: int = 100) -> BinaryMatrix:
+    """ref annotation_converters.cpp convert<>() family;
+    ``max_path_length`` = row-diff anchor spacing (--max-path-length)."""
     anno.freeze()
     # integer / coordinate targets (ref int_matrix converters)
     if target == "int_brwt":
@@ -975,6 +976,7 @@ def convert_annotation(anno: ColumnMajorAnnotation, target: str,
         inner = MATRIX_TYPES.get(inner_name, RowFlat)
         return RowDiff.from_annotation(columns, anno.num_rows,
                                        anno.num_labels, graph,
+                                       max_length=max_path_length,
                                        inner_type=inner)
     m = MATRIX_TYPES.get(target)
     if m is None:

@@ -596,8 +596,9 @@ def cmd_transform_anno(args):
         from ..annotation.matrix import MATRIX_TYPES, RowDiff, RowFlat
         graph = DBGSuccinct.load(args.infile_base)
         base = args.infile_base
+        max_len = getattr(args, "max_path_length", 100)
         if stage == 0:
-            succ, _ = RowDiff.build_routing(graph)
+            succ, _ = RowDiff.build_routing(graph, max_len)
             np.savez_compressed(base + ".rd_succ.npz", succ=succ)
             import os
             os.replace(base + ".rd_succ.npz", base + ".rd_succ")
@@ -605,7 +606,7 @@ def cmd_transform_anno(args):
                   file=sys.stderr)
             return
         if stage == 1:
-            _, anchors = RowDiff.build_routing(graph)
+            _, anchors = RowDiff.build_routing(graph, max_len)
             np.savez_compressed(base + ".anchors.npz", anchors=anchors)
             import os
             os.replace(base + ".anchors.npz", base + ".anchors")
@@ -633,7 +634,9 @@ def cmd_transform_anno(args):
     anno = _load_as_column(args.input[0])
     graph = DBGSuccinct.load(args.infile_base) if args.infile_base else None
     m = convert_annotation(anno, args.anno_type, graph=graph,
-                           out_base=args.out)
+                           out_base=args.out,
+                           max_path_length=getattr(args, "max_path_length",
+                                                   100))
     out = StaticAnnotation(m, anno.encoder, args.anno_type)
     out.save(f"{args.out}.{args.anno_type}.annodbg")
     print(f"converted to {args.anno_type}: {m.num_labels} labels",
@@ -1161,6 +1164,8 @@ def cmd_transform(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="metagraph-tpu")
+    ap.add_argument("--version", action="version",
+                    version="metagraph-tpu 0.2.0")
     sub = ap.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("build")
@@ -1368,6 +1373,9 @@ def main(argv=None):
     p.add_argument("--max-value", type=int, default=None)
     p.add_argument("--anno-label", default=None)
     p.add_argument("--row-diff-stage", type=int, default=None)
+    p.add_argument("--max-path-length", type=int, default=100,
+                   help="row-diff anchor spacing: longest diff chain before "
+                        "a forced anchor (ref row_diff_builder --max-length)")
     p.add_argument("--greedy", action="store_true",
                    help="greedy agglomerative column clustering for BRWT "
                         "targets (ref annotation_converters.cpp "
