@@ -174,9 +174,13 @@ class WaveExtender(DefaultColumnExtender):
         best_score = 0
         tips: List[int] = []
 
-        # active wave: table indices + their queue priority (converged score)
+        # active wave: table indices + their queue priority (converged
+        # score), plus the wave's S/F rows carried as arrays (avoids
+        # re-stacking per-column views every iteration)
         active = [0]
         priority = [0]
+        wave_S = rS[None, :]
+        wave_F = rF[None, :]
 
         while active:
             # best-first approximation: order the wave by priority desc
@@ -185,8 +189,8 @@ class WaveExtender(DefaultColumnExtender):
             act = [active[i] for i in order]
 
             n_act = len(act)
-            Sp_all = np.stack([self.table[i].S for i in act])
-            Fp_all = np.stack([self.table[i].F for i in act])
+            Sp_all = wave_S[order]
+            Fp_all = wave_F[order]
 
             # per-parent in-range hull vs current cutoff (extender.py:237-242)
             inr = Sp_all >= xdrop_cutoff
@@ -299,6 +303,7 @@ class WaveExtender(DefaultColumnExtender):
             # ---- append survivors, update filters (sequential, pop order)
             next_active: List[int] = []
             next_priority: List[int] = []
+            next_rows: List[int] = []
             new_cutoff = xdrop_cutoff
             for i in range(len(pr)):
                 if not keep[i]:
@@ -322,9 +327,13 @@ class WaveExtender(DefaultColumnExtender):
                 if converged != NINF:
                     next_active.append(len(self.table) - 1)
                     next_priority.append(converged)
+                    next_rows.append(i)
             xdrop_cutoff = new_cutoff
             active = next_active
             priority = next_priority
+            if next_rows:
+                wave_S = S[next_rows]
+                wave_F = F[next_rows]
 
         if cfg.no_backtrack:
             return [seed]
