@@ -232,3 +232,29 @@ class TestCaseSensitiveDNA:
         assert s1[0] != s2[0]
         # U/u encode as T/t
         assert (g.map_to_nodes(b"ACGU") == g.map_to_nodes(b"ACGT")).all()
+
+
+class TestQueryAcrossGraphTypes:
+    """ref test_query.py @parameterized_class over graph representations:
+    the annotate+query CLI flow must behave identically on every type."""
+
+    @pytest.mark.parametrize("gtype", ["succinct", "hash", "bitmap",
+                                       "sshash"])
+    def test_annotate_query_flow(self, gtype, tmp_path):
+        from tests.test_cli import run_cli
+        (tmp_path / "s.fa").write_text(
+            ">s1\nACGTACGTAGGGACGTACGTC\n>s2\nTTGGCCAATTGGCCTTAAGGC\n")
+        args = ["build", "--graph", gtype, "-k", "11", "-o", "g", "s.fa"]
+        if gtype == "succinct":
+            args.insert(1, "--mask-dummy")
+        r = run_cli(args, tmp_path)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(["annotate", "-i", "g.dbg.npz", "--anno-filename",
+                     "-o", "a", "s.fa"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        r = run_cli(["query", "-i", "g.dbg.npz", "-a", "a.column.annodbg",
+                     "s.fa"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        lines = r.stdout.strip().split("\n")
+        assert len(lines) == 2
+        assert all("s.fa" in l for l in lines)
