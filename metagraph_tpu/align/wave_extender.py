@@ -188,7 +188,6 @@ class WaveExtender(DefaultColumnExtender):
                            key=lambda i: (-priority[i], active[i]))
             act = [active[i] for i in order]
 
-            n_act = len(act)
             Sp_all = wave_S[order]
             Fp_all = wave_F[order]
 

@@ -59,6 +59,11 @@ def decode(enc) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     lbits = int(enc["lbits"])
     hi_words = np.asarray(enc["hi"], dtype=np.uint64)
+    import sys
+    if sys.byteorder == "big":
+        # encode places bits arithmetically (endian-independent values);
+        # the uint8 view below assumes little-endian byte order per word
+        hi_words = hi_words.byteswap()
     # positions of set bits, vectorized via unpackbits
     bits = np.unpackbits(hi_words.view(np.uint8), bitorder="little")
     pos = np.flatnonzero(bits).astype(np.uint64)[:n]

@@ -32,18 +32,10 @@ from . import packing
 
 
 def _sort_unique_sum(keys: np.ndarray, counts: np.ndarray | None):
-    order = packing.lexsort_rows(keys)
-    s = keys[order]
-    new = np.ones(len(s), dtype=bool)
-    if len(s) > 1:
-        new[1:] = np.any(s[1:] != s[:-1], axis=1)
-    uniq = s[new]
-    if counts is None:
-        return uniq, None
-    c = counts[order]
-    gid = np.cumsum(new) - 1
-    sums = np.zeros(len(uniq), dtype=np.uint64)
-    np.add.at(sums, gid, c.astype(np.uint64))
+    # packing.unique_rows does the sort+dedupe+count-sum (cumsum
+    # differencing — much faster than the np.add.at scatter it replaces)
+    uniq, sums = packing.unique_rows(
+        keys, counts.astype(np.uint64) if counts is not None else None)
     return uniq, sums
 
 
@@ -53,12 +45,6 @@ def _row_less(a: np.ndarray, b: np.ndarray) -> bool:
         if x != y:
             return x < y
     return False
-
-
-def _rows_greater(rows: np.ndarray, cut: np.ndarray) -> np.ndarray:
-    """Vectorized rows > cut (shared loop in kmer/packing.py)."""
-    from . import packing
-    return packing.rows_lex_gt(rows, cut)
 
 
 def _hi64(keys: np.ndarray) -> Tuple[np.ndarray, int]:
@@ -101,6 +87,8 @@ class SortedSetDisk:
                 np.ones(len(keys), np.uint64) if counts is None
                 else np.asarray(counts, dtype=np.uint64))
         self._buf_bytes += keys.nbytes
+        if self.with_counts:
+            self._buf_bytes += self._cnts[-1].nbytes
         if self._buf_bytes >= self.ram_cap:
             self._spill()
 
@@ -128,24 +116,47 @@ class SortedSetDisk:
 
     # -------------------------------------------------------------- merge
     def _open_chunk(self, path):
-        z = np.load(path, mmap_mode="r")
-        n = int(z["n"])
-        W = int(z["W"])
-        folded = int(z["folded"])
-        hi = ef.decode({"n": int(z["hi_n"]), "lbits": int(z["hi_lbits"]),
-                        "lo": z["hi_lo"], "hi": z["hi_hi"],
-                        "base": z["hi_base"]})
-        if bool(z["u64"]):
-            keys = np.empty((n, W), dtype=np.uint64)
-            keys[:, 0] = hi
-        else:
-            keys = np.empty((n, W), dtype=np.uint32)
-            keys[:, 0] = (hi >> np.uint64(32)).astype(np.uint32)
-            if folded > 1:
-                keys[:, 1] = (hi & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        if W > folded:
-            keys[:, folded:] = z["rest"]
-        counts = z["counts"] if "counts" in z.files else None
+        """Decode one EF chunk into DISK-backed memmaps (scratch .npy next
+        to the chunk) and return mmap views.  Only ONE chunk's arrays are
+        RAM-resident at a time (each chunk is <= the spill cap by
+        construction); the merge loop then reads bounded block slices, so
+        total resident RAM stays O(ram_cap + block_rows * n_chunks) instead
+        of the whole spilled set."""
+        scratch_k = path + ".keys.npy"
+        scratch_c = path + ".counts.npy"
+        if not os.path.exists(scratch_k):
+            z = np.load(path, mmap_mode="r")
+            n = int(z["n"])
+            W = int(z["W"])
+            folded = int(z["folded"])
+            hi = ef.decode({"n": int(z["hi_n"]),
+                            "lbits": int(z["hi_lbits"]),
+                            "lo": z["hi_lo"], "hi": z["hi_hi"],
+                            "base": z["hi_base"]})
+            dt = np.uint64 if bool(z["u64"]) else np.uint32
+            keys = np.lib.format.open_memmap(scratch_k, mode="w+",
+                                             dtype=dt, shape=(n, W))
+            if dt == np.uint64:
+                keys[:, 0] = hi
+            else:
+                keys[:, 0] = (hi >> np.uint64(32)).astype(np.uint32)
+                if folded > 1:
+                    keys[:, 1] = (hi
+                                  & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            if W > folded:
+                keys[:, folded:] = z["rest"]
+            keys.flush()
+            del keys, hi
+            if "counts" in z.files:
+                c = np.lib.format.open_memmap(scratch_c, mode="w+",
+                                              dtype=np.uint64,
+                                              shape=(n,))
+                c[:] = z["counts"]
+                c.flush()
+                del c
+        keys = np.load(scratch_k, mmap_mode="r")
+        counts = np.load(scratch_c, mmap_mode="r") \
+            if os.path.exists(scratch_c) else None
         return keys, counts
 
     def merge(self, block_rows: int = 1 << 18
@@ -185,7 +196,7 @@ class SortedSetDisk:
                 for c in cuts[1:]:
                     if _row_less(c, cut):
                         cut = c
-                take = ~_rows_greater(window, cut)
+                take = ~packing.rows_lex_gt(window, cut)
             else:
                 take = np.ones(len(window), dtype=bool)
             emit_k, emit_c = window[take], \

@@ -63,7 +63,10 @@ def _target_key(chars: np.ndarray, bits: int = 4) -> np.ndarray:
 def generate_dummy_kmers(kmers: np.ndarray, bits: int = 4) -> np.ndarray:
     """All dummy edges needed for the BOSS table of the given real edges.
 
-    ``kmers``: (N, K) sorted unique real edge strings (codes 1..alph-1).
+    ``kmers``: (N, K) unique real edge strings (codes 1..alph-1) sorted in
+    BOSS PRIORITY ORDER (one-swapped co-lex, packing.boss_priority_order) —
+    the adjacent-dedupe/binary-search steps below rely on the packed source
+    keys arriving sorted, which plain row-lex order does NOT guarantee.
     Returns (D, K) dummy edge strings (unsorted), NOT including the all-$ edge.
 
     Semantics (ref boss_chunk_construct.cpp:42-171):

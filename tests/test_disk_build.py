@@ -66,3 +66,26 @@ class TestBoundedRamBuild:
         assert r.returncode == 0, r.stderr
         out = run_cli(["stats", "g.dbg.npz"], tmp_path).stdout
         assert "nodes (k): 46960" in out
+
+
+class TestMergeStaysOnDisk:
+    def test_merge_decodes_chunks_to_scratch_memmaps(self, tmp_path):
+        """merge() must not materialize all chunks in RAM: each chunk is
+        decoded once into a disk scratch .npy and then block-sliced."""
+        import glob
+        rng = np.random.default_rng(9)
+        sink = SortedSetDisk(ram_cap_bytes=1 << 16, tmp_dir=str(tmp_path))
+        for i in range(0, 40000, 4000):
+            sink.insert(rng.integers(0, 1000, (4000, 2)).astype(np.uint32))
+        gen = sink.merge(block_rows=512)
+        first_k, _ = next(gen)
+        scratch = glob.glob(os.path.join(sink.dir, "*.keys.npy"))
+        assert scratch, "no scratch memmaps were created"
+        km = np.load(scratch[0], mmap_mode="r")
+        assert isinstance(km, np.memmap)
+        # stream the rest; output stays sorted unique across blocks
+        prev = first_k
+        for k, _ in gen:
+            assert packing.rows_lex_gt(k[:1], prev[-1:])[0]
+            prev = k
+        sink.cleanup()
