@@ -452,6 +452,9 @@ class BRWT(BinaryMatrix):
     @classmethod
     def from_columns(cls, columns, num_rows, num_labels, arity: int = 2,
                      linkage: bool = True):
+        if num_labels == 0:
+            root = cls.Node(np.zeros(num_rows, dtype=bool), [], [])
+            return cls(root, num_rows, 0)
         cols_dense = [np.zeros(num_rows, dtype=bool) for _ in range(num_labels)]
         for c, col in enumerate(columns):
             cols_dense[c][col] = True
@@ -606,7 +609,6 @@ class RowDiff(BinaryMatrix):
                 path.append(cur)
                 cur = succ_full[cur]
             if cur <= 0:
-                base = max_length  # terminal: anchor at the end
                 anchors[path[-1]] = True
                 dist[path[-1]] = 0
                 start = len(path) - 2
@@ -641,22 +643,34 @@ class RowDiff(BinaryMatrix):
                 "row_diff annotation requires the graph's .rd_succ/.anchors "
                 "sidecar files (staged build); attach_sidecars() first")
         rows = np.asarray(rows, dtype=np.int64)
+        # lockstep chain walk: all queried rows advance together, collecting
+        # (query, chain-node) pairs; ONE batched inner query then XOR-folds
+        # the diffs per query (the reference walks each row's chain
+        # separately, row_diff.hpp:97)
         out = np.zeros((len(rows), self.num_labels), dtype=bool)
-        for i, r in enumerate(rows):
-            acc = np.zeros(self.num_labels, dtype=bool)
-            cur = int(r)
-            steps = 0
-            while True:
-                acc ^= self.inner.get_rows_mask(np.array([cur]))[0]
-                if self.anchors[cur] or self.succ[cur] < 0:
-                    break
-                cur = int(self.succ[cur])
-                steps += 1
-                if steps > self.num_rows:
-                    raise ValueError(
-                        "row-diff successor walk did not terminate — "
-                        "inconsistent .rd_succ/.anchors sidecars")
-            out[i] = acc
+        if not len(rows):
+            return out
+        owners = [np.arange(len(rows), dtype=np.int64)]
+        nodes = [rows.copy()]
+        cur = rows.copy()
+        alive = ~(self.anchors[cur] | (self.succ[cur] < 0))
+        own = np.flatnonzero(alive)
+        steps = 0
+        while len(own):
+            cur = self.succ[cur[alive]]
+            owners.append(own)
+            nodes.append(cur.copy())
+            alive = ~(self.anchors[cur] | (self.succ[cur] < 0))
+            own = own[alive]
+            steps += 1
+            if steps > self.num_rows:
+                raise ValueError(
+                    "row-diff successor walk did not terminate — "
+                    "inconsistent .rd_succ/.anchors sidecars")
+        all_nodes = np.concatenate(nodes)
+        all_owners = np.concatenate(owners)
+        diffs = self.inner.get_rows_mask(all_nodes)
+        np.logical_xor.at(out, all_owners, diffs)
         return out
 
 
@@ -873,6 +887,22 @@ class TupleRowDiff(BinaryMatrix):
                 for r in rows]
 
 
+def _row_diff_inner(target: str):
+    """Inner matrix class for a row_diff_<inner> target name; raises on
+    unknown inner names instead of silently substituting RowFlat."""
+    inner_name = target[len("row_diff"):].lstrip("_") or "flat"
+    # reference-parity aliases: row_diff_sparse/_disk wrap the row-major
+    # sparse/disk matrices (static_annotators_def.hpp:28-70)
+    aliases = {"sparse": "row_sparse", "disk": "row_disk"}
+    inner_name = aliases.get(inner_name, inner_name)
+    inner = MATRIX_TYPES.get(inner_name)
+    if inner is None:
+        raise SystemExit(f"ERROR: unknown row_diff inner representation "
+                         f"'{inner_name}' (available: "
+                         f"{', '.join(sorted(MATRIX_TYPES))})")
+    return inner
+
+
 MATRIX_TYPES = {
     "flat": RowFlat,
     "row_sparse": RowSparse,
@@ -972,8 +1002,7 @@ def convert_annotation(anno: ColumnMajorAnnotation, target: str,
     columns = [anno.column_rows(c) for c in range(anno.num_labels)]
     if target.startswith("row_diff"):
         assert graph is not None, "row_diff requires the graph"
-        inner_name = target[len("row_diff"):].lstrip("_") or "flat"
-        inner = MATRIX_TYPES.get(inner_name, RowFlat)
+        inner = _row_diff_inner(target)
         return RowDiff.from_annotation(columns, anno.num_rows,
                                        anno.num_labels, graph,
                                        max_length=max_path_length,

@@ -619,12 +619,12 @@ def cmd_transform_anno(args):
         anno = ColumnMajorAnnotation.load(args.input[0])
         anno.freeze()
         columns = [anno.column_rows(c) for c in range(anno.num_labels)]
-        inner_name = args.anno_type[len("row_diff"):].lstrip("_") or "flat"
+        from ..annotation.matrix import _row_diff_inner
         m = RowDiff.from_annotation(columns, anno.num_rows, anno.num_labels,
                                     graph, routing=(succ, anchors),
                                     external_routing=True,
-                                    inner_type=MATRIX_TYPES.get(inner_name,
-                                                                RowFlat))
+                                    inner_type=_row_diff_inner(
+                                        args.anno_type))
         out = StaticAnnotation(m, anno.encoder, args.anno_type)
         out.save(f"{args.out}.{args.anno_type}.annodbg")
         print(f"converted to {args.anno_type} (staged): "

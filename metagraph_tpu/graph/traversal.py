@@ -4,7 +4,9 @@ call_sequences / call_unitigs).
 Emission semantics mirror the reference traversal exactly:
 
   phase 1 — start from the source-dummy edges (node $^k), last to first
-  phase 2 — start from every unvisited out-edge of multi-out forks (ascending)
+  phase 2 — start from every unvisited out-edge of multi-out forks
+            (forks ascending by node; each fork's out-edges in the
+            descending-index order the reference's LIFO stack pops them)
   phase 3 — remaining cycles, each started at its minimum edge
 
 Contig mode extends through forks (picking the first unvisited out-edge in

@@ -45,8 +45,26 @@ class Writer:
         self.buf += b
 
     def utf8_len(self, n: int):
-        """encode_utf8 length prefix (ref serialization.cpp:224-233)."""
-        self.buf += chr(n).encode("utf-8")
+        """encode_utf8 length prefix (ref serialization.cpp:172-178):
+        classic extended UTF-8 of the integer, valid for any n < 2^31
+        (chr(n).encode would reject surrogate-range and > 0x10FFFF values
+        that are legal lengths here)."""
+        if n < 0:
+            raise ValueError(n)
+        if n < 0x80:
+            self.buf += bytes([n])
+            return
+        for length, limit in ((2, 0x800), (3, 0x10000), (4, 0x200000),
+                              (5, 0x4000000), (6, 0x80000000)):
+            if n < limit:
+                break
+        else:
+            raise ValueError("Encoding value out of range for code.")
+        lead = (0xFF << (8 - length)) & 0xFF
+        out = [lead | (n >> (6 * (length - 1)))]
+        for i in range(length - 2, -1, -1):
+            out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+        self.buf += bytes(out)
 
 
 def pack_words(values: np.ndarray, width: int) -> np.ndarray:
@@ -104,6 +122,27 @@ def _rrr_rank_block(bits: np.ndarray, k: int, n: int = 63) -> int:
     return nr
 
 
+def _rrr_rank_blocks(blocks: np.ndarray, bt: np.ndarray,
+                     n: int = 63) -> np.ndarray:
+    """_rrr_rank_block vectorized over ALL blocks (63 numpy steps total
+    instead of 63 Python steps per block).  Ranks fit uint64 for n = 63
+    (C(63, 31) - 1 < 2^63)."""
+    C = np.array(_binom_table(n), dtype=np.uint64)       # (n+1, n+1)
+    nb = len(bt)
+    nr = np.zeros(nb, dtype=np.uint64)
+    kk = bt.astype(np.int64).copy()
+    for i in range(n):
+        active = kk > 0
+        bit = blocks[:, i]
+        add = active & ~bit
+        if add.any():
+            nr[add] += C[n - 1 - i, kk[add] - 1]
+        kk[active & bit] -= 1
+    flip = 2 * bt <= n
+    nr[flip] = C[n, bt[flip]] - np.uint64(1) - nr[flip]
+    return nr
+
+
 def write_rrr_vector(w: Writer, bits: np.ndarray, block_size: int = 63,
                      t_k: int = 32):
     """sdsl::rrr_vector<63> (layout per refformat.read_rrr_vector plus the
@@ -116,29 +155,30 @@ def write_rrr_vector(w: Writer, bits: np.ndarray, block_size: int = 63,
     blocks = pad.reshape(nb, block_size) if nb else pad.reshape(0, block_size)
     bt = blocks.sum(axis=1).astype(np.int64)
 
-    # offset stream: variable-width combinadic rank per block
-    stream = np.zeros(0, dtype=bool)
-    chunks = []
-    btnrp_samples = []
-    rank_samples = []
-    pos = 0
-    rank = 0
-    for i in range(nb):
-        if i % t_k == 0:
-            btnrp_samples.append(pos)
-            rank_samples.append(rank)
-        k = int(bt[i])
-        rank += k
-        width = _rrr_space_for_bt(k, block_size)
-        if width:
-            nr = _rrr_rank_block(blocks[i], k, block_size)
-            chunk = np.zeros(width, dtype=bool)
-            for j in range(width):                 # LSB-first in the stream
-                chunk[j] = (nr >> j) & 1
-            chunks.append(chunk)
-            pos += width
-    rank_samples.append(rank)                      # final total (fitted)
-    stream = np.concatenate(chunks) if chunks else np.zeros(0, dtype=bool)
+    # offset stream: variable-width combinadic rank per block — fully
+    # vectorized (the per-block/per-bit Python loops made every .dbg save
+    # O(total bits) interpreted work)
+    width_by_k = np.array([_rrr_space_for_bt(k, block_size)
+                           for k in range(block_size + 1)], dtype=np.int64)
+    widths = width_by_k[bt] if nb else np.zeros(0, dtype=np.int64)
+    offs = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(widths, out=offs[1:])
+    rank_cum = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(bt, out=rank_cum[1:])
+    btnrp_samples = offs[:-1:t_k].tolist() if nb else [0]
+    rank_samples = rank_cum[:-1:t_k].tolist() if nb else [0]
+    if nb == 0:
+        btnrp_samples, rank_samples = [0], [0]
+    rank_samples.append(int(rank_cum[-1]))         # final total (fitted)
+    total = int(offs[-1])
+    if total:
+        nr = _rrr_rank_blocks(blocks, bt, block_size)
+        owner = np.repeat(np.arange(nb), widths)
+        j = (np.arange(total, dtype=np.int64)
+             - np.repeat(offs[:-1], widths)).astype(np.uint64)
+        stream = ((nr[owner] >> j) & np.uint64(1)).astype(bool)
+    else:
+        stream = np.zeros(0, dtype=bool)
     btnr_bits = np.zeros(max(len(stream), 64), dtype=bool)
     btnr_bits[: len(stream)] = stream
 
