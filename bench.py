@@ -111,7 +111,7 @@ def main():
     # the timed workload: the read set repeated REP times under distinct
     # sequence ids — a realistic large query batch (the reference default
     # batch is 100 Mbp, config.hpp:105; this is ~6 Mbp)
-    REP = 4
+    REP = 4 if tpu_ok else 1     # CPU fallback: keep the run short
     seqs_big = seqs * REP
     S = len(seqs_big)
     queries_all, sids_all, _ = pipe.prepare_batch(seqs_big)
@@ -120,7 +120,7 @@ def main():
     log(f"timed workload: {n_kmers_big} k-mers, {S} reads, "
         f"{tiles.shape[0]} tiles x {tiles.shape[1]}")
 
-    reps = 5
+    reps = 5 if tpu_ok else 2
     # fresh inputs per rep (the relay caches by (program, inputs)) — rolling
     # tile rows changes the bytes without changing the workload size
     qdev = [(jax.device_put(np.roll(tiles, r, axis=0)),
@@ -161,7 +161,7 @@ def main():
     # the relay caches executions by (program, inputs)); min over reps
     # because the shared relay's load varies run to run
     cli_dt = np.inf
-    for rep in range(3):
+    for rep in range(3 if tpu_ok else 1):
         rot = seqs_big[rep + 1:] + seqs_big[:rep + 1]
         t0 = time.perf_counter()
         payloads = engine.query_batch_fused(rot, "labels", 2 ** 63, 1.0, 0.0)
