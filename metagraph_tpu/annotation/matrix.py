@@ -759,30 +759,50 @@ class IntRowDiff(BinaryMatrix):
             num_rows, num_labels)
         return cls(deltas, succ, anchors, num_labels)
 
+    def _reconstruct_batch(self, rows):
+        """(Q, L) reconstructed values: lockstep chain walk + one CSR
+        scatter-add over all (query, chain-node) pairs."""
+        rows = np.asarray(rows, dtype=np.int64)
+        out = np.zeros((len(rows), self.num_labels), dtype=np.int64)
+        if not len(rows):
+            return out
+        owners = [np.arange(len(rows), dtype=np.int64)]
+        nodes = [rows.copy()]
+        cur = rows.copy()
+        alive = ~(self.anchors[cur] | (self.succ[cur] < 0))
+        own = np.flatnonzero(alive)
+        steps = 0
+        while len(own):
+            cur = self.succ[cur[alive]]
+            owners.append(own)
+            nodes.append(cur.copy())
+            alive = ~(self.anchors[cur] | (self.succ[cur] < 0))
+            own = own[alive]
+            steps += 1
+            if steps > self.num_rows:
+                raise ValueError("row-diff successor walk did not terminate")
+        all_nodes = np.concatenate(nodes)
+        all_owners = np.concatenate(owners)
+        ip = self.deltas.indptr
+        cnt = (ip[all_nodes + 1] - ip[all_nodes]).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(cnt)])
+        pos = (np.repeat(ip[all_nodes], cnt)
+               + (np.arange(offs[-1]) - np.repeat(offs[:-1], cnt)))
+        owner_rep = np.repeat(all_owners, cnt)
+        np.add.at(out, (owner_rep, self.deltas.indices[pos]),
+                  self.deltas.values[pos])
+        return out
+
     def _reconstruct(self, r):
-        vals = np.zeros(self.num_labels, dtype=np.int64)
-        cur = int(r)
-        while True:
-            lo, hi = int(self.deltas.indptr[cur]), \
-                int(self.deltas.indptr[cur + 1])
-            vals[self.deltas.indices[lo:hi]] += self.deltas.values[lo:hi]
-            if self.anchors[cur] or self.succ[cur] < 0:
-                break
-            cur = int(self.succ[cur])
-        return vals
+        return self._reconstruct_batch(np.array([r]))[0]
 
     def get_rows_mask(self, rows):
-        out = np.zeros((len(rows), self.num_labels), dtype=bool)
-        for i, r in enumerate(rows):
-            out[i] = self._reconstruct(r) > 0
-        return out
+        return self._reconstruct_batch(rows) > 0
 
     def get_row_values(self, rows):
-        out = []
-        for r in np.asarray(rows, dtype=np.int64):
-            vals = self._reconstruct(r)
-            out.append([(int(c), int(vals[c])) for c in np.flatnonzero(vals)])
-        return out
+        vals = self._reconstruct_batch(rows)
+        return [[(int(c), int(v[c])) for c in np.flatnonzero(v)]
+                for v in vals]
 
 
 class TupleCSCMatrix(BinaryMatrix):
