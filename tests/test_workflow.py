@@ -85,3 +85,33 @@ class TestWorkflowCLI:
                            capture_output=True, text=True, env=env,
                            cwd=tmp_path)
         assert r.returncode != 0
+
+
+class TestWorkflowLabelSources:
+    def test_sequence_headers_label_source(self, tmp_path):
+        """--annotation-labels-source sequence_headers labels by input
+        record headers (ref AnnotationLabelsSource)."""
+        import os
+        import subprocess
+        import sys
+        d = tmp_path / "seqs"
+        d.mkdir()
+        (d / "s0.fa").write_text(
+            ">recA\nACGTACGTACGTACGTACGTACG\n"
+            ">recB\nTTTTGGGGCCCCAAAATTTTGGG\n")
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+        r = subprocess.run(
+            [sys.executable, "-m", "metagraph_tpu.workflows.cli", "build",
+             str(tmp_path / "out"), "--seqs-dir-path", str(d), "-k", "11",
+             "--annotation-labels-source", "sequence_headers"],
+            capture_output=True, text=True, env=env, cwd=tmp_path)
+        assert r.returncode == 0, r.stderr
+        r = subprocess.run(
+            [sys.executable, "-m", "metagraph_tpu.cli", "stats", "-a",
+             str(tmp_path / "out" / "annotation.column.annodbg"),
+             "--print-col-names"],
+            capture_output=True, text=True, env=env)
+        assert "recA" in r.stdout and "recB" in r.stdout
+        assert "s0" not in r.stdout.split("column names:")[1]
