@@ -65,6 +65,18 @@ def _aligner_scoring_kwargs(args):
     )
 
 
+
+def _load_annotation_for(graph_base: str, anno_path: str):
+    """Load an annotation and attach staged row-diff routing sidecars
+    (.rd_succ/.anchors next to the graph) when the matrix needs them
+    (ref IRowDiff::load_anchor / load_fork_succ)."""
+    from ..annotation.matrix import load_annotation
+    anno = load_annotation(anno_path)
+    if getattr(getattr(anno, "matrix", None), "needs_sidecars", False):
+        anno.matrix.attach_sidecars(graph_base)
+    return anno
+
+
 def cmd_build(args):
     from ..seq_io.fasta import read_fasta, read_kmer_counts
     from ..graph.dbg_succinct import DBGSuccinct
@@ -73,6 +85,17 @@ def cmd_build(args):
     from ..seq_io.kmc import is_kmc_file, read_kmers
 
     _parse_timer = PhaseTimer("parse input").__enter__()
+    # KMC databases fix k — resolve it BEFORE parsing any input so window
+    # weights computed for FASTA inputs use the final k
+    for f in args.input:
+        if is_kmc_file(f):
+            from ..seq_io.kmc import KMCReader
+            kmc_k = KMCReader(f).k
+            if kmc_k != args.k:
+                print(f"warning: using k={kmc_k} from KMC database",
+                      file=sys.stderr)
+                args.k = kmc_k
+            break
     seqs = []
     weights = []
     have_weights = False
@@ -82,10 +105,7 @@ def cmd_build(args):
             # (ref cli/build.cpp kmc path; expand rc unless canonical mode)
             chars, counts, kmc_k = read_kmers(
                 f, both_from_canonical=(args.mode != "canonical"))
-            if kmc_k != args.k:
-                print(f"warning: using k={kmc_k} from KMC database",
-                      file=sys.stderr)
-                args.k = kmc_k
+            assert kmc_k == args.k          # resolved in the pre-pass
             seqs.extend(chars[i].tobytes() for i in range(len(chars)))
             if args.count_kmers:
                 have_weights = True
@@ -157,7 +177,8 @@ def cmd_build(args):
         print(f"graph built: k={args.k} nodes={g.num_nodes()}",
               file=sys.stderr)
         return
-    mem_cap = int(args.mem_cap_gb * (1 << 30)) if args.mem_cap_gb else None
+    mem_cap = None if args.mem_cap_gb is None \
+        else int(args.mem_cap_gb * (1 << 30))
     with PhaseTimer("construct BOSS"):
         # dummy k-mers stay visible unless --mask-dummy, and the state tag
         # selects the artifact layout (ref build.cpp:340, boss.hpp:325)
@@ -244,11 +265,21 @@ def cmd_stats(args):
             print(f"objects: {a.num_rows}")
             if hasattr(a, "column_rows"):
                 nnz = sum(len(a.column_rows(c)) for c in range(a.num_labels))
+            elif getattr(getattr(a, "matrix", None), "needs_sidecars",
+                         False):
+                nnz = None       # staged row-diff: needs the graph to walk
             else:
+                # row-batched scan: bounds memory to CHUNK x labels instead
+                # of a dense rows x labels matrix
                 import numpy as _np
-                nnz = int(a.get_rows_mask(
-                    _np.arange(a.num_rows)).sum())
-            print(f"density: {nnz / max(a.num_labels * a.num_rows, 1):.6g}")
+                CHUNK = 1 << 16
+                nnz = 0
+                for lo in range(0, a.num_rows, CHUNK):
+                    rows = _np.arange(lo, min(lo + CHUNK, a.num_rows))
+                    nnz += int(a.get_rows_mask(rows).sum())
+            if nnz is not None:
+                print(f"density: "
+                      f"{nnz / max(a.num_labels * a.num_rows, 1):.6g}")
             print(f"representation: "
                   f"{getattr(a, 'representation', 'column')}")
             codecs = getattr(a, "column_codecs", None)
@@ -471,10 +502,17 @@ def _load_as_column(path):
     if isinstance(a, ColumnMajorAnnotation):
         return a
     out = ColumnMajorAnnotation(a.num_rows)
-    mask = a.get_rows_mask(np.arange(a.num_rows))
     for c in range(a.num_labels):
         out._col(a.encoder.decode(c))
-        out._rows[c].append(np.flatnonzero(mask[:, c]).astype(np.int64))
+    # row-batched scan bounds memory to CHUNK x labels
+    CHUNK = 1 << 16
+    for lo in range(0, a.num_rows, CHUNK):
+        rows = np.arange(lo, min(lo + CHUNK, a.num_rows))
+        mask = a.get_rows_mask(rows)
+        for c in range(a.num_labels):
+            hit = np.flatnonzero(mask[:, c])
+            if len(hit):
+                out._rows[c].append((lo + hit).astype(np.int64))
     out.freeze()
     return out
 
@@ -555,26 +593,37 @@ def cmd_transform_anno(args):
         return
 
     if getattr(args, "aggregate_columns", False):
-        # sum columns into one mask column with value/count filters
+        # sum columns into one mask column with value/count filters,
+        # aggregated across ALL input annotations
         # (ref transform_annotation.cpp:415-553)
-        anno = ColumnMajorAnnotation.load(args.input[0])
-        anno.freeze()
-        num_rows = anno.num_rows
-        total = np.zeros(num_rows, dtype=np.int64)
+        total = None
         max_value = args.max_value if args.max_value is not None else 2 ** 63
         min_value = max(args.min_value, 1)
         filter_values = min_value > 1 or max_value < 2 ** 63
-        for c in range(anno.num_labels):
-            rows = anno.column_rows(c)
-            if filter_values or args.count_kmers:
-                vals = anno._values[c]
-                keep = (vals >= min_value) & (vals <= max_value)
-                if args.count_kmers:
-                    total[rows[keep]] += vals[keep]
+        for path in args.input:
+            anno = ColumnMajorAnnotation.load(path)
+            anno.freeze()
+            num_rows = anno.num_rows
+            if total is None:
+                total = np.zeros(num_rows, dtype=np.int64)
+            elif len(total) != num_rows:
+                raise SystemExit("[error] aggregated annotations must have "
+                                 "the same number of rows")
+            if (filter_values or args.count_kmers) and not anno.has_values:
+                raise SystemExit("[error] value filters/--count-kmers "
+                                 "require annotations built with k-mer "
+                                 "counts")
+            for c in range(anno.num_labels):
+                rows = anno.column_rows(c)
+                if filter_values or args.count_kmers:
+                    vals = anno._values[c]
+                    keep = (vals >= min_value) & (vals <= max_value)
+                    if args.count_kmers:
+                        total[rows[keep]] += vals[keep]
+                    else:
+                        total[rows[keep]] += 1
                 else:
-                    total[rows[keep]] += 1
-            else:
-                total[rows] += 1
+                    total[rows] += 1
         max_count = args.max_count if args.max_count is not None else 2 ** 63
         # rows with zero sum are never selected (ref behavior: threshold >= 1)
         mask = (total >= max(args.min_count, 1)) & (total <= max_count)
@@ -654,11 +703,7 @@ def cmd_query(args):
     if g.mode == "primary":
         from ..graph.canonical import CanonicalDBG
         g = CanonicalDBG(g)
-    anno = load_annotation(args.annotation)
-    if getattr(getattr(anno, "matrix", None), "needs_sidecars", False):
-        # staged row-diff: routing sidecars live next to the graph
-        # (ref IRowDiff::load_anchor / load_fork_succ)
-        anno.matrix.attach_sidecars(args.infile_base)
+    anno = _load_annotation_for(args.infile_base, args.annotation)
     cth = None
     if not getattr(args, "no_coord_mapping", False):
         import os
@@ -697,7 +742,8 @@ def cmd_query(args):
                 aligner_config=aligner_config,
                 batch_align=args.batch_align,
                 max_hull_forks=args.max_hull_forks,
-                max_hull_depth=args.max_hull_depth):
+                max_hull_depth=args.max_hull_depth,
+                max_nodes_per_seq_char=args.align_max_nodes_per_seq_char):
             if args.json:
                 out.write(res.to_json(args.verbose_output, g.k) + "\n")
             else:
@@ -802,11 +848,10 @@ def cmd_align(args):
               "Skipping seed chaining.", file=sys.stderr)
         raise SystemExit(1)
     if args.annotation:
-        from ..annotation.matrix import load_annotation
         from ..annotation.annotated_dbg import AnnotatedDBG
         from ..align.aligner import (LabeledAligner,
                                      format_labeled_alignments_tsv)
-        anno = load_annotation(args.annotation)
+        anno = _load_annotation_for(args.infile_base, args.annotation)
         ag = AnnotatedDBG(g, anno)
         if getattr(args, "align_chain", False):
             # ref dbg_aligner.cpp:546-550: chaining needs coordinates
@@ -857,6 +902,37 @@ def cmd_align(args):
         for rec, alns in zip(recs,
                              aligner.align_batch([r.seq for r in recs],
                                                  backend=backend)):
+            if getattr(args, "json", False):
+                # one GA4GH-style JSON line per alignment
+                # (ref alignment.cpp Alignment::to_json, align.cpp:295-302)
+                import json as _json
+                if not alns:
+                    sys.stdout.write(_json.dumps(
+                        {"name": rec.name, "read_mapped": False}) + "\n")
+                    continue
+                for rank, a in enumerate(alns):
+                    qlen = max(len(rec.seq), 1)
+                    obj = {
+                        "name": rec.name,
+                        "sequence": rec.seq.decode(),
+                        "annotation": {
+                            "ref_sequence": a.sequence.decode(),
+                            "cigar": a.cigar.to_string(),
+                        },
+                        "score": int(a.score),
+                        "identity": a.cigar.get_num_matches()
+                        / max(len(a.query_view()), 1),
+                        "read_mapped": True,
+                    }
+                    if a.get_clipping():
+                        obj["query_position"] = int(a.get_clipping())
+                        obj["soft_clipped"] = True
+                    if rank:
+                        obj["is_secondary"] = True
+                    if a.orientation:
+                        obj["read_on_reverse_strand"] = True
+                    sys.stdout.write(_json.dumps(obj) + "\n")
+                continue
             sys.stdout.write(format_alignments_tsv(
                 rec.name, rec.seq, alns, cfg.min_path_score))
 
@@ -942,7 +1018,7 @@ def cmd_server_query(args):
     if g.mode == "primary":
         from ..graph.canonical import CanonicalDBG
         g = CanonicalDBG(g)
-    anno = load_annotation(args.annotation)
+    anno = _load_annotation_for(args.infile_base, args.annotation)
     server = MetaGraphServer(AnnotatedDBG(g, anno),
                              use_device=getattr(args, "device", False))
     print(f"[Server] listening on {args.host}:{args.port}", file=sys.stderr)
@@ -1072,9 +1148,17 @@ def cmd_relax_brwt(args):
     if not isinstance(getattr(a, "matrix", None), BRWT):
         raise SystemExit("relax_brwt requires a brwt annotation")
     m = a.matrix
-    cols = [np.flatnonzero(
-        m.get_rows_mask(np.arange(m.num_rows))[:, c])
-        for c in range(m.num_labels)]
+    parts = [[] for _ in range(m.num_labels)]
+    CHUNK = 1 << 16              # bound memory to CHUNK x labels
+    for lo in range(0, m.num_rows, CHUNK):
+        rows = np.arange(lo, min(lo + CHUNK, m.num_rows))
+        mask = m.get_rows_mask(rows)
+        for c in range(m.num_labels):
+            hit = np.flatnonzero(mask[:, c])
+            if len(hit):
+                parts[c].append(lo + hit)
+    cols = [np.concatenate(p) if p else np.zeros(0, np.int64)
+            for p in parts]
     rebuilt = BRWT.from_columns(cols, m.num_rows, m.num_labels,
                                 arity=args.relax_arity)
     StaticAnnotation(rebuilt, a.encoder, "brwt").save(

@@ -65,7 +65,9 @@ class DBGSuccinct:
         arrays = build_boss_arrays(kmers, alph_size=alphabet.sigma,
                                    counts=counts if with_counts else None,
                                    bits_per_count=bits_per_count)
-        return cls(BOSS(arrays), k, mode, alphabet, mask_dummy)
+        boss = BOSS(arrays)
+        boss.count_width = bits_per_count
+        return cls(boss, k, mode, alphabet, mask_dummy)
 
     @classmethod
     def merge(cls, graphs: Sequence["DBGSuccinct"]) -> "DBGSuccinct":
@@ -92,9 +94,14 @@ class DBGSuccinct:
         merged, counts = merge_sorted_edge_sets(
             sets, wsets if have_w and len(wsets) == len(sets) else None,
             bits=packing.bits_for_alphabet(g0.alphabet.sigma))
+        # keep the widest source count width so merged weights don't
+        # saturate below the inputs' storage bound
+        width = max(getattr(g.boss, "count_width", 8) for g in graphs)
         arrays = build_boss_arrays(merged, alph_size=g0.alphabet.sigma,
-                                   counts=counts)
-        return cls(BOSS(arrays), g0.k, g0.mode, g0.alphabet, g0.masked)
+                                   counts=counts, bits_per_count=width)
+        boss = BOSS(arrays)
+        boss.count_width = width
+        return cls(boss, g0.k, g0.mode, g0.alphabet, g0.masked)
 
     # ---------------------------------------------------------------- stats
     def num_nodes(self) -> int:

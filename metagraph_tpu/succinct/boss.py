@@ -48,6 +48,9 @@ class BOSS:
         # compressed npz.  'dynamic' is a tag only (edits go through the
         # sorted-table merge path, see DBGSuccinct.merge).
         self.state = "stat"
+        # bits per stored count (weights saturate at 2^width - 1); persisted
+        # so merge/extend keep the source width (ref NodeWeights int_vector)
+        self.count_width = 8
         self._build_indexes()
 
     # ------------------------------------------------------------------ setup
@@ -508,6 +511,7 @@ class BOSS:
     # ------------------------------------------------------------- serialize
     def save(self, path: str, **extra):
         extra.setdefault("state", self.state)
+        extra.setdefault("count_width", self.count_width)
         np.savez_compressed(
             path, k=self.k, alph_size=self.alph_size, W=self.W, last=self.last,
             F=self.F, valid=self.valid,
@@ -525,6 +529,7 @@ class BOSS:
         if self.weights is not None:
             np.save(base + ".weights.npy", self.weights)
         extra.setdefault("state", self.state)
+        extra.setdefault("count_width", self.count_width)
         np.savez(base + ".meta.npz", k=self.k, alph_size=self.alph_size,
                  F=self.F, **extra)
 
@@ -547,6 +552,8 @@ class BOSS:
                 if os.path.exists(wpath) else None)
             boss = cls(arrays)
             boss.state = str(meta["state"]) if "state" in meta else "fast"
+            if "count_width" in meta:
+                boss.count_width = int(meta["count_width"])
             return boss
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         w = z["weights"]
@@ -556,4 +563,6 @@ class BOSS:
         boss = cls(arrays)
         if "state" in z.files:
             boss.state = str(z["state"])
+        if "count_width" in z.files:
+            boss.count_width = int(z["count_width"])
         return boss

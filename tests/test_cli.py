@@ -836,3 +836,36 @@ class TestAnnotateDiskSwap:
         out = run_cli(["stats", "-a", "swap.column.annodbg"],
                       tmp_path).stdout
         assert "labels: 100" in out
+
+
+class TestStagedSidecarConsumers:
+    """Review regression: staged row-diff annotations (external routing)
+    must work in align/server/stats, not just query."""
+
+    @pytest.fixture(scope="class")
+    def staged(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("staged"))
+        r = run_cli(["build", "--mask-dummy", "-k", "20", "-o", "g",
+                     f"{REF}/transcripts_100.fa"], d)
+        assert r.returncode == 0, r.stderr
+        run_cli(["annotate", "-i", "g.dbg.npz", "--anno-header", "-o", "a",
+                 f"{REF}/transcripts_100.fa"], d)
+        for stage in "012":
+            r = run_cli(["transform_anno", "-i", "g.dbg.npz",
+                         "--anno-type", "row_diff_brwt",
+                         "--row-diff-stage", stage, "-o", "rd",
+                         "a.column.annodbg"], d)
+            assert r.returncode == 0, r.stderr
+        return d
+
+    def test_align_with_staged_annotation(self, staged):
+        r = run_cli(["align", "-i", "g.dbg.npz", "-a",
+                     "rd.row_diff_brwt.annodbg",
+                     f"{REF}/transcripts_100.fa"], staged)
+        assert r.returncode == 0, r.stderr
+        assert r.stdout.strip()
+
+    def test_stats_with_staged_annotation(self, staged):
+        r = run_cli(["stats", "-a", "rd.row_diff_brwt.annodbg"], staged)
+        assert r.returncode == 0, r.stderr
+        assert "labels: 100" in r.stdout
