@@ -869,3 +869,21 @@ class TestStagedSidecarConsumers:
         r = run_cli(["stats", "-a", "rd.row_diff_brwt.annodbg"], staged)
         assert r.returncode == 0, r.stderr
         assert "labels: 100" in r.stdout
+
+
+class TestMergeCountWidth:
+    def test_merge_keeps_wide_counts(self, tmp_path):
+        """Review regression: extend/merge keep the source --count-width
+        (weights saturated at 255 regardless of width before)."""
+        import gzip
+        with gzip.open(tmp_path / "cg.fasta.gz", "wb") as f:
+            f.write(b">CG\n")
+            f.write(b"CG" * 10 ** 5)
+        run_cli(["build", "--mask-dummy", "--count-kmers", "--count-width",
+                 "16", "-k", "11", "-o", "g", "cg.fasta.gz"], tmp_path)
+        run_cli(["extend", "-i", "g.dbg.npz", "-o", "gx", "cg.fasta.gz"],
+                tmp_path)
+        out = run_cli(["stats", "gx.dbg.npz"], tmp_path).stdout
+        avg = float([l.split(": ")[1] for l in out.splitlines()
+                     if l.startswith("avg weight")][0])
+        assert avg > 255          # doubled ~100k counts, not clipped to 255
