@@ -160,10 +160,9 @@ def test_shard_hash_table_preserves_modulus(tiny):
         np.asarray(idx.table), mesh)
     fn = sh.sharded_lookup_fn(mesh)
     # lookup path uses range sharding, exercise the annotated step instead
+    from metagraph_tpu.annotation.ops import DeviceAnnotation
     bitmap_shard, labels_per_shard = sh.shard_annotation(
-        ag.annotator.unpacked() if hasattr(ag.annotator, "unpacked")
-        else __import__("metagraph_tpu.annotation.ops", fromlist=["x"])
-        .DeviceAnnotation.from_column_annotation(
+        DeviceAnnotation.from_column_annotation(
             anno, g.max_index()).unpacked(), mesh)
     step = sh.sharded_annotated_query_fn(mesh, rows_per_shard,
                                          labels_per_shard, 1,
