@@ -124,7 +124,12 @@ class DBGAligner:
     def __init__(self, graph, config: Optional[AlignerConfig] = None,
                  seeder_class=None, extender_class=None):
         self.graph = graph
-        self.config = (config or AlignerConfig()).clamp_to_k(graph.k)
+        from dataclasses import replace as _dc_replace
+        # private copy: clamp_to_k and the DNA_CASE override below must not
+        # mutate a config object the caller may reuse for other graphs
+        self.config = _dc_replace(config) if config is not None \
+            else AlignerConfig()
+        self.config.clamp_to_k(graph.k)
         alpha = getattr(graph, "alphabet", None)
         if alpha is not None and alpha.name == "DNA_CASE":
             # the byte-level revcomp used by the rc re-extension pass does
@@ -313,7 +318,8 @@ def _copy_alignment(a: Alignment) -> Alignment:
     return Alignment(query=a.query, nodes=list(a.nodes), sequence=a.sequence,
                      score=a.score, cigar=a.cigar.copy(),
                      orientation=a.orientation, offset=a.offset,
-                     extra_score=a.extra_score)
+                     extra_score=a.extra_score,
+                     label_columns=list(a.label_columns))
 
 
 def format_alignments_tsv(header: str, query: bytes,
@@ -348,8 +354,7 @@ class LabeledAligner(DBGAligner):
         from .labeled import LabeledExtender
         return LabeledExtender(self.graph, self.config, query, self.buffer)
 
-    def align(self, query: bytes) -> List[Alignment]:
-        alignments = super().align(query)
+    def _postprocess(self, alignments: List[Alignment]) -> List[Alignment]:
         from .labeled import mask_to_columns
         for a in alignments:
             if not a.label_columns:
@@ -359,6 +364,15 @@ class LabeledAligner(DBGAligner):
             self._attach_coordinates(alignments)
         return alignments
 
+    def align(self, query: bytes) -> List[Alignment]:
+        return self._postprocess(super().align(query))
+
+    def align_batch(self, queries: List[bytes], backend: str = "numpy"
+                    ) -> List[List[Alignment]]:
+        # same label backfill + coordinate attachment as align()
+        return [self._postprocess(alns)
+                for alns in super().align_batch(queries, backend=backend)]
+
     def _attach_coordinates(self, alignments: List[Alignment]):
         """Resolve each alignment's start coordinates per label from the
         coordinate annotation: a coordinate survives only if it is
@@ -367,6 +381,9 @@ class LabeledAligner(DBGAligner):
         AnnotationBuffer, ref annotation_buffer.hpp:19)."""
         ag = self.anno_graph
         anno = ag.annotator
+        # canonical wrapper: nodes above `offset` walk the reverse strand,
+        # whose base-graph source coordinates DECREASE along the path
+        rc_off = getattr(ag.graph, "offset", None)
         for a in alignments:
             if not a.label_columns:
                 continue
@@ -377,19 +394,24 @@ class LabeledAligner(DBGAligner):
                 np.array([n for _, n in real], dtype=np.int64))
             tuples = anno.get_row_tuples(rows)
             j0 = real[0][0]
+            signs = [-1 if rc_off is not None and n > rc_off else 1
+                     for _, n in real]
             cols, coords = [], []
             for c in a.label_columns:
                 cands = None
-                for (i, _n), row_t in zip(real, tuples):
+                for (i, _n), sg, row_t in zip(real, signs, tuples):
                     by_col = dict(row_t)
-                    here = {int(x) - (i - j0) for x in by_col.get(c, ())}
+                    here = {int(x) - sg * (i - j0)
+                            for x in by_col.get(c, ())}
                     cands = here if cands is None else (cands & here)
                     if not cands:
                         break
                 if cands:
                     cols.append(c)
                     # shift to the alignment's first sequence char
-                    coords.append(sorted(x - (j0 - a.offset) for x in cands))
+                    sg0 = signs[0]
+                    coords.append(sorted(x - sg0 * (j0 - a.offset)
+                                         for x in cands))
             if cols:
                 a.label_columns = cols
                 a.label_coordinates = coords

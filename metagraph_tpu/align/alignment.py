@@ -74,8 +74,6 @@ class Alignment:
         if (nodes == 0).any():
             self.nodes = []
             return self
-        clipping = self.get_clipping()
-        end_clipping = self.get_end_clipping()
         self.nodes = [int(x) for x in nodes]
         self.sequence = rc_seq
         self.query = query_rc

@@ -25,11 +25,6 @@ from .cigar import (CLIPPED, DELETION, INSERTION, MATCH, MISMATCH,
                     NODE_INSERTION, Cigar)
 from .config import NINF, AlignerConfig
 
-# operator per char pair
-def _op(a: int, b: int) -> str:
-    return MATCH if a == b and chr(a) in "ACGT" else MISMATCH
-
-
 class Column:
     __slots__ = ("S", "E", "F", "node", "parent", "c", "offset", "max_pos",
                  "trim", "score", "labels")
@@ -190,9 +185,13 @@ class DefaultColumnExtender:
                      else self.config.gap_opening_penalty)
             return [(next_node, next_c, s)]
         out = []
+        fold = getattr(getattr(self.graph, "alphabet", None), "name",
+                       "DNA") != "DNA_CASE"
         for nxt, ch in self.graph.call_outgoing_kmers(col.node):
             if ch != "$":
-                out.append((nxt, ord(ch.upper()), 0))
+                # case carries information only in the case-sensitive
+                # alphabet (matches call_outgoing_batch's folding rule)
+                out.append((nxt, ord(ch.upper() if fold else ch), 0))
         return out
 
     # ------------------------------------------------------------ extension

@@ -301,8 +301,14 @@ def make_suffix_seeder(base_cls):
                         continue
                     begin = int(boss.pred_last(
                         np.array([first - 1]))[0]) + 1
-                    for match in _suffix_to_prefix(dbg_succ, begin, last,
-                                                   seed_length):
+                    matches = _suffix_to_prefix(
+                        dbg_succ, begin, last, seed_length,
+                        cap=cfg.max_num_seeds_per_locus)
+                    if matches is None:
+                        # overloaded locus: drop it WITHOUT propagating
+                        # min_len (the forward overflow path's behavior)
+                        continue
+                    for match in matches:
                         rc_node = self.graph.reverse_complement_node(match)
                         append_suffix_seed(j, rc_node, seed_length)
 
@@ -336,14 +342,17 @@ def make_suffix_seeder(base_cls):
     return SuffixSeeder
 
 
-def _suffix_to_prefix(dbg_succ, first, last, seed_length):
+def _suffix_to_prefix(dbg_succ, first, last, seed_length, cap=2 ** 63):
     """Nodes whose k-mer PREFIX equals the matched string
-    (ref aligner_seeder_methods.cpp:196-253 suffix_to_prefix)."""
+    (ref aligner_seeder_methods.cpp:196-253 suffix_to_prefix); None when the
+    match count exceeds ``cap`` (the per-locus seed budget)."""
     boss = dbg_succ.boss
     k_boss = boss.k
     out = []
     stack = [(first, last, seed_length)]
     while stack:
+        if len(out) > cap:
+            return None
         f, l, slen = stack.pop()
         if slen == k_boss:
             for e in range(f, l + 1):
