@@ -77,7 +77,11 @@ class AnnotatedDBG:
         scaled by the sequence abundance (ref cli/annotate.cpp:122-137,
         Logan ka:f headers)."""
         nodes = self.graph.map_to_nodes(sequence)
-        rows = self.graph_to_anno_index(nodes[nodes > 0])
+        hit = nodes[nodes > 0]
+        if not len(hit):
+            # ref annotated_dbg.cpp:142: no indices -> no column is created
+            return
+        rows = self.graph_to_anno_index(hit)
         uniq, counts = np.unique(rows, return_counts=True)
         self.annotator.add_label_counts(uniq, counts * int(abundance), labels)
 
@@ -274,23 +278,31 @@ class AnnotatedDBG:
                 bits[pos[mask[:, c]]] = True
                 result.append((enc.decode(c), n, bits))
         elif kind == "counts":
+            # one pass over rows, dispatching values into per-label slots
+            # (instead of re-scanning every row per selected label)
             vals = self.annotator.get_row_values(rows)
+            ab_by_c = {c: np.zeros(num_kmers, dtype=np.int64)
+                       for c, _ in selected}
+            for i, row_vals in enumerate(vals):
+                p = pos[i]
+                for cc, v in row_vals:
+                    ab = ab_by_c.get(cc)
+                    if ab is not None:
+                        ab[p] = v
             for c, n in selected:
-                ab = np.zeros(num_kmers, dtype=np.int64)
-                for i, row_vals in enumerate(vals):
-                    for cc, v in row_vals:
-                        if cc == c:
-                            ab[pos[i]] = v
-                result.append((enc.decode(c), n, ab))
+                result.append((enc.decode(c), n, ab_by_c[c]))
         elif kind == "coords":
             tups = self.annotator.get_row_tuples(rows)
+            co_by_c = {c: [[] for _ in range(num_kmers)]
+                       for c, _ in selected}
+            for i, row_tups in enumerate(tups):
+                p = pos[i]
+                for cc, t in row_tups:
+                    co = co_by_c.get(cc)
+                    if co is not None:
+                        co[p] = t
             for c, n in selected:
-                coords = [[] for _ in range(num_kmers)]
-                for i, row_tups in enumerate(tups):
-                    for cc, t in row_tups:
-                        if cc == c:
-                            coords[pos[i]] = t
-                result.append((enc.decode(c), n, coords))
+                result.append((enc.decode(c), n, co_by_c[c]))
         return result
 
     def get_top_label_signatures(self, sequence, num_top_labels=2 ** 63,

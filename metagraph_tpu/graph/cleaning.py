@@ -175,9 +175,6 @@ def clean_graph_contigs(graph, min_count: int = 1, max_count: int = 2 ** 63,
             mask = mask.astype(np.uint8)
 
     single = graph.mode == "canonical"
-    if mask is None and boss.valid is not None:
-        pass  # full graph: dummy edges excluded by trim_sentinels
-
     if min_unitig_median != 1:
         contigs_paths, tix = traversal.call_paths(boss, True, single, True,
                                                   mask, return_index=True)

@@ -74,6 +74,12 @@ def mask_nodes_by_label(anno_graph, labels_in: Set[str], labels_out: Set[str],
     enc = anno.encoder
     M = graph.max_index() + 1
 
+    for label in labels_in_round2 | labels_out_round2:
+        try:
+            enc.encode(label)
+        except KeyError:
+            # ref assemble.cpp:30-42 check_labels: unknown labels are fatal
+            raise ValueError(f"Label {label} is not found in annotation")
     num_in = len(labels_in) + len(labels_in_round2)
     num_out = len(labels_out) + len(labels_out_round2)
 
@@ -93,6 +99,26 @@ def mask_nodes_by_label(anno_graph, labels_in: Set[str], labels_out: Set[str],
         if label in labels_out:
             out_counts[nodes] += 1
         init_mask[nodes] = True
+
+    if config.add_complement:
+        # extend the round-1 mask/counts to every masked node's reverse
+        # complement (ref make_initial_masked_graph,
+        # annotated_graph_algorithm.cpp:296-343: rc nodes receive the
+        # forward node's in/out counts and join the mask iff in_count > 0)
+        nodes = np.flatnonzero(init_mask)
+        if len(nodes):
+            boss = graph.boss
+            kchars = boss.get_edge_seq(nodes)
+            comp = graph.extractor.extended_complement_table()
+            rc_chars = np.ascontiguousarray(comp[kchars[:, ::-1]])
+            rc_nodes = graph.map_kmers_batch(rc_chars)
+            ok = rc_nodes > 0
+            rc, src = rc_nodes[ok], nodes[ok]
+            in_snap = in_counts[src].copy()
+            out_snap = out_counts[src].copy()
+            np.add.at(in_counts, rc, in_snap)
+            np.add.at(out_counts, rc, out_snap)
+            init_mask[rc[in_snap > 0]] = True
 
     masked = MaskedDeBruijnGraph(graph, init_mask)
     check_other = config.label_mask_other_unitig_fraction != 1.0
@@ -178,7 +204,10 @@ def run_differential_assembly(anno_graph, rules: dict):
         if "shared_labels" in group:
             shared_in = set(group["shared_labels"].get("in", []))
             shared_out = set(group["shared_labels"].get("out", []))
-        for experiment in group.get("experiments", []):
+        if "experiments" not in group:
+            # ref assemble.cpp:117-118
+            raise ValueError("Missing experiments in group")
+        for experiment in group["experiments"]:
             cfg = DifferentialAssemblyConfig.from_experiment(
                 experiment, anno_graph.graph)
             labels_in = set(experiment.get("in", []))

@@ -52,7 +52,7 @@ def _thresholds(nk_list, discovery_fraction: float, presence_fraction: float,
 
 class QueryEngine:
     def __init__(self, anno_graph: AnnotatedDBG, use_device: bool = False,
-                 n_threads: int = 1):
+                 n_threads: int | None = None):
         self.anno_graph = anno_graph
         self.graph = anno_graph.graph
         # canonical wrappers map through the base graph + rc pass
@@ -60,7 +60,8 @@ class QueryEngine:
             if hasattr(self.graph, "get_base_node") else None
         self._base = self.graph.graph if self._canonical_offset else self.graph
         self.use_device = use_device
-        self.n_threads = max(int(n_threads), 1)   # ref -p/--parallel
+        # ref -p/--parallel; None = auto (up to 8 packer threads)
+        self.n_threads = None if n_threads is None else max(int(n_threads), 1)
         self._host_index = None
         self._device_index = None
         alpha = getattr(self._base, "alphabet", None)
@@ -154,6 +155,8 @@ class QueryEngine:
                               dtype=np.int64)[:n]
         self._build_host_index()
         keys, edge_ids = self._host_index
+        if not len(keys):
+            return np.zeros(len(sub), dtype=np.int64)
         q = packing.pack_codes(sub, packing.boss_priority_order(k),
                                bits=self._bits)
         pos = packing.searchsorted_rows(keys, q)
@@ -481,9 +484,9 @@ class QueryEngine:
         ex = self.graph.extractor
         S = len(seqs)
         Spad = 1 << max(int(np.ceil(np.log2(max(S, 1)))), 3)
-        packed = native.tile_pack2(seqs, k, TILE,
-                                   n_threads=max(self.n_threads,
-                                                 min(os.cpu_count() or 1, 8))) \
+        nthr = self.n_threads if self.n_threads is not None \
+            else min(os.cpu_count() or 1, 8)
+        packed = native.tile_pack2(seqs, k, TILE, n_threads=nthr) \
             if native.get_lib() is not None else None
         index2 = self._build_device_index2() if packed is not None else None
         if index2 is None:
@@ -630,23 +633,30 @@ class QueryEngine:
                     bits[pos[mask[:, c]]] = True
                     result.append((dec[c], n, bits))
             elif mode == "counts":
+                # one pass over rows dispatching into per-label slots
                 vals = ag.annotator.get_row_values(rows)
+                ab_by_c = {c: np.zeros(nk, dtype=np.int64)
+                           for c, _ in selected}
+                for j, row_vals in enumerate(vals):
+                    p = pos[j]
+                    for cc, v in row_vals:
+                        ab = ab_by_c.get(cc)
+                        if ab is not None:
+                            ab[p] = v
                 for c, n in selected:
-                    ab = np.zeros(nk, dtype=np.int64)
-                    for j, row_vals in enumerate(vals):
-                        for cc, v in row_vals:
-                            if cc == c:
-                                ab[pos[j]] = v
-                    result.append((dec[c], n, ab))
+                    result.append((dec[c], n, ab_by_c[c]))
             elif mode == "coords":
                 tups = ag.annotator.get_row_tuples(rows)
+                co_by_c = {c: [[] for _ in range(nk)]
+                           for c, _ in selected}
+                for j, row_tups in enumerate(tups):
+                    p = pos[j]
+                    for cc, t in row_tups:
+                        co = co_by_c.get(cc)
+                        if co is not None:
+                            co[p] = t
                 for c, n in selected:
-                    coords = [[] for _ in range(nk)]
-                    for j, row_tups in enumerate(tups):
-                        for cc, t in row_tups:
-                            if cc == c:
-                                coords[pos[j]] = t
-                    result.append((dec[c], n, coords))
+                    result.append((dec[c], n, co_by_c[c]))
             out.append(result)
         return out
 
@@ -823,7 +833,7 @@ class QueryEngine:
             if batch:
                 yield batch, batch_bp
 
-        if self.n_threads > 1:
+        if self.n_threads is not None and self.n_threads > 1:
             # -p/--parallel: overlap reading+building the next batch with
             # processing the current one (the reference's nested thread
             # pools, query.cpp:1304-1401, collapse to a one-deep pipeline
@@ -842,6 +852,12 @@ class QueryEngine:
                 yield from process(b, bp)
 
 
+# seqtk-style complement: case-preserving, IUPAC degenerate codes included
+# (ref common/seq_tools/reverse_complement.cpp COMPL_TAB)
+_REVCOMP_TAB = bytes.maketrans(
+    b"ACGTUacgtuRYKMBVDHrykmbvdh",
+    b"TGCAAtgcaaYRMKVBHDyrmkvbhd")
+
+
 def _revcomp(seq: bytes) -> bytes:
-    table = bytes.maketrans(b"ACGTacgtUu", b"TGCATGCAAA")
-    return seq.translate(table)[::-1]
+    return seq.translate(_REVCOMP_TAB)[::-1]
