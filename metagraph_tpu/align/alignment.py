@@ -16,7 +16,7 @@ from .cigar import (CLIPPED, DELETION, INSERTION, MATCH, MISMATCH,
                     NODE_INSERTION, Cigar)
 from .config import AlignerConfig
 
-REVCOMP = bytes.maketrans(b"ACGTacgt", b"TGCATGCA")
+REVCOMP = bytes.maketrans(b"ACGTacgtUu", b"TGCAtgcaAa")
 
 
 def revcomp(seq: bytes) -> bytes:

@@ -98,12 +98,15 @@ def format_alignment_coords(alignment, encoder, k: int,
                     break
                 nt_len = cth.num_kmers_in_sequence(col, cur_seq) + k - 1
                 span = min(remaining, nt_len - cur_local)
-                key = (col, cur_seq)
-                if key not in seq_ranges:
-                    seq_ranges[key] = []
-                    order.append(key)
-                seq_ranges[key].append((cur_local, cur_local + span - 1))
-                remaining -= span
+                if span > 0:
+                    # zero-span stretches (empty sequences) would emit
+                    # inverted 'header:1-0' ranges
+                    key = (col, cur_seq)
+                    if key not in seq_ranges:
+                        seq_ranges[key] = []
+                        order.append(key)
+                    seq_ranges[key].append((cur_local, cur_local + span - 1))
+                    remaining -= span
                 cur_seq += 1
                 cur_local = 0
     for key in order:

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-REVCOMP = bytes.maketrans(b"ACGTacgt", b"TGCATGCA")
+REVCOMP = bytes.maketrans(b"ACGTacgtUu", b"TGCAtgcaAa")
 
 
 def revcomp(seq: bytes) -> bytes:
@@ -101,9 +101,10 @@ class CanonicalDBG:
         if hit is not None:
             return hit
         seq = self._node_seq(node)
-        cands = [seq[1:] + ch.encode() for ch in "ACGT"]
+        chars = self.alphabet.letters[1:]     # real chars (DNA5's N included)
+        cands = [seq[1:] + ch.encode() for ch in chars]
         ids = self._lookup_batch(cands)
-        out = [(nid, ch) for nid, ch in zip(ids, "ACGT") if nid]
+        out = [(nid, ch) for nid, ch in zip(ids, chars) if nid]
         self._out_cache[node] = out
         return out
 
@@ -112,9 +113,10 @@ class CanonicalDBG:
         if hit is not None:
             return hit
         seq = self._node_seq(node)
-        cands = [ch.encode() + seq[:-1] for ch in "ACGT"]
+        chars = self.alphabet.letters[1:]
+        cands = [ch.encode() + seq[:-1] for ch in chars]
         ids = self._lookup_batch(cands)
-        out = [(nid, ch) for nid, ch in zip(ids, "ACGT") if nid]
+        out = [(nid, ch) for nid, ch in zip(ids, chars) if nid]
         self._in_cache[node] = out
         return out
 

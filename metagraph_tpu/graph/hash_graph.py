@@ -124,13 +124,18 @@ class _KmerGraphBase:
         chars, ids = self.node_kmers_and_ids()
         out = path if path.endswith(".npz") else path + ".dbg.npz"
         _np.savez_compressed(out, graph_type=self.GRAPH_TYPE, k=self.k,
-                             mode=self.mode, kmers=chars, ids=ids)
+                             mode=self.mode, kmers=chars, ids=ids,
+                             alphabet=self.alphabet.name)
 
     @classmethod
     def load_generic(cls, z) -> "_KmerGraphBase":
         from . import GRAPH_CLASSES
+        from ..kmer.alphabets import ALPHABETS
         gcls = GRAPH_CLASSES[str(z["graph_type"])]
-        g = gcls.rebuild(z["kmers"], z["ids"], int(z["k"]), str(z["mode"]))
+        alpha = ALPHABETS[str(z["alphabet"])] if "alphabet" in z.files \
+            else DNA
+        g = gcls.rebuild(z["kmers"], z["ids"], int(z["k"]), str(z["mode"]),
+                         alphabet=alpha)
         return g
 
 
@@ -155,7 +160,7 @@ class DBGHashGraph(_KmerGraphBase):
         both = self.mode == CANONICAL
         for i in np.flatnonzero(valid):
             self._insert(wins[i])
-        if both:
+        if both and len(codes) >= self.k:
             comp = self.extractor.extended_complement_table()
             rc_codes = comp[codes[::-1]]
             rwins = np.lib.stride_tricks.sliding_window_view(rc_codes, self.k)
@@ -185,8 +190,9 @@ class DBGHashGraph(_KmerGraphBase):
             yield i + 1, np.frombuffer(key, dtype=np.uint8)
 
     @classmethod
-    def rebuild(cls, kmers, ids, k, mode) -> "DBGHashGraph":
-        g = cls(k, mode)
+    def rebuild(cls, kmers, ids, k, mode,
+                alphabet: Alphabet = DNA) -> "DBGHashGraph":
+        g = cls(k, mode, alphabet)
         order = np.argsort(ids, kind="stable")
         for i in order:
             g._insert(np.asarray(kmers[i], dtype=np.uint8))
@@ -208,11 +214,18 @@ class DBGBitmapGraph(_KmerGraphBase):
         ex = KmerExtractor(alphabet)
         collector_mode = "both" if mode == CANONICAL else "basic"
         chars, _ = ex.extract(sequences, k, mode=collector_mode)
-        keys = packing.sort_rows(packing.pack_codes(chars))
+        bits = packing.bits_for_alphabet(alphabet.sigma)
+        keys = packing.sort_rows(packing.pack_codes(chars, bits=bits))
         return cls(keys, k, mode, alphabet)
 
+    @property
+    def _bits(self) -> int:
+        return packing.bits_for_alphabet(self.alphabet.sigma)
+
     def _kmer_id(self, chars: np.ndarray) -> int:
-        key = packing.pack_codes(chars[None, :])
+        if not len(self._keys):
+            return 0
+        key = packing.pack_codes(chars[None, :], bits=self._bits)
         pos = packing.searchsorted_rows(self._keys, key)[0]
         if pos < len(self._keys) and (self._keys[pos] == key[0]).all():
             return int(pos) + 1
@@ -221,29 +234,32 @@ class DBGBitmapGraph(_KmerGraphBase):
     def map_to_nodes_sequentially(self, sequence) -> np.ndarray:
         codes, wins, valid = self._windows(sequence)
         out = np.zeros(len(wins), dtype=np.int64)
-        if valid.any():
-            q = packing.pack_codes(wins[valid])
+        if valid.any() and len(self._keys):
+            q = packing.pack_codes(wins[valid], bits=self._bits)
             pos = packing.searchsorted_rows(self._keys, q)
-            pos_c = np.minimum(pos, max(len(self._keys) - 1, 0))
+            pos_c = np.minimum(pos, len(self._keys) - 1)
             hit = (pos < len(self._keys)) & np.all(self._keys[pos_c] == q, axis=1)
             out[np.flatnonzero(valid)] = np.where(hit, pos_c + 1, 0)
         return out
 
     def _node_chars(self, node: int) -> np.ndarray:
-        return packing.unpack_codes(self._keys[node - 1][None, :], self.k)[0]
+        return packing.unpack_codes(self._keys[node - 1][None, :], self.k,
+                                    bits=self._bits)[0]
 
     GRAPH_TYPE = "bitmap"
 
     def call_kmers(self):
-        chars = packing.unpack_codes(self._keys, self.k)
+        chars = packing.unpack_codes(self._keys, self.k, bits=self._bits)
         for i in range(len(chars)):
             yield i + 1, chars[i]
 
     @classmethod
-    def rebuild(cls, kmers, ids, k, mode) -> "DBGBitmapGraph":
+    def rebuild(cls, kmers, ids, k, mode,
+                alphabet: Alphabet = DNA) -> "DBGBitmapGraph":
+        bits = packing.bits_for_alphabet(alphabet.sigma)
         keys = packing.sort_rows(packing.pack_codes(
-            np.asarray(kmers, dtype=np.uint8)))
-        return cls(keys, k, mode)
+            np.asarray(kmers, dtype=np.uint8), bits=bits))
+        return cls(keys, k, mode, alphabet)
 
     def num_nodes(self) -> int:
         return len(self._keys)

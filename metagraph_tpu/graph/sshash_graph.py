@@ -102,7 +102,7 @@ class DBGSSHashGraph(_KmerGraphBase):
             yield int(self._ids[pos]), chars[pos]
 
     @classmethod
-    def rebuild(cls, kmers, ids, k, mode) -> "DBGSSHashGraph":
+    def rebuild(cls, kmers, ids, k, mode, alphabet=None) -> "DBGSSHashGraph":
         # rebuild from the raw k-mer set (bucket layout is derived)
         table = DNA.decode_table
         seqs = [table[np.asarray(km, dtype=np.uint8)].tobytes()

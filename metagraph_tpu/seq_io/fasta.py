@@ -82,18 +82,39 @@ def _parse_fasta(data: bytes) -> List[FastaRecord]:
 
 
 def _parse_fastq(data: bytes) -> List[FastaRecord]:
+    """kseq-style FASTQ: multi-line sequences and qualities are allowed; the
+    quality block ends once its length reaches the sequence length
+    (ref kseq.h semantics used by FastaParser)."""
     lines = data.split(b"\n")
     records = []
     i = 0
-    while i + 3 < len(lines) or (i < len(lines) and lines[i].startswith(b"@")):
-        if not lines[i].strip():
+    n = len(lines)
+    while i < n:
+        line = lines[i].strip()
+        if not line:
             i += 1
             continue
-        name = lines[i][1:].split()[0].decode() if lines[i][1:].split() else ""
-        seq = lines[i + 1]
-        qual = lines[i + 3] if i + 3 < len(lines) else None
-        records.append(FastaRecord(name, seq, qual))
-        i += 4
+        if not line.startswith(b"@"):
+            raise ValueError(f"malformed FASTQ: expected '@' header, got "
+                             f"{line[:30]!r}")
+        toks = line[1:].split(None, 1)
+        name = toks[0].decode() if toks else ""
+        comment = toks[1].decode() if len(toks) > 1 else ""
+        i += 1
+        seq_parts = []
+        while i < n and not lines[i].startswith(b"+"):
+            seq_parts.append(lines[i].strip())
+            i += 1
+        seq = b"".join(seq_parts)
+        i += 1                                   # the '+' separator line
+        qual_parts, qlen = [], 0
+        while i < n and qlen < len(seq):
+            q = lines[i].strip()
+            qual_parts.append(q)
+            qlen += len(q)
+            i += 1
+        qual = b"".join(qual_parts) if qual_parts else None
+        records.append(FastaRecord(name, seq, qual, comment=comment))
     return records
 
 
