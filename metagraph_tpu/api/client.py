@@ -4,6 +4,7 @@ interface: GraphClientJson, GraphClient with DataFrames, MultiGraphClient)."""
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.request
 from typing import Dict, Iterable, List, Optional, Tuple, Union
 
@@ -38,11 +39,16 @@ class GraphClientJson:
                 "discovery_fraction should be between 0 and 1 inclusive. "
                 f"Got {discovery_fraction}")
         if align:
+            if isinstance(sequence, str):
+                sequence = [sequence]
+            else:
+                sequence = list(sequence)
             alignments = self.align(sequence, **align_params)
-            aligned = []
-            for a in alignments:
-                aligned.append(a["alignments"][0]["sequence"]
-                               if a["alignments"] else "")
+            # unalignable reads keep their ORIGINAL sequence so the search
+            # FASTA never contains empty records (which would desync the
+            # positional result pairing below)
+            aligned = [a["alignments"][0]["sequence"] if a["alignments"]
+                       else s for a, s in zip(alignments, sequence)]
             sequence = aligned
         params = {"count_labels": True,
                   "discovery_fraction": discovery_fraction,
@@ -92,8 +98,17 @@ class GraphClientJson:
                 headers={"Content-Type": "application/json"})
         else:
             req = urllib.request.Request(url)
-        with urllib.request.urlopen(req) as resp:
-            body = json.loads(resp.read())
+        try:
+            with urllib.request.urlopen(req) as resp:
+                body = json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            # surface the server's JSON {"error": ...} detail (the reference
+            # client raises the message, not just the status line)
+            try:
+                detail = json.loads(e.read()).get("error")
+            except Exception:
+                detail = None
+            raise RuntimeError(detail or str(e)) from None
         if isinstance(body, dict) and "error" in body:
             raise RuntimeError(str(body["error"]))
         return body

@@ -82,6 +82,8 @@ class BitRank:
                 self.n, iq.ctypes.data_as(ctypes.c_void_p), iq.size,
                 out.ctypes.data_as(ctypes.c_void_p))
             return out.reshape(i.shape)
+        if self.n == 0:
+            return np.zeros(i.shape, dtype=np.int64)
         neg = i < 0
         i = np.where(neg, 0, np.minimum(i, self.n - 1))
         w = i >> 6
@@ -93,7 +95,7 @@ class BitRank:
 
     def rank_scalar(self, i: int) -> int:
         i = int(i)
-        if i < 0:
+        if i < 0 or self.n == 0:
             return 0
         if i >= self.n:
             i = self.n - 1
@@ -109,6 +111,9 @@ class BitRank:
         Out-of-range ranks clamp to the nearest valid rank (callers guard,
         same contract as the round-1 position-list implementation)."""
         r = np.asarray(r, dtype=np.int64)
+        if self.total == 0:
+            # no set bits anywhere: clamp past the end (callers guard)
+            return np.full(r.shape, self.n, dtype=np.int64)
         lib = _native()
         if lib is not None and r.size > 16:
             import ctypes
@@ -150,6 +155,8 @@ class BitRank:
         return w * 64 + bidx * 8 + bitpos
 
     def select_scalar(self, r: int) -> int:
+        if self.total == 0:
+            return self.n          # no set bits: clamp past the end
         r = int(r)
         if r < 1:
             r = 1

@@ -55,16 +55,28 @@ int64_t fasta_encode(const uint8_t *data, int64_t size,
             ++i;
             if (fastq) {
                 // sequence line(s) until '+'
+                int64_t seq_len = 0;
                 while (i < size && data[i] != '+') {
-                    if (data[i] != '\n' && data[i] != '\r')
+                    if (data[i] != '\n' && data[i] != '\r') {
                         codes[out++] = table[data[i]];
+                        ++seq_len;
+                    }
                     ++i;
                 }
-                // skip '+' line and quality line
+                // skip the '+' line, then quality lines until the quality
+                // length matches the sequence length (kseq semantics —
+                // wrapped quality blocks span multiple lines and may start
+                // with '@')
                 while (i < size && data[i] != '\n') ++i;
                 ++i;
-                while (i < size && data[i] != '\n') ++i;
-                ++i;
+                int64_t qlen = 0;
+                while (i < size && qlen < seq_len) {
+                    if (data[i] != '\n' && data[i] != '\r')
+                        ++qlen;
+                    ++i;
+                }
+                // consume the trailing newline of the last quality line
+                while (i < size && (data[i] == '\n' || data[i] == '\r')) ++i;
             }
             continue;
         }
@@ -161,10 +173,6 @@ int dust_low_complexity(const uint8_t *window, int64_t n, int32_t T,
                         int32_t W) {
     if (n < 3)
         return 0;
-    static const int8_t NT4[256] = {
-        /* default -1 via init below */
-    };
-    (void)NT4;
     int64_t max_span = W - 2;
     // triplet codes per maximal ACGT run, processed in overlapping slabs so
     // runs longer than the buffer are still fully scanned (slab overlap
@@ -385,7 +393,7 @@ void bitrank_rank_batch(const uint64_t *words, const int64_t *sup,
                         const int64_t *idx, int64_t nq, int64_t *out) {
     for (int64_t q = 0; q < nq; ++q) {
         int64_t i = idx[q];
-        if (i < 0) {
+        if (i < 0 || n_bits == 0) {
             out[q] = 0;
             continue;
         }
@@ -424,11 +432,15 @@ void bitrank_select_batch(const uint64_t *words, const int64_t *sup,
                           int64_t total, const int64_t *ranks, int64_t nq,
                           int64_t *out) {
     for (int64_t q = 0; q < nq; ++q) {
+        if (total == 0) {            // no set bits: clamp past the end
+            out[q] = nw * 64;
+            continue;
+        }
         int64_t r = ranks[q];
         if (r < 1)
             r = 1;
         else if (r > total)
-            r = total > 0 ? total : 1;
+            r = total;
         // last superblock with prefix count < r
         int64_t lo = 0, hi = n_sup;  // search in sup[0..n_sup)
         while (hi - lo > 1) {
@@ -597,7 +609,7 @@ void bitrank_rank_multi(void *const *words_p, void *const *sup_p,
         const int64_t *sup = (const int64_t *)sup_p[p];
         const uint16_t *sub = (const uint16_t *)sub_p[p];
         int64_t i = idx[q];
-        if (i < 0) {
+        if (i < 0 || nbits[p] == 0) {
             out[q] = 0;
             continue;
         }
@@ -620,11 +632,15 @@ void bitrank_select_multi(void *const *words_p, void *const *sup_p,
         const uint64_t *words = (const uint64_t *)words_p[p];
         const int64_t *sup = (const int64_t *)sup_p[p];
         const uint16_t *sub = (const uint16_t *)sub_p[p];
+        if (total[p] == 0) {         // no set bits in this plane
+            out[q] = nw[p] * 64;
+            continue;
+        }
         int64_t r = ranks[q];
         if (r < 1)
             r = 1;
         else if (r > total[p])
-            r = total[p] > 0 ? total[p] : 1;
+            r = total[p];
         int64_t lo = 0, hi = nsup[p];
         while (hi - lo > 1) {
             int64_t mid = (lo + hi) >> 1;
