@@ -32,30 +32,47 @@ except ImportError:  # pragma: no cover
 NEG = -(2 ** 30)
 
 
-def _sw_kernel(q_ref, r_ref, params_ref, out_ref):
+def _sw_kernel(q_ref, r_ref, out_ref, s_ref, f_ref, best_ref, rrot_ref, *,
+               match, mismatch, gap_open, gap_ext):
     """One tile: q_ref (B, LQ) int32 codes, r_ref (B, LR) int32 codes,
-    params_ref (1, 8) int32 [match, mismatch, gap_open, gap_ext, LQ, LR, ...],
-    out_ref (B, 1) int32 best local score."""
-    match = params_ref[0, 0]
-    mismatch = params_ref[0, 1]
-    gap_open = params_ref[0, 2]
-    gap_ext = params_ref[0, 3]
+    out_ref (B, 1) int32 best local score; scoring params are compile-time
+    constants (scalar extraction from a VMEM vector is an invalid relayout
+    under Mosaic, and the scores never change within a batch anyway).
 
+    Mosaic constraints shape the loop: the lane (minor) dimension cannot be
+    dynamically sliced at unaligned offsets, so the reference is consumed by
+    rotating it one lane left per step (native TPU lane rotate) and every
+    along-query shift is a rotate + iota mask.  DP state lives in VMEM
+    scratch refs rather than fori_loop carries — splat-constant carry inits
+    are laid out replicated and cannot be rejoined with the loop body's
+    concrete layouts ("invalid relayout" at Mosaic compile time).
+    """
     q = q_ref[:]                       # (B, LQ)
     B, LQ = q.shape
     LR = r_ref.shape[1]
 
-    # query-axis index, used for the max-plus prefix scan of E
+    # query-axis index, used for the shifts and the max-plus prefix scan of E
     jidx = jax.lax.broadcasted_iota(jnp.int32, (B, LQ), 1)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (B, LR), 1)
 
-    def step(i, carry):
-        s_prev, f_prev, best = carry
-        r_i = r_ref[:, pl.ds(i, 1)]                                 # (B, 1)
+    def shift_right(x, s, fill):
+        # [x0..xn] -> [fill*s, x0..x(n-s)] along lanes (rotate + mask)
+        return jnp.where(jidx < s, fill, jnp.roll(x, s, axis=1))
+
+    s_ref[:] = jnp.zeros((B, LQ), jnp.int32)
+    f_ref[:] = jnp.full((B, LQ), NEG, jnp.int32)
+    best_ref[:] = jnp.zeros((B, 1), jnp.int32)
+    rrot_ref[:] = r_ref[:]
+
+    def step(i, _):
+        s_prev, f_prev, r_carry = s_ref[:], f_ref[:], rrot_ref[:]
+        # broadcast lane 0 of the rotated reference to every query lane
+        r_i = jnp.max(jnp.where(ridx == 0, r_carry, NEG), axis=1,
+                      keepdims=True)                                # (B, 1)
         sub = jnp.where(q == r_i, match, mismatch)
         sub = jnp.where((q < 0) | (r_i < 0), NEG, sub)
         # shift S_prev right by one along the query axis (prepend 0: local)
-        s_shift = jnp.pad(s_prev[:, :-1], ((0, 0), (1, 0)))
-        m = s_shift + sub
+        m = shift_right(s_prev, 1, 0) + sub
         f = jnp.maximum(s_prev + gap_open, f_prev + gap_ext)
         sf = jnp.maximum(m, f)
         # E[j] = max_{m<j} (SF[m] + open + (j-m-1)*ext)  (gap opens from SF
@@ -64,22 +81,20 @@ def _sw_kernel(q_ref, r_ref, params_ref, out_ref):
         c = sf - jidx * gap_ext
         shift = 1
         while shift < LQ:
-            c = jnp.maximum(
-                c, jnp.pad(c[:, :-shift], ((0, 0), (shift, 0)),
-                           constant_values=NEG))
+            c = jnp.maximum(c, shift_right(c, shift, NEG))
             shift *= 2
-        prefmax_excl = jnp.pad(c[:, :-1], ((0, 0), (1, 0)),
-                               constant_values=NEG)
+        prefmax_excl = shift_right(c, 1, NEG)
         e = prefmax_excl + gap_open + (jidx - 1) * gap_ext
         s = jnp.maximum(jnp.maximum(sf, e), 0)
-        best = jnp.maximum(best, jnp.max(s, axis=1, keepdims=True))
-        return s, f, best
+        s_ref[:] = s
+        f_ref[:] = f
+        best_ref[:] = jnp.maximum(best_ref[:],
+                                  jnp.max(s, axis=1, keepdims=True))
+        rrot_ref[:] = jnp.roll(r_carry, -1, axis=1)
+        return 0
 
-    init = (jnp.zeros((B, LQ), jnp.int32),
-            jnp.full((B, LQ), NEG, jnp.int32),
-            jnp.zeros((B, 1), jnp.int32))
-    _, _, best = jax.lax.fori_loop(0, LR, step, init)
-    out_ref[:] = best
+    jax.lax.fori_loop(0, LR, step, 0)
+    out_ref[:] = best_ref[:]
 
 
 def batch_local_align_scores(queries: np.ndarray, refs: np.ndarray,
@@ -91,18 +106,29 @@ def batch_local_align_scores(queries: np.ndarray, refs: np.ndarray,
         interpret = jax.default_backend() != "tpu"
     B, LQ = queries.shape
     LR = refs.shape[1]
-    params = np.array([[match, mismatch, gap_open, gap_ext, LQ, LR, 0, 0]],
-                      dtype=np.int32)
     kwargs = {}
     if pltpu is not None and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)
+    if pltpu is not None:
+        scratch = [pltpu.VMEM((B, LQ), jnp.int32),
+                   pltpu.VMEM((B, LQ), jnp.int32),
+                   pltpu.VMEM((B, 1), jnp.int32),
+                   pltpu.VMEM((B, LR), jnp.int32)]
+    else:  # pragma: no cover - CPU-only install
+        scratch = [pl.MemorySpace.ANY((B, LQ), jnp.int32)] * 2 + [
+            pl.MemorySpace.ANY((B, 1), jnp.int32),
+            pl.MemorySpace.ANY((B, LR), jnp.int32)]
+    kern = functools.partial(_sw_kernel, match=int(match),
+                             mismatch=int(mismatch), gap_open=int(gap_open),
+                             gap_ext=int(gap_ext))
     out = pl.pallas_call(
-        _sw_kernel,
+        kern,
         out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
-    )(jnp.asarray(queries, jnp.int32), jnp.asarray(refs, jnp.int32), params)
+    )(jnp.asarray(queries, jnp.int32), jnp.asarray(refs, jnp.int32))
     return np.asarray(out)[:, 0]
 
 
