@@ -517,6 +517,42 @@ def _load_as_column(path):
     return out
 
 
+def _merge_columns(annos):
+    """Horizontally concatenate the columns (and values) of already-loaded
+    annotations into one ColumnMajorAnnotation."""
+    from ..annotation.column import ColumnMajorAnnotation
+
+    merged = None
+    for a in annos:
+        a.freeze()
+        if merged is None:
+            merged = ColumnMajorAnnotation(a.num_rows)
+        elif a.num_rows != merged.num_rows:
+            raise SystemExit("[error] annotations to merge must have the "
+                             "same number of rows")
+        for c in range(a.num_labels):
+            rows = a.column_rows(c)
+            merged.add_labels(rows, [a.encoder.decode(c)])
+            if a.has_values:
+                vals = a._values[c]
+                nz = vals > 0
+                if nz.any():
+                    merged.add_label_counts(rows[nz], vals[nz],
+                                            [a.encoder.decode(c)])
+    merged.freeze()
+    return merged
+
+
+def _load_merged_columns(paths):
+    """Load one or more annotation files as a single ColumnMajorAnnotation.
+    Conversion targets accept any number of column files and merge their
+    label sets (ref transform_annotation.cpp: the snakemake workflow feeds
+    the whole columns.txt list to one transform_anno call)."""
+    if len(paths) == 1:
+        return _load_as_column(paths[0])
+    return _merge_columns([_load_as_column(p) for p in paths])
+
+
 def cmd_transform_anno(args):
     import numpy as np
     from ..graph.dbg_succinct import DBGSuccinct
@@ -665,7 +701,7 @@ def cmd_transform_anno(args):
         # stage 2: build diffs against the serialized routing
         succ = np.load(base + ".rd_succ")["succ"]
         anchors = np.load(base + ".anchors")["anchors"]
-        anno = ColumnMajorAnnotation.load(args.input[0])
+        anno = _load_merged_columns(args.input)
         anno.freeze()
         columns = [anno.column_rows(c) for c in range(anno.num_labels)]
         from ..annotation.matrix import _row_diff_inner
@@ -680,7 +716,7 @@ def cmd_transform_anno(args):
               f"{m.num_labels} labels", file=sys.stderr)
         return
 
-    anno = _load_as_column(args.input[0])
+    anno = _load_merged_columns(args.input)
     graph = DBGSuccinct.load(args.infile_base) if args.infile_base else None
     m = convert_annotation(anno, args.anno_type, graph=graph,
                            out_base=args.out,
@@ -1118,22 +1154,8 @@ def cmd_merge_anno(args):
     """Merge annotation columns (ref cli/merge_annotations / merge_anno)."""
     from ..annotation.column import ColumnMajorAnnotation
 
-    merged = None
-    for f in args.input:
-        a = ColumnMajorAnnotation.load(f)
-        a.freeze()
-        if merged is None:
-            merged = ColumnMajorAnnotation(a.num_rows)
-        for c in range(a.num_labels):
-            merged.add_labels(a.column_rows(c), [a.encoder.decode(c)])
-            if a.has_values:
-                rows = a.column_rows(c)
-                vals = a._values[c]
-                nz = vals > 0
-                if nz.any():
-                    merged.add_label_counts(rows[nz], vals[nz],
-                                            [a.encoder.decode(c)])
-    merged.freeze()
+    merged = _merge_columns([ColumnMajorAnnotation.load(f)
+                             for f in args.input])
     merged.save(args.out + ".column.annodbg")
     print(f"merged {len(args.input)} annotations: {merged.num_labels} labels",
           file=sys.stderr)

@@ -115,3 +115,72 @@ class TestWorkflowLabelSources:
             capture_output=True, text=True, env=env)
         assert "recA" in r.stdout and "recB" in r.stdout
         assert "s0" not in r.stdout.split("column names:")[1]
+
+
+class TestSnakefile:
+    """Snakemake-compatible workflow (metagraph_tpu/workflows/snakemake/):
+    mirrors the reference rule DAG (ref snakemake/Snakefile + build.smk)
+    with shells driving this package's CLI.  snakemake itself is not
+    installed here, so the contract is checked two ways: every subcommand
+    and long flag the Snakefile's shell blocks use must exist in the CLI,
+    and the basic-path rule chain must run end-to-end via those commands."""
+
+    SNAKEFILE = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "metagraph_tpu", "workflows", "snakemake", "Snakefile")
+
+    def test_shell_blocks_match_cli_surface(self):
+        import re
+        text = open(self.SNAKEFILE).read()
+        # reference rule-DAG parity: the stage names users script against
+        for rule in ("build", "annotate", "generate_column_list",
+                     "transform_rd_stage", "transform_annotation",
+                     "relax_brwt", "build_joint_primary", "primarize"):
+            assert rule in text, rule
+        shells = re.findall(r'"\{metagraph_cmd\}\s+(\w+)', text)
+        assert shells, "no shell commands found"
+        cli_text = open(os.path.join(os.path.dirname(self.SNAKEFILE),
+                                     "..", "..", "cli", "main.py")).read()
+        cli_cmds = set(re.findall(r'sub\.add_parser\("(\w+)"', cli_text))
+        for cmd in set(shells):
+            assert cmd in cli_cmds, f"Snakefile uses unknown CLI cmd {cmd}"
+        for flag in set(re.findall(r"(--[a-z][a-z0-9-]+)", text)):
+            if flag == "--config":
+                continue  # snakemake's own flag, from the docstring
+            assert flag in cli_text, f"Snakefile uses unknown flag {flag}"
+
+    def test_basic_rule_chain_end_to_end(self, tmp_path):
+        import subprocess
+        import sys
+        (tmp_path / "s0.fa").write_text(">r0\nACGTACGTACGTACGTACGTACG\n")
+        (tmp_path / "s1.fa").write_text(">r0\nTTTTGGGGCCCCAAAATTTTGGG\n")
+        flist = tmp_path / "files.txt"
+        flist.write_text(f"{tmp_path}/s0.fa\n{tmp_path}/s1.fa\n")
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+        cli = [sys.executable, "-m", "metagraph_tpu.cli"]
+
+        def run(args):
+            r = subprocess.run(cli + args, capture_output=True, text=True,
+                               env=env, cwd=tmp_path)
+            assert r.returncode == 0, (args, r.stderr)
+
+        # rule build -> rule annotate -> rule generate_column_list ->
+        # rule transform_annotation_brwt (the Snakefile's shell commands);
+        # relative inputs as the reference workflow stages them
+        run(["build", "-k", "11", "-o", str(tmp_path / "g"),
+             "s0.fa", "s1.fa"])
+        cols = tmp_path / "columns"
+        cols.mkdir()
+        run(["annotate", "-i", str(tmp_path / "g.dbg.npz"),
+             "--anno-filename", "--separately", "-o", str(cols),
+             "s0.fa", "s1.fa"])
+        col_files = sorted(str(p) for p in cols.glob("*.column.annodbg*"))
+        assert len(col_files) == 2
+        run(["transform_anno", "--anno-type", "brwt",
+             "-i", str(tmp_path / "g.dbg.npz"),
+             "-o", str(tmp_path / "g")] + col_files)
+        from metagraph_tpu.annotation.matrix import load_annotation
+        anno = load_annotation(str(tmp_path / "g.brwt.annodbg"))
+        assert sorted(anno.encoder._labels) == ["s0.fa", "s1.fa"]
