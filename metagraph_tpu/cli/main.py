@@ -1163,28 +1163,40 @@ def cmd_merge_anno(args):
 
 def cmd_relax_brwt(args):
     """Rebalance a BRWT annotation (ref cli/transform_annotation.cpp
-    --relax-arity): rebuild the cluster tree with the requested arity."""
-    from ..annotation.matrix import BRWT, StaticAnnotation, load_annotation
+    --relax-arity).  Plain brwt rebuilds the cluster tree from the decoded
+    rows; row_diff_brwt rebuilds the INNER brwt over the diff rows, keeping
+    the row-diff routing untouched (ref relax_row_diff_brwt rule)."""
+    from ..annotation.matrix import (BRWT, RowDiff, StaticAnnotation,
+                                     load_annotation)
 
     a = load_annotation(args.input[0])
-    if not isinstance(getattr(a, "matrix", None), BRWT):
+    m = getattr(a, "matrix", None)
+    is_rd = isinstance(m, RowDiff) and isinstance(m.inner, BRWT)
+    if not is_rd and not isinstance(m, BRWT):
         raise SystemExit("relax_brwt requires a brwt annotation")
-    m = a.matrix
-    parts = [[] for _ in range(m.num_labels)]
+    inner = m.inner if is_rd else m
+    parts = [[] for _ in range(inner.num_labels)]
     CHUNK = 1 << 16              # bound memory to CHUNK x labels
-    for lo in range(0, m.num_rows, CHUNK):
-        rows = np.arange(lo, min(lo + CHUNK, m.num_rows))
-        mask = m.get_rows_mask(rows)
-        for c in range(m.num_labels):
+    for lo in range(0, inner.num_rows, CHUNK):
+        rows = np.arange(lo, min(lo + CHUNK, inner.num_rows))
+        mask = inner.get_rows_mask(rows)
+        for c in range(inner.num_labels):
             hit = np.flatnonzero(mask[:, c])
             if len(hit):
                 parts[c].append(lo + hit)
     cols = [np.concatenate(p) if p else np.zeros(0, np.int64)
             for p in parts]
-    rebuilt = BRWT.from_columns(cols, m.num_rows, m.num_labels,
+    rebuilt = BRWT.from_columns(cols, inner.num_rows, inner.num_labels,
                                 arity=args.relax_arity)
-    StaticAnnotation(rebuilt, a.encoder, "brwt").save(
-        args.out + ".brwt.annodbg")
+    if is_rd:
+        out = RowDiff(rebuilt, m.succ if not m.needs_sidecars else None,
+                      m.anchors if not m.needs_sidecars else None,
+                      m.num_labels)
+        StaticAnnotation(out, a.encoder, "row_diff_brwt").save(
+            args.out + ".row_diff_brwt.annodbg")
+    else:
+        StaticAnnotation(rebuilt, a.encoder, "brwt").save(
+            args.out + ".brwt.annodbg")
     print(f"relaxed brwt (arity {args.relax_arity})", file=sys.stderr)
 
 

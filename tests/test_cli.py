@@ -887,3 +887,26 @@ class TestMergeCountWidth:
         avg = float([l.split(": ")[1] for l in out.splitlines()
                      if l.startswith("avg weight")][0])
         assert avg > 255          # doubled ~100k counts, not clipped to 255
+
+
+class TestRelaxBRWT:
+    def test_relax_brwt_and_row_diff_brwt(self, tiny_fa, tmp_path):
+        """relax_brwt rebalances plain brwt AND row_diff_brwt (the inner
+        BRWT only; routing untouched) — ref Snakefile relax_brwt /
+        relax_row_diff_brwt rules; queries unchanged after relaxing."""
+        assert run_cli(["build", "-k", "11", "-o", "g", tiny_fa],
+                       tmp_path).returncode == 0
+        assert run_cli(["annotate", "-i", "g.dbg.npz", "--anno-header",
+                        "-o", "a", tiny_fa], tmp_path).returncode == 0
+        for fmt in ("brwt", "row_diff_brwt"):
+            assert run_cli(["transform_anno", "--anno-type", fmt,
+                            "-i", "g.dbg.npz", "-o", "g",
+                            "a.column.annodbg"], tmp_path).returncode == 0
+            before = run_cli(["query", "-i", "g.dbg.npz",
+                              "-a", f"g.{fmt}.annodbg", tiny_fa], tmp_path)
+            r = run_cli(["relax_brwt", "--relax-arity", "2", "-o", "rx",
+                         f"g.{fmt}.annodbg"], tmp_path)
+            assert r.returncode == 0, r.stderr
+            after = run_cli(["query", "-i", "g.dbg.npz",
+                             "-a", f"rx.{fmt}.annodbg", tiny_fa], tmp_path)
+            assert before.stdout and after.stdout == before.stdout

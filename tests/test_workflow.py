@@ -135,7 +135,8 @@ class TestSnakefile:
         # reference rule-DAG parity: the stage names users script against
         for rule in ("build", "annotate", "generate_column_list",
                      "transform_rd_stage", "transform_annotation",
-                     "relax_brwt", "build_joint_primary", "primarize"):
+                     "relax_brwt", "relax_row_diff_brwt",
+                     "build_joint_primary", "primarize"):
             assert rule in text, rule
         shells = re.findall(r'"\{metagraph_cmd\}\s+(\w+)', text)
         assert shells, "no shell commands found"
