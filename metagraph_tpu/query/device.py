@@ -249,23 +249,10 @@ def query_epoch_codes2(table: jnp.ndarray, bitmap: jnp.ndarray,
     return mask, counts, present, nodes.reshape(nc * C, T)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
-def query_epoch_wire(table2: jnp.ndarray, bitmap: jnp.ndarray,
-                     words: jnp.ndarray, vwords: jnp.ndarray,
-                     tile_seq: jnp.ndarray, dsel: jnp.ndarray,
-                     selmin: jnp.ndarray,
+def _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel, selmin,
                      num_seqs: int, num_labels: int, K: int, T: int):
-    """query_epoch_codes2 with hash keys taken DIRECTLY from the 2-bit wire
-    words (DNA, K <= 31): window keys are funnel shifts of the uploaded
-    stream (ops.extract_windows2) and validity is a log2(K)-step sliding AND
-    of the valid bitstream (ops.window_valid2) — no per-char unpack, no
-    nibble repack.  ~25% less device work per window than the codes2 path.
-
-    words: (N, NW) uint32 — tile_pack2's packed2 bytes padded to
-    max(ceil(PB/4), T/16 + 2) words and viewed little-endian; vwords:
-    (N, NV) uint32 — validb likewise.  table2 is a DeviceHashIndex built
-    over pack_kmers2 keys (W = 2).  Same fused selection/return contract as
-    query_epoch_codes2."""
+    """Traced body shared by query_epoch_wire (five device args) and
+    query_epoch_wire_buf (one fused upload buffer)."""
     N, NW = words.shape
     C = max(1, (1 << 17) // T)
     pad = (-N) % C
@@ -291,6 +278,64 @@ def query_epoch_wire(table2: jnp.ndarray, bitmap: jnp.ndarray,
                                   th.reshape(nc * C), tile_seq, num_seqs)
     mask = _pack_selection_mask(counts, present, dsel, selmin)
     return mask, counts, present, nodes.reshape(nc * C, T)
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def query_epoch_wire(table2: jnp.ndarray, bitmap: jnp.ndarray,
+                     words: jnp.ndarray, vwords: jnp.ndarray,
+                     tile_seq: jnp.ndarray, dsel: jnp.ndarray,
+                     selmin: jnp.ndarray,
+                     num_seqs: int, num_labels: int, K: int, T: int):
+    """query_epoch_codes2 with hash keys taken DIRECTLY from the 2-bit wire
+    words (DNA, K <= 31): window keys are funnel shifts of the uploaded
+    stream (ops.extract_windows2) and validity is a log2(K)-step sliding AND
+    of the valid bitstream (ops.window_valid2) — no per-char unpack, no
+    nibble repack.  ~25% less device work per window than the codes2 path.
+
+    words: (N, NW) uint32 — tile_pack2's packed2 bytes padded to
+    max(ceil(PB/4), T/16 + 2) words and viewed little-endian; vwords:
+    (N, NV) uint32 — validb likewise.  table2 is a DeviceHashIndex built
+    over pack_kmers2 keys (W = 2).  Same fused selection/return contract as
+    query_epoch_codes2."""
+    return _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel,
+                            selmin, num_seqs, num_labels, K, T)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def query_epoch_wire_buf(table2: jnp.ndarray, bitmap: jnp.ndarray,
+                         buf: jnp.ndarray, N: int, NW: int, NV: int,
+                         num_seqs: int, num_labels: int, K: int, T: int):
+    """query_epoch_wire over ONE fused uint32 upload buffer laid out as
+    [words (N*NW) | vwords (N*NV) | tile_seq (N) | dsel (num_seqs) |
+    selmin (num_seqs)] (int32 fields bitcast).  Per-transfer dispatch
+    latency on the host<->device link dominates at production batch sizes
+    (~25 ms/transfer on the relay), so collapsing five uploads into one
+    saves ~100 ms per sub-batch; the device-side slicing is free (fused
+    into the same program)."""
+    o = 0
+    words = buf[o:o + N * NW].reshape(N, NW)
+    o += N * NW
+    vwords = buf[o:o + N * NV].reshape(N, NV)
+    o += N * NV
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    tile_seq = bc(buf[o:o + N])
+    o += N
+    dsel = bc(buf[o:o + num_seqs])
+    o += num_seqs
+    selmin = bc(buf[o:o + num_seqs])
+    return _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel,
+                            selmin, num_seqs, num_labels, K, T)
+
+
+def wire_epoch_buffer(words: np.ndarray, vwords: np.ndarray,
+                      tile_seq: np.ndarray, dsel: np.ndarray,
+                      selmin: np.ndarray) -> np.ndarray:
+    """Host-side packing of query_epoch_wire_buf's fused upload buffer."""
+    return np.concatenate([
+        words.reshape(-1), vwords.reshape(-1),
+        np.ascontiguousarray(tile_seq).view(np.uint32),
+        np.ascontiguousarray(dsel).view(np.uint32),
+        np.ascontiguousarray(selmin).view(np.uint32)])
 
 
 def wire_words_layout(packed2: np.ndarray, validb: np.ndarray, K: int,

@@ -505,16 +505,20 @@ class QueryEngine:
             dsel, selmin = _thresholds(nwins, discovery_fraction,
                                        presence_fraction, Spad)
             if index2 is not None:
-                # wire-key path: keys funnel-shifted from the 2-bit stream
+                # wire-key path: keys funnel-shifted from the 2-bit stream,
+                # all five epoch inputs fused into ONE upload (the link's
+                # per-transfer latency dominates; see query_epoch_wire_buf)
+                from .device import query_epoch_wire_buf, wire_epoch_buffer
                 words, vwords = wire_words_layout(tiles2, validb, k, TILE,
                                                   npad)
                 tile_seq = np.concatenate(
                     [tile_seq, np.zeros(npad - n, tile_seq.dtype)]) \
                     if npad != n else tile_seq
-                mask, counts, present, nodes_t = query_epoch_wire(
-                    index2.table, danno.bitmap, jnp.asarray(words),
-                    jnp.asarray(vwords), jnp.asarray(tile_seq),
-                    jnp.asarray(dsel), jnp.asarray(selmin), Spad, L, k, TILE)
+                buf = wire_epoch_buffer(words, vwords, tile_seq, dsel,
+                                        selmin)
+                mask, counts, present, nodes_t = query_epoch_wire_buf(
+                    index2.table, danno.bitmap, jnp.asarray(buf),
+                    npad, words.shape[1], vwords.shape[1], Spad, L, k, TILE)
             else:
                 if npad != n:
                     tiles2 = np.concatenate(
