@@ -146,8 +146,15 @@ class DBGAligner:
         # uses the wave extender so every read's columns batch together
         self.extender_class = extender_class
 
-    def _make_seeder(self, query: bytes, orientation: bool):
-        nodes = self.graph.map_to_nodes_sequentially(query)
+    def _make_seeder(self, query: bytes, orientation: bool, pre=None):
+        if pre is not None and "nodes" in pre:
+            nodes = pre["nodes"]
+        else:
+            nodes = self.graph.map_to_nodes_sequentially(query)
+        if pre is not None and "ranges" in pre:
+            return self.seeder_class(self.graph, query, orientation, nodes,
+                                     self.config,
+                                     precomputed_ranges=pre["ranges"])
         return self.seeder_class(self.graph, query, orientation, nodes,
                                  self.config)
 
@@ -157,7 +164,7 @@ class DBGAligner:
 
     def align(self, query: bytes) -> List[Alignment]:
         """Single-query path: drive the alignment generator locally."""
-        from .wave_extender import _outgoing_batch, compute_wave
+        from .flat import extend_flat
         gen = self.align_gen(query)
         resp = None
         while True:
@@ -165,8 +172,8 @@ class DBGAligner:
                 tag, req = gen.send(resp)
             except StopIteration as st:
                 return st.value
-            resp = _outgoing_batch(self.graph, req) if tag == "out" \
-                else compute_wave(*req)
+            assert tag == "extend"
+            resp = extend_flat([req])[0]
 
     def align_batch(self, queries: List[bytes], backend: str = "numpy"
                     ) -> List[List[Alignment]]:
@@ -176,19 +183,75 @@ class DBGAligner:
         ref dbg_aligner.cpp:358; per-read results identical to align())."""
         from .batch import drive_batch
         from .wave_extender import WaveExtender
+        pres = self._preseed_batch(queries)
         return drive_batch(
-            [self.align_gen(q, extender_default=WaveExtender)
-             for q in queries], backend, graph=self.graph)
+            [self.align_gen(q, extender_default=WaveExtender, pre=pre)
+             for q, pre in zip(queries, pres)], backend, graph=self.graph)
 
-    def align_gen(self, query: bytes, extender_default=None):
-        """Generator producing compute_wave requests; returns alignments."""
+    def _fold_query(self, query: bytes) -> bytes:
         alpha = getattr(self.graph, "alphabet", None)
         if alpha is None or alpha.name != "DNA_CASE":
-            # case folds to the canonical form — except for the
-            # case-sensitive alphabet, where case is part of the character
-            query = bytes(query).upper()
-        else:
-            query = bytes(query)
+            return bytes(query).upper()
+        return bytes(query)
+
+    def _preseed_batch(self, queries: List[bytes]):
+        """Cross-read batched seeder precompute: ONE BOSS lockstep
+        longest-prefix range walk over every (read, orientation) replaces the
+        per-read walks (ref SuffixSeeder ctor work, aligner_seeder_methods
+        .cpp:152-208 — same values, batched)."""
+        cfg = self.config
+        k = self.graph.k
+        dbg = self.graph
+        base = dbg.graph if hasattr(dbg, "get_base_node") else dbg
+        want_ranges = (cfg.min_seed_length < k and hasattr(base, "boss")
+                       and getattr(self.seeder_class, "__name__", ""
+                                   ).startswith("SuffixSeeder"))
+        both = cfg.forward_and_reverse_complement
+        per_seq = []          # (read_idx, orientation, folded seq)
+        for qi, q in enumerate(queries):
+            fq = self._fold_query(q)
+            per_seq.append((qi, False, fq))
+            if both:
+                per_seq.append((qi, True, revcomp(fq)))
+        pres = [dict() for _ in queries]
+        if not want_ranges:
+            return pres
+        enc_parts = []
+        meta = []             # (qi, orientation, base_off, n_pos, lens)
+        off = 0
+        ex = base.extractor
+        for qi, orient, s in per_seq:
+            if len(s) < cfg.min_seed_length:
+                continue
+            n_pos = len(s) - cfg.min_seed_length + 1
+            pos = np.arange(n_pos, dtype=np.int64)
+            lens = np.minimum(min(cfg.max_seed_length, k - 1), len(s) - pos)
+            enc_parts.append(ex.encode(s))
+            meta.append((qi, orient, off, n_pos, lens))
+            off += len(s)
+        if not meta:
+            return pres
+        codes = np.concatenate(enc_parts)
+        starts = np.concatenate(
+            [m[2] + np.arange(m[3], dtype=np.int64) for m in meta])
+        lens_all = np.concatenate([m[4] for m in meta])
+        firsts, lasts, matcheds = base.boss.index_range_batch(
+            codes, starts, lens_all)
+        p = 0
+        for (qi, orient, _off, n_pos, lens) in meta:
+            pres[qi][orient] = {
+                "ranges": (firsts[p: p + n_pos], lasts[p: p + n_pos],
+                           matcheds[p: p + n_pos])}
+            p += n_pos
+        return pres
+
+    def align_gen(self, query: bytes, extender_default=None, pre=None):
+        """Generator producing flat-engine extension requests; returns
+        alignments.  ``pre`` optionally carries batched seeder precompute
+        (orientation -> dict, see _preseed_batch)."""
+        # case folds to the canonical form — except for the case-sensitive
+        # alphabet, where case is part of the character
+        query = self._fold_query(query)
         aggregator = AlignmentAggregator(self.config)
 
         def add_alignment(aln: Alignment):
@@ -202,7 +265,8 @@ class DBGAligner:
                 else aggregator.get_global_cutoff()
             return max(self.config.min_path_score, cutoff)
 
-        fwd_seeder = self._make_seeder(query, False)
+        fwd_seeder = self._make_seeder(query, False,
+                                       pre.get(False) if pre else None)
         fwd_extender = self._make_extender(query, extender_default)
 
         if not self.config.forward_and_reverse_complement:
@@ -211,7 +275,8 @@ class DBGAligner:
                                         False)
         else:
             query_rc = revcomp(query)
-            rc_seeder = self._make_seeder(query_rc, True)
+            rc_seeder = self._make_seeder(query_rc, True,
+                                          pre.get(True) if pre else None)
             rc_extender = self._make_extender(query_rc, extender_default)
             yield from self._align_both(query, query_rc, fwd_seeder,
                                         rc_seeder, fwd_extender, rc_extender,
@@ -237,13 +302,14 @@ class DBGAligner:
     # ------------------------------------------------------------ internals
     @staticmethod
     def _get_extensions_gen(extender, seed, min_path_score, force_fixed_seed):
-        """Delegate to the extender's wave generator when it has one (the
-        host extender computes inline and yields nothing)."""
-        fn = getattr(extender, "get_extensions_waves", None)
-        if fn is None:
+        """Yield flat-engine jobs for wave extenders (batched across reads
+        by drive_batch); inline extenders compute in place."""
+        if not getattr(extender, "flat_capable", False):
             return extender.get_extensions(seed, min_path_score,
                                            force_fixed_seed)
-        return (yield from fn(seed, min_path_score, force_fixed_seed))
+        exts = yield ("extend", (extender, seed, min_path_score,
+                                 force_fixed_seed))
+        return exts
 
     def _align_core(self, seeder, extender, callback, get_min_path_score,
                     force_fixed_seed):

@@ -1,17 +1,16 @@
-"""Lockstep batch wave driver.
+"""Lockstep batch alignment driver.
 
-Runs many per-read alignment generators (DBGAligner.align_gen) in lockstep:
-at every global step, each active read contributes its pending wave of DP
-columns; all waves are concatenated (padded to a common band width) and
-scored by ONE batched compute_wave call, then the results are scattered back
-and every generator advances to its next wave.  Per-read results are
-byte-identical to the sequential path — the generators encapsulate all
-per-read control flow; only the arithmetic is batched.
+Runs many per-read alignment generators (DBGAligner.align_gen) in lockstep
+at EXTENSION granularity: each generator yields ("extend", job) requests;
+the driver collects one job per active read and runs them all concurrently
+through the flat wave engine (flat.py) — one stacked column-DP call and one
+batched graph-traversal call per global wave, across every read's current
+extension.  Per-read results are byte-identical to the sequential path: the
+generators encapsulate all per-read control flow (seed order, aggregator
+cutoffs, convergence-filter reuse across seeds).
 
 This is the TPU-shaped replacement for the reference's per-thread alignment
-loop (ref dbg_aligner.cpp:358-385 driven from cli/align.cpp:305): the
-device backend jits the wave kernel so one dispatch scores every read's
-frontier at once.
+loop (ref dbg_aligner.cpp:358-385 driven from cli/align.cpp:305).
 """
 
 from __future__ import annotations
@@ -21,77 +20,15 @@ from typing import List
 import numpy as np
 
 from .config import NINF
-from .wave_extender import compute_wave
-
-
-def _pad2(a: np.ndarray, width: int, fill) -> np.ndarray:
-    if a.shape[1] == width:
-        return a
-    out = np.full((a.shape[0], width), fill, dtype=a.dtype)
-    out[:, : a.shape[1]] = a
-    return out
-
-
-def compute_wave_batch(reqs: List[tuple], backend: str = "numpy"):
-    """Serve a list of compute_wave argument tuples with one batched call."""
-    if len(reqs) == 1 and backend == "numpy":
-        r = reqs[0]
-        return [compute_wave(*r)]
-    widths = [r[0].shape[1] for r in reqs]
-    W = max(widths)
-    gap_open, gap_ext = reqs[0][9], reqs[0][10]
-    assert all(r[9] == gap_open and r[10] == gap_ext for r in reqs)
-    SpM = np.concatenate([_pad2(r[0], W, NINF) for r in reqs])
-    SpF = np.concatenate([_pad2(r[1], W, NINF) for r in reqs])
-    Fp = np.concatenate([_pad2(r[2], W, NINF) for r in reqs])
-    prof = np.concatenate([_pad2(r[3], W, NINF) for r in reqs])
-    score = np.concatenate([r[4] for r in reqs])
-    has_del = np.concatenate([r[5] for r in reqs])
-    band_lo = np.concatenate([r[6] for r in reqs])
-    band_hi = np.concatenate([r[7] for r in reqs])
-    cutoff = np.concatenate([r[8] for r in reqs])
-    if backend == "device":
-        S, E, F = _compute_wave_device(SpM, SpF, Fp, prof, score, has_del,
-                                       band_lo, band_hi, cutoff, gap_open,
-                                       gap_ext)
-    else:
-        S, E, F = compute_wave(SpM, SpF, Fp, prof, score, has_del, band_lo,
-                               band_hi, cutoff, gap_open, gap_ext)
-    out = []
-    off = 0
-    for r, w in zip(reqs, widths):
-        n = r[0].shape[0]
-        out.append((S[off: off + n, :w], E[off: off + n, :w],
-                    F[off: off + n, :w]))
-        off += n
-    return out
-
-
-def outgoing_batch_multi(graph, reqs: List[np.ndarray]):
-    """Serve many per-read outgoing-edge requests with ONE graph batch op.
-
-    Concatenates the node arrays, calls the graph's vectorized
-    call_outgoing_batch once, and splits the (owner, child, char) triples
-    back per request (owners ascend, so the split is a searchsorted)."""
-    from .wave_extender import _outgoing_batch
-    if len(reqs) == 1:
-        return [_outgoing_batch(graph, reqs[0])]
-    lens = np.array([len(r) for r in reqs], dtype=np.int64)
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    own, chd, cde = _outgoing_batch(graph, np.concatenate(reqs))
-    cuts = np.searchsorted(own, offs)
-    return [(own[cuts[i]: cuts[i + 1]] - offs[i],
-             chd[cuts[i]: cuts[i + 1]], cde[cuts[i]: cuts[i + 1]])
-            for i in range(len(reqs))]
+from .flat import extend_flat
 
 
 def drive_batch(gens: List, backend: str = "numpy", graph=None) -> List:
     """Advance alignment generators in lockstep; returns their results.
 
-    Generators yield tagged requests: ("wave", compute_wave args) scored by
-    one batched DP call, and ("out", node array) served by one batched graph
-    traversal — so both the arithmetic AND the BOSS navigation amortize
-    across every active read."""
+    Generators yield ("extend", (extender, seed, min_path_score,
+    force_fixed_seed)) requests; each driver round serves every active
+    read's pending extension with ONE flat-engine run."""
     results = [None] * len(gens)
     pending = {}
     for i, g in enumerate(gens):
@@ -101,21 +38,12 @@ def drive_batch(gens: List, backend: str = "numpy", graph=None) -> List:
             results[i] = st.value
     while pending:
         keys = sorted(pending)
-        out_keys = [k for k in keys if pending[k][0] == "out"]
-        wave_keys = [k for k in keys if pending[k][0] == "wave"]
-        resps = {}
-        if out_keys:
-            outs = outgoing_batch_multi(graph,
-                                        [pending[k][1] for k in out_keys])
-            resps.update(zip(out_keys, outs))
-        if wave_keys:
-            waves = compute_wave_batch([pending[k][1] for k in wave_keys],
-                                       backend)
-            resps.update(zip(wave_keys, waves))
+        jobs = [pending[k][1] for k in keys]
+        outs = extend_flat(jobs, backend=backend)
         next_pending = {}
-        for k in keys:
+        for k, out in zip(keys, outs):
             try:
-                next_pending[k] = gens[k].send(resps[k])
+                next_pending[k] = gens[k].send(out)
             except StopIteration as st:
                 results[k] = st.value
         pending = next_pending

@@ -190,9 +190,10 @@ def make_suffix_seeder(base_cls):
     sub-k seeds via BOSS suffix-range matching when min_seed_length < k."""
 
     class SuffixSeeder(base_cls):
-        def __init__(self, *args, **kwargs):
+        def __init__(self, *args, precomputed_ranges=None, **kwargs):
             super().__init__(*args, **kwargs)
             self._seeds = None
+            self._pre_ranges = precomputed_ranges
             self._generate()
 
         def _base_graph(self):
@@ -246,23 +247,37 @@ def make_suffix_seeder(base_cls):
             # lockstep longest-prefix range walk over all positions
             # (ref boss.hpp:720-764, batched; acceptance checks stay per-pos)
             boss = dbg_succ.boss
-            enc_q = dbg_succ.extractor.encode(self.query)
             pos_arr = np.arange(n_pos, dtype=np.int64)
             lens = np.minimum(min(cfg.max_seed_length, k - 1),
                               len(self.query) - pos_arr)
-            firsts, lasts, matcheds = boss.index_range_batch(
-                enc_q, pos_arr, lens)
+            if self._pre_ranges is not None:
+                firsts, lasts, matcheds = self._pre_ranges
+            else:
+                enc_q = dbg_succ.extractor.encode(self.query)
+                firsts, lasts, matcheds = boss.index_range_batch(
+                    enc_q, pos_arr, lens)
+            # batched range enumeration over a static superset of the
+            # positions the loop below can reach (min_len only grows, so
+            # min_len-now is a lower bound for min_len-at-loop-time)
+            ml0 = np.array(min_len, dtype=np.int64)
+            elig = ((lens >= ml0) & (np.asarray(matcheds) >= ml0)
+                    & (np.asarray(firsts) != 0))
+            epos = np.flatnonzero(elig)
+            enodes = dbg_succ.nodes_in_suffix_ranges_batch(
+                np.asarray(firsts)[epos], np.asarray(lasts)[epos],
+                cfg.max_num_seeds_per_locus)
+            pre_nodes = dict(zip(epos.tolist(), enodes))
             for i in range(n_pos):
-                if cfg.seed_complexity_filter and is_low_complexity(
-                        self.query[i: i + min_len[i]]):
-                    continue
                 seed_length = int(matcheds[i])
                 if lens[i] < min_len[i] or seed_length < min_len[i] \
                         or not firsts[i]:
+                    # ineligible either way; skipping the complexity filter
+                    # here only saves work (both checks `continue`)
                     continue
-                nodes = dbg_succ.nodes_in_suffix_range(
-                    int(firsts[i]), int(lasts[i]),
-                    cfg.max_num_seeds_per_locus)
+                if cfg.seed_complexity_filter and is_low_complexity(
+                        self.query[i: i + min_len[i]]):
+                    continue
+                nodes = pre_nodes[i]
                 if (i >= last_full and len(nodes) == 1 and last_full >= 1
                         and min_len[last_full - 1] == k
                         and len(suffix_seeds[last_full - 1]) == 1

@@ -414,6 +414,88 @@ class DBGSuccinct:
                 return []
         return self._nodes_in_rank_range(rf, rl, max_num_allowed_matches)
 
+    def nodes_in_suffix_ranges_batch(self, firsts, lasts,
+                                     max_num_allowed_matches: int = 2 ** 63):
+        """nodes_in_suffix_range over many [first, last] ranges at once;
+        returns a list of per-range node lists ([] on overflow).  All ranges
+        share one batched select/bwd/rank sweep (the per-range path pays
+        ~15 small native calls each; this pays them once for the batch)."""
+        firsts = np.asarray(firsts, dtype=np.int64)
+        lasts = np.asarray(lasts, dtype=np.int64)
+        L = len(firsts)
+        results: list = [[] for _ in range(L)]
+        if L == 0:
+            return results
+        boss = self.boss
+        rf = boss.rank_last(firsts)
+        rl = boss.rank_last(lasts)
+        group_counts = rl - rf + 1
+        if self.masked:
+            # masked graphs can't pre-cap on group count (groups may be all
+            # dummies); enumerate fully unless the range is huge, in which
+            # case the per-range prefix heuristic bounds the work
+            big = max(4 * max_num_allowed_matches, 1 << 14)
+            huge = group_counts > big
+            for i in np.flatnonzero(huge):
+                results[int(i)] = self.nodes_in_suffix_range(
+                    int(firsts[i]), int(lasts[i]), max_num_allowed_matches)
+            en = (group_counts > 0) & ~huge
+        else:
+            # every group contributes >= 1 node, so ranges past the cap are
+            # already overflowed
+            en = (group_counts > 0) \
+                & (group_counts <= max_num_allowed_matches)
+        idx = np.flatnonzero(en)
+        if len(idx) == 0:
+            return results
+        cnts = group_counts[idx]
+        total_groups = int(cnts.sum())
+        owner_grp = np.repeat(np.arange(len(idx)), cnts)
+        rs = np.repeat(rf[idx], cnts) + (
+            np.arange(total_groups, dtype=np.int64)
+            - np.repeat(np.cumsum(cnts) - cnts, cnts))
+        e = boss.select_last(rs)
+        x = boss.bwd(e)                       # first incoming edge (W == d)
+        d = boss.node_last_char(e)
+        M = len(boss.W)
+        rk_d = boss.rank_W(x, d)
+        tot_d = boss.rank_W(np.full(len(x), M - 1, dtype=np.int64), d)
+        stop = np.where(tot_d > rk_d, boss.select_W(d, rk_d + 1), M)
+        hi = stop - 1
+        dm = d + boss.alph_size
+        base = boss.rank_W(x, dm)
+        cnt = boss.rank_W(hi, dm) - base
+        gs = cnt + 1                          # per-group emission count
+        total = int(gs.sum())
+        offs = np.concatenate([[0], np.cumsum(gs)])
+        out = np.empty(total, dtype=np.int64)
+        out[offs[:-1]] = x
+        if total > len(x):
+            minus_owner = np.repeat(np.arange(len(x)), cnt)
+            ranks = base[minus_owner] + (np.arange(len(minus_owner))
+                                         - np.repeat(np.cumsum(cnt) - cnt,
+                                                     cnt)) + 1
+            minus = boss.select_W(dm[minus_owner], ranks)
+            mask = np.ones(total, dtype=bool)
+            mask[offs[:-1]] = False
+            out[mask] = minus
+        # split per range: element counts = sum of gs over each range's groups
+        range_sizes = np.zeros(len(idx), dtype=np.int64)
+        np.add.at(range_sizes, owner_grp, gs)
+        if self.masked:
+            rid = np.repeat(np.arange(len(idx)), range_sizes)
+            vmask = boss.valid[out] > 0
+            out = out[vmask]
+            rid = rid[vmask]
+            range_sizes = np.zeros(len(idx), dtype=np.int64)
+            np.add.at(range_sizes, rid, 1)
+        bounds = np.concatenate([[0], np.cumsum(range_sizes)])
+        for t, i in enumerate(idx):
+            seg = out[bounds[t]: bounds[t + 1]]
+            if len(seg) <= max_num_allowed_matches:
+                results[int(i)] = seg.tolist()
+        return results
+
     def _nodes_in_rank_range(self, rf: int, rl: int,
                              max_num_allowed_matches: int = 2 ** 63):
         boss = self.boss
