@@ -26,6 +26,7 @@ from .config import NINF
 from .extender import Column, DefaultColumnExtender
 
 _BIG = np.int64(2 ** 62)
+_POS = np.int32(2 ** 31 - 1)
 
 
 def _lite_column(node, parent, c, offset, max_pos, trim, score, S, E, F):
@@ -65,7 +66,8 @@ class _Job:
     def __init__(self, ext, seed, min_path_score, ffs):
         self.ext = ext
         self.seed = seed
-        self.min_path_score = min_path_score
+        # extender entry clamp (wave_extender ref: _extend start)
+        self.min_path_score = max(0, min_path_score)
         self.ffs = ffs
         self.tips: List[int] = []
         self.conv_rows = {}      # node -> row index into the CONV store
@@ -120,7 +122,7 @@ def _run_group(jobs_in, backend: str) -> List[List[Alignment]]:
     ffs_v = np.zeros(J, dtype=bool)
     pso_v = np.empty(J, dtype=np.int64)
     max_nodes_cap = np.empty(J, dtype=np.float64)
-    xdrop_v = np.empty(J, dtype=np.int64)
+    xdrop_v = np.empty(J, dtype=np.int32)
     rcut_v = np.empty(J, dtype=np.float64)
 
     for j, job in enumerate(jobs):
@@ -151,6 +153,7 @@ def _run_group(jobs_in, backend: str) -> List[List[Alignment]]:
 
     W = int(WSv.max())
     jj = np.arange(W, dtype=np.int64)
+    jj32 = jj.astype(np.int32)
 
     # padded per-job seed node/sequence tables
     Ln = max(len(job.seed.nodes) for job in jobs)
@@ -163,8 +166,12 @@ def _run_group(jobs_in, backend: str) -> List[List[Alignment]]:
             job.seed.sequence, dtype=np.uint8)
 
     # profile stacks (J, C, W) and partial-sum rows (J, W)
-    P = np.full((J, C, W), NINF, dtype=np.int64)
-    pss = np.zeros((J, W), dtype=np.int64)
+    # value arrays are int32: NINF (= INT32_MIN + 100) fits exactly, all
+    # score arithmetic stays within the +-100 headroom (see compute_wave's
+    # wrap-safe E clamp), and halving the element size halves the memory
+    # traffic of the wave loop — its dominant cost
+    P = np.full((J, C, W), NINF, dtype=np.int32)
+    pss = np.zeros((J, W), dtype=np.int32)
     for j, job in enumerate(jobs):
         ext = job.ext
         s, WS = job.start, job.WS
@@ -173,10 +180,10 @@ def _run_group(jobs_in, backend: str) -> List[List[Alignment]]:
         pss[j, :WS] = ext.partial_sums[s: s + WS]
 
     # per-job mutable vectors
-    cutoff = np.array([job.cutoff for job in jobs], dtype=np.int64)
-    best = np.zeros(J, dtype=np.int64)
+    cutoff = np.array([job.cutoff for job in jobs], dtype=np.int32)
+    best = np.zeros(J, dtype=np.int32)
     TL = np.ones(J, dtype=np.int64)              # len(ext.table)
-    mcs = np.zeros(J, dtype=np.int64)            # min_cell_score
+    mcs = np.zeros(J, dtype=np.int32)            # min_cell_score
 
     # convergence-filter store: rows of width W-1; every row is fully
     # written at allocation time (scores are already NINF-padded), so the
@@ -185,14 +192,14 @@ def _run_group(jobs_in, backend: str) -> List[List[Alignment]]:
     # a real copy) practically never happens: tables are ~bounded by
     # max_nodes_per_seq_char * window per job.
     conv_cap = max(4096, J * (int(max_nodes_cap.max() * W) + 64))
-    CONV = np.empty((conv_cap, max(W - 1, 1)), dtype=np.int64)
+    CONV = np.empty((conv_cap, max(W - 1, 1)), dtype=np.int32)
     conv_n = 0
 
     def conv_alloc(n):
         nonlocal CONV, conv_cap, conv_n
         while conv_n + n > conv_cap:
             conv_cap *= 2
-            newC = np.empty((conv_cap, CONV.shape[1]), dtype=np.int64)
+            newC = np.empty((conv_cap, CONV.shape[1]), dtype=np.int32)
             newC[:conv_n] = CONV[:conv_n]
             CONV = newC
         rows = np.arange(conv_n, conv_n + n)
@@ -205,14 +212,14 @@ def _run_group(jobs_in, backend: str) -> List[List[Alignment]]:
     act_prio = np.zeros(J, dtype=np.int64)
     act_node = seed_node0.copy()
     act_offset = seed_off.copy()
-    S_act = np.full((J, W), NINF, dtype=np.int64)
-    F_act = np.full((J, W), NINF, dtype=np.int64)
+    S_act = np.full((J, W), NINF, dtype=np.int32)
+    F_act = np.full((J, W), NINF, dtype=np.int32)
     for j, job in enumerate(jobs):
         ext, WS = job.ext, job.WS
         cfgj = ext.config
-        rS = np.full(WS, NINF, dtype=np.int64)
-        rE = np.full(WS, NINF, dtype=np.int64)
-        rF = np.full(WS, NINF, dtype=np.int64)
+        rS = np.full(WS, NINF, dtype=np.int32)
+        rE = np.full(WS, NINF, dtype=np.int32)
+        rF = np.full(WS, NINF, dtype=np.int32)
         rS[0] = cfgj.left_end_bonus \
             if (cfgj.left_end_bonus and not job.start) else 0
         if WS > 1:
@@ -233,15 +240,12 @@ def _run_group(jobs_in, backend: str) -> List[List[Alignment]]:
 
     # --------------------------------------------------------- wave loop
     while len(act_jid):
-        # per-job best-first order: (-priority, table idx) within each job
+        # per-job best-first order: (-priority, table idx) within each job.
+        # Only the RANK is needed (children sort by their parent's rank);
+        # the stacked rows themselves stay unsorted.
         order = np.lexsort((act_tidx, -act_prio, act_jid))
-        act_jid = act_jid[order]
-        act_tidx = act_tidx[order]
-        act_prio = act_prio[order]
-        act_node = act_node[order]
-        act_offset = act_offset[order]
-        S_act = S_act[order]
-        F_act = F_act[order]
+        prank = np.empty(len(order), dtype=np.int64)
+        prank[order] = np.arange(len(order))
 
         cutc = cutoff[act_jid]
         inr = S_act >= cutc[:, None]
@@ -280,7 +284,7 @@ def _run_group(jobs_in, backend: str) -> List[List[Alignment]]:
         ab_chars = seed_seq[act_jid[ab_rows], seed_pos[ab_rows]]
         ab_score = np.where(
             ~a_of & (ab_nodes == 0),
-            np.where(act_node[ab_rows] == 0, ge, go), 0).astype(np.int64)
+            np.where(act_node[ab_rows] == 0, ge, go), 0).astype(np.int32)
 
         if len(rows_c):
             own, chd, cde = _outgoing_batch(graph, act_node[rows_c])
@@ -291,26 +295,31 @@ def _run_group(jobs_in, backend: str) -> List[List[Alignment]]:
             c_rows = rows_c[own]
             c_nodes = chd
             c_chars = cde
+            # emission index within each parent (own is ascending)
+            c_emi = np.arange(len(own), dtype=np.int64) \
+                - np.searchsorted(own, own, side="left")
         else:
             c_rows = np.empty(0, dtype=np.int64)
             c_nodes = np.empty(0, dtype=np.int64)
             c_chars = np.empty(0, dtype=np.int64)
+            c_emi = np.empty(0, dtype=np.int64)
 
-        # per-job child order: [a/b children in row order] then [graph
-        # children in row order] (matches wave_extender.py:221-266)
+        # per-job child order: [a/b children in parent-rank order] then
+        # [graph children in parent-rank, emission order] (matches
+        # wave_extender.py:221-266)
         ch_rows = np.concatenate([ab_rows, c_rows])
         if len(ch_rows) == 0:
             break
         ch_nodes = np.concatenate([ab_nodes, c_nodes])
         ch_chars = np.concatenate([ab_chars, c_chars])
         ch_score = np.concatenate(
-            [ab_score, np.zeros(len(c_rows), dtype=np.int64)])
+            [ab_score, np.zeros(len(c_rows), dtype=np.int32)])
         ch_class = np.concatenate([np.zeros(len(ab_rows), dtype=np.int64),
                                    np.ones(len(c_rows), dtype=np.int64)])
-        seqi = np.concatenate([np.arange(len(ab_rows), dtype=np.int64),
-                               np.arange(len(c_rows), dtype=np.int64)])
+        seqi = np.concatenate([np.zeros(len(ab_rows), dtype=np.int64),
+                               c_emi])
         ch_jid = act_jid[ch_rows]
-        corder = np.lexsort((seqi, ch_class, ch_jid))
+        corder = np.lexsort((seqi, prank[ch_rows], ch_class, ch_jid))
         ch_rows = ch_rows[corder]
         ch_nodes = ch_nodes[corder]
         ch_chars = ch_chars[corder]
@@ -330,25 +339,31 @@ def _run_group(jobs_in, backend: str) -> List[List[Alignment]]:
             from .batch import _compute_wave_device
             S, E, F = _compute_wave_device(SpM, SpF, Fp, prof, ch_score,
                                            ch_off > 1, blo, bhi, ccut, go, ge)
+            S = S.astype(np.int32)
+            E = E.astype(np.int32)
+            F = F.astype(np.int32)
         else:
             S, E, F = compute_wave(SpM, SpF, Fp, prof, ch_score, ch_off > 1,
                                    blo, bhi, ccut, go, ge)
         # mask the pad region beyond each job's window width
-        pad = jj[None, :] >= WSv[ch_jid][:, None]
-        if pad.any():
+        if WSv.min() < W:
+            pad = jj[None, :] >= WSv[ch_jid][:, None]
             S = np.where(pad, NINF, S)
             E = np.where(pad, NINF, E)
             F = np.where(pad, NINF, F)
+        else:
+            pad = None
 
         # max pos closest to the diagonal (wave_extender.py:284-288)
-        diag = ch_off - seed_off[ch_jid]
+        diag = (ch_off - seed_off[ch_jid]).astype(np.int32)
         Smax = S.max(axis=1)
-        dist = np.abs(jj[None, :] - diag[:, None])
-        dist = np.where(pad, _BIG, dist)
-        mp = np.argmin(np.where(S == Smax[:, None], dist, _BIG), axis=1)
+        dist = np.abs(jj32[None, :] - diag[:, None])
+        if pad is not None:
+            dist = np.where(pad, _POS, dist)
+        mp = np.argmin(np.where(S == Smax[:, None], dist, _POS), axis=1)
 
         # per-job min cell score
-        fin = np.where(S == NINF, _BIG, S)
+        fin = np.where(S == NINF, _POS, S)
         col_min = fin.min(axis=1)
         np.minimum.at(mcs, ch_jid, col_min)
 
@@ -376,7 +391,7 @@ def _run_group(jobs_in, backend: str) -> List[List[Alignment]]:
         # return their raw max (extender.py:131-133).
         scores_k = S[kept, 1:]                       # (Nk, W-1), pad NINF
         nodes_k = ch_nodes[kept]
-        ret = np.full(len(kept), NINF, dtype=np.int64)
+        ret = np.full(len(kept), NINF, dtype=np.int32)
         nonempty = wsizev[kj] > 0
 
         zero_node = nonempty & (nodes_k == 0)

@@ -38,9 +38,10 @@ def compute_wave(SpM: np.ndarray, SpF: np.ndarray, Fp: np.ndarray,
     columns embedded at full width.
     """
     N, WS = SpM.shape
+    dt = SpM.dtype
     ns = node_score[:, None]
     # M[j] = Sp[j-1] + prof[j] + ns  (M[0] = NINF)
-    M = np.full((N, WS), NINF, dtype=np.int64)
+    M = np.full((N, WS), NINF, dtype=dt)
     M[:, 1:] = np.where(SpM[:, :-1] == NINF, NINF,
                         SpM[:, :-1] + prof[:, 1:] + ns)
     # F[j] = max(Sp[j] + open, Fp[j] + ext) + ns   (only when offset > 1)
@@ -51,14 +52,17 @@ def compute_wave(SpM: np.ndarray, SpF: np.ndarray, Fp: np.ndarray,
     F = np.where(has_del[:, None], F, NINF)
     M = np.maximum(M, F)
     # E[j] = max_{i<j} M[i] + open + (j-1-i)*ext  via running max
-    E = np.full((N, WS), NINF, dtype=np.int64)
+    E = np.full((N, WS), NINF, dtype=dt)
     if WS > 1:
-        idx = np.arange(WS, dtype=np.int64)
+        idx = np.arange(WS, dtype=dt)
         B = M + gap_open - (idx + 1)[None, :] * gap_ext
         run = np.maximum.accumulate(B, axis=1)
-        Ev = run[:, :-1] + (idx[1:] * gap_ext)[None, :]
-        E[:, 1:] = np.where(Ev <= NINF, NINF, Ev)
-    cut = np.asarray(xdrop_cutoff, dtype=np.int64)
+        # Ev = run + idx*ext; clamp Ev <= NINF to NINF — tested BEFORE the
+        # addition (run <= NINF - idx*ext) so int32 storage cannot wrap
+        idxge = (idx[1:] * gap_ext)[None, :]
+        E[:, 1:] = np.where(run[:, :-1] <= NINF - idxge, NINF,
+                            run[:, :-1] + idxge)
+    cut = np.asarray(xdrop_cutoff, dtype=dt)
     if cut.ndim:
         cut = cut[:, None]
     S = np.maximum(M, E)
