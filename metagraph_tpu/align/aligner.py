@@ -184,9 +184,11 @@ class DBGAligner:
         from .batch import drive_batch
         from .wave_extender import WaveExtender
         pres = self._preseed_batch(queries)
+        max_window = max((len(q) + 1 for q in queries), default=1)
         return drive_batch(
             [self.align_gen(q, extender_default=WaveExtender, pre=pre)
-             for q, pre in zip(queries, pres)], backend, graph=self.graph)
+             for q, pre in zip(queries, pres)], backend, graph=self.graph,
+            max_window=max_window)
 
     def _fold_query(self, query: bytes) -> bytes:
         alpha = getattr(self.graph, "alphabet", None)

@@ -20,33 +20,66 @@ from typing import List
 import numpy as np
 
 from .config import NINF
-from .flat import extend_flat
+from .flat import FlatEngine, _group_key
 
 
-def drive_batch(gens: List, backend: str = "numpy", graph=None) -> List:
-    """Advance alignment generators in lockstep; returns their results.
+def drive_batch(gens: List, backend: str = "numpy", graph=None,
+                max_window: int = 0) -> List:
+    """Advance alignment generators with continuous batching; returns their
+    results.
 
     Generators yield ("extend", (extender, seed, min_path_score,
-    force_fixed_seed)) requests; each driver round serves every active
-    read's pending extension with ONE flat-engine run."""
+    force_fixed_seed)) requests.  Every pending extension — across all
+    reads — runs in ONE shared flat-engine wave pool; when a read's
+    extension completes, its generator resumes immediately and its next
+    extension joins the pool mid-flight, so the pool stays dense instead of
+    draining round by round (the continuous-batching analog of the
+    reference's work-stealing thread pool, ref dbg_aligner.cpp:358-385)."""
     results = [None] * len(gens)
-    pending = {}
-    for i, g in enumerate(gens):
-        try:
-            pending[i] = g.send(None)
-        except StopIteration as st:
-            results[i] = st.value
-    while pending:
-        keys = sorted(pending)
-        jobs = [pending[k][1] for k in keys]
-        outs = extend_flat(jobs, backend=backend)
-        next_pending = {}
-        for k, out in zip(keys, outs):
+    engines = {}
+    owner = {}                  # (group key, slot) -> generator index
+
+    def get_engine(ext, seed):
+        key = _group_key(ext)
+        eng = engines.get(key)
+        if eng is None:
+            W = max(max_window,
+                    len(ext.query) - seed.get_clipping() + 1)
+            eng = FlatEngine(ext.graph, ext.config, ext.profile_chars,
+                             ext.char_idx, W, backend)
+            engines[key] = eng
+        return eng, key
+
+    def feed(i, value):
+        """Resume generator i with ``value``; admit its next job (looping
+        over empty-seed requests, which resolve to [] synchronously)."""
+        while True:
             try:
-                next_pending[k] = gens[k].send(out)
+                tag, req = gens[i].send(value)
             except StopIteration as st:
-                results[k] = st.value
-        pending = next_pending
+                results[i] = st.value
+                return
+            assert tag == "extend"
+            ext, seed, mps, ffs = req
+            if seed.empty():
+                value = []
+                continue
+            eng, key = get_engine(ext, seed)
+            owner[(key, eng.add_job(ext, seed, mps, ffs))] = i
+            return
+
+    for i in range(len(gens)):
+        feed(i, None)
+    while True:
+        ran = False
+        for key, eng in engines.items():
+            if not eng.active:
+                continue
+            ran = True
+            for slot in eng.step():
+                feed(owner.pop((key, slot)), eng.finalize(slot))
+        if not ran:
+            break
     return results
 
 

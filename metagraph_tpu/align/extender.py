@@ -477,6 +477,18 @@ class DefaultColumnExtender:
                 check_and_add(last_pos)
 
         indices.sort(reverse=True)
+        return self._backtrack_consume(indices, min_start_score, window,
+                                       start, seed_offset)
+
+    def _backtrack_consume(self, indices, min_start_score, window, start,
+                           seed_offset) -> List[Alignment]:
+        """Trace alignments from pre-collected candidate start cells
+        (``indices`` sorted descending by (score, -off_diag, -idx, pos))."""
+        cfg = self.config
+        seed = self.seed
+        k = self.graph.k
+        k_minus_1 = k - 1
+        min_trace_length = k - seed.offset
         extensions: List[Alignment] = []
         best_score = -(2 ** 62)
 
