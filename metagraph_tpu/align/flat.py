@@ -1,27 +1,28 @@
 """Flat multi-extension alignment engine with continuous job admission.
 
-Runs MANY seed extensions (across reads) concurrently: per global wave, every
-active extension contributes its frontier columns; column scoring, x-drop
-trimming, branch-and-bound, and the convergence filter are computed by ONE
-set of stacked array ops over all extensions (ref per-read loop:
-aligner_extender_methods.cpp:412-700 — semantics identical per extension,
-see wave_extender.py for the single-extension reference implementation this
-engine is tested against).
+Runs MANY seed extensions (across reads) concurrently while preserving each
+extension's EXACT best-first column order (ref per-read loop:
+aligner_extender_methods.cpp:412-700; the single-extension reference
+implementation is DefaultColumnExtender._extend, extender.py).  Per global
+wave, every active extension pops its next best-first column — the same pop
+the sequential extender would make — and all popped columns' children are
+scored by ONE stacked column-DP call and one batched graph-traversal call.
+Branch pops (2+ children, where the sequential semantics update the x-drop
+cutoff and best score between siblings) take a per-child exact loop; chain
+pops (one child, the vast majority in a de Bruijn graph) stay fully
+vectorized.
 
 The engine admits new extension jobs while others are mid-flight (continuous
 batching): when a read finishes one extension, its next seed's extension
-joins the running wave pool immediately, so the pool stays dense instead of
-draining round by round.  Per-extension state lives in vectors indexed by a
-job slot; per-job reductions use ufunc.at over the column stacks.  Value
-arrays are int32 — NINF (= INT32_MIN + 100) fits exactly and all score
-arithmetic stays within the +-100 headroom (see compute_wave's wrap-safe E
-clamp) — which halves the memory traffic of the wave loop, its dominant
-cost.  Per-extension outputs are bit-identical to WaveExtender /
-DefaultColumnExtender run sequentially.
+joins the running wave pool immediately.  Value arrays are int32 — NINF
+(= INT32_MIN + 100) fits exactly and all score arithmetic stays within the
++-100 headroom (see compute_wave's wrap-safe E clamp).  Outputs are
+bit-identical to DefaultColumnExtender run per read.
 """
 
 from __future__ import annotations
 
+import heapq
 from typing import List
 
 import numpy as np
@@ -70,18 +71,49 @@ def _group_key(ext):
 class _Job:
     __slots__ = ("ext", "seed", "min_path_score", "ffs", "start", "window",
                  "wsize", "WS", "seed_offset", "tips", "conv_rows", "cand",
-                 "done")
+                 "queue", "next_nodes", "col_max", "cur", "done")
 
     def __init__(self, ext, seed, min_path_score, ffs):
         self.ext = ext
         self.seed = seed
-        # extender entry clamp (wave_extender ref: _extend start)
+        # extender entry clamp (extender.py _extend start)
         self.min_path_score = max(0, min_path_score)
         self.ffs = ffs
         self.tips: List[int] = []
         self.conv_rows = {}      # node -> row index into the CONV store
         self.cand: List[tuple] = []   # per-wave backtrack candidate arrays
+        # best-first pop state (replicates extender.py:236-252 discipline)
+        self.queue = [(0, 0, 0)]
+        self.next_nodes: List[tuple] = []
+        self.col_max: List[int] = []  # stored column max per table entry
+        self.cur = -1
         self.done = False
+
+    def pop_next(self):
+        """Next table index to process, per the reference pop discipline
+        (pop a batch of equal-priority entries, serve it LIFO); -1 when the
+        extension is finished."""
+        while True:
+            if not self.next_nodes:
+                if not self.queue:
+                    return -1
+                item = heapq.heappop(self.queue)
+                self.next_nodes = [item]
+                while self.queue and self.queue[0][0] == item[0]:
+                    self.next_nodes.append(heapq.heappop(self.queue))
+            while self.next_nodes:
+                return -self.next_nodes.pop()[2]
+
+    def push_child(self, converged_score, off_diag, tidx):
+        entry = (-converged_score, off_diag, -tidx)
+        if self.next_nodes and -converged_score == self.next_nodes[0][0]:
+            self.next_nodes.append(entry)
+        else:
+            heapq.heappush(self.queue, entry)
+
+    def kill(self):
+        self.queue = []
+        self.next_nodes = []
 
 
 def _grow1(a, cap, fill=None):
@@ -92,10 +124,10 @@ def _grow1(a, cap, fill=None):
 
 
 class FlatEngine:
-    """Stacked wave loop over a dynamic pool of extension jobs.
+    """Stacked wave loop over a dynamic pool of best-first extension jobs.
 
     ``add_job`` may be called between ``step`` calls; each ``step`` advances
-    every active extension by one DP column tree level and returns the job
+    every active extension by one best-first column pop and returns the job
     slots that completed.  ``finalize`` backtracks a completed job and
     returns its extensions.
     """
@@ -116,6 +148,7 @@ class FlatEngine:
         self.jj32 = self.jj.astype(np.int32)
 
         self.jobs: List[_Job] = []
+        self.active_ids: List[int] = []
         cap = self.jcap = 64
         self.WSv = np.empty(cap, dtype=np.int64)
         self.wsizev = np.empty(cap, dtype=np.int64)
@@ -143,25 +176,12 @@ class FlatEngine:
         self.pss = np.zeros((cap, W), dtype=np.int32)
         self.winb = np.zeros((cap, W), dtype=np.int64)  # window bytes
 
-        # active column stacks: S/F rows live in capacity buffers so both
-        # wave-end rebuilds and admissions write rows in place instead of
-        # copying the whole stack
-        self._pending: List[tuple] = []
-        self._acap = 256
-        self._Sbuf = np.empty((self._acap, W), dtype=np.int32)
-        self._Fbuf = np.empty((self._acap, W), dtype=np.int32)
-        self.act_jid = np.empty(0, dtype=np.int64)
-        self.act_tidx = np.empty(0, dtype=np.int64)
-        self.act_prio = np.empty(0, dtype=np.int64)
-        self.act_node = np.empty(0, dtype=np.int64)
-        self.act_offset = np.empty(0, dtype=np.int64)
-        self.S_act = self._Sbuf[:0]
-        self.F_act = self._Fbuf[:0]
+        # parent staging buffers (one row per active job per wave)
+        self._Sbuf = np.full((cap, W), NINF, dtype=np.int32)
+        self._Fbuf = np.full((cap, W), NINF, dtype=np.int32)
 
-        # convergence-filter store: rows of width W-1; rows are fully
-        # written at allocation (np.empty = a virtual allocation — pages
-        # commit only on write, so a generous cap costs nothing; growth
-        # pays a real copy on this host's slow memory, so avoid it)
+        # convergence-filter store: rows of width W-1 (np.empty = virtual
+        # allocation; pages commit only on write)
         self.conv_cap = 1 << 18
         self.CONV = np.empty((self.conv_cap, max(W - 1, 1)), dtype=np.int32)
         self.conv_n = 0
@@ -190,12 +210,17 @@ class FlatEngine:
         newP = np.full((cap, self.C, self.W), NINF, dtype=np.int32)
         newP[: len(self.P)] = self.P
         self.P = newP
-        newpss = np.zeros((cap, self.W), dtype=np.int32)
-        newpss[: len(self.pss)] = self.pss
-        self.pss = newpss
-        newwin = np.zeros((cap, self.W), dtype=np.int64)
-        newwin[: len(self.winb)] = self.winb
-        self.winb = newwin
+        for name in ("pss", "winb"):
+            old = getattr(self, name)
+            new = np.zeros((cap, self.W), dtype=old.dtype)
+            new[: len(old)] = old
+            setattr(self, name, new)
+        for name in ("_Sbuf", "_Fbuf"):
+            # staging pad region must read NINF (only [:WSj] is rewritten)
+            old = getattr(self, name)
+            new = np.full((cap, self.W), NINF, dtype=old.dtype)
+            new[: len(old)] = old
+            setattr(self, name, new)
 
     def _grow_seed_tables(self, ln, ls):
         if ln > self.Ln:
@@ -248,14 +273,14 @@ class FlatEngine:
         self.best[j] = 0
         self.TL[j] = 1
         self.mcs[j] = 0
+        self.msc_v[j] = job.min_path_score
+        self.reb_v[j] = cfgj.right_end_bonus
+        self.sdist_v[j] = max(self.k, len(seed.sequence)) - 1
         self.seed_nodes[j, : len(seed.nodes)] = seed.nodes
         self.seed_nodes[j, len(seed.nodes):] = 0
         self.seed_seq[j, : len(seed.sequence)] = np.frombuffer(
             seed.sequence, dtype=np.uint8)
         self.seed_seq[j, len(seed.sequence):] = 0
-        self.msc_v[j] = job.min_path_score
-        self.reb_v[j] = cfgj.right_end_bonus
-        self.sdist_v[j] = max(self.k, len(seed.sequence)) - 1
         s = job.start
         self.P[j, :, WS:] = NINF
         for ci, c in enumerate(ext.profile_chars):
@@ -265,7 +290,7 @@ class FlatEngine:
         self.winb[j, : job.wsize] = np.frombuffer(job.window, dtype=np.uint8)
         self.winb[j, job.wsize:] = 0
 
-        # root column (extender.py:219-231 + full-width ins-end chain)
+        # root column (extender.py:219-231)
         rS = np.full(WS, NINF, dtype=np.int32)
         rE = np.full(WS, NINF, dtype=np.int32)
         rF = np.full(WS, NINF, dtype=np.int32)
@@ -283,60 +308,13 @@ class FlatEngine:
         ext.table = [root]
         ext.prev_starts = set()
         ext.min_cell_score = 0
-
-        # queue the root; roots merge into the active stack in one
-        # concatenate at the next step() (per-admission concats would copy
-        # the whole stack once per job)
-        self._pending.append((j, int(seed.nodes[0]), job.seed_offset,
-                              rS, rF, WS))
+        job.col_max = [int(rS.max())]
+        self.active_ids.append(j)
         return j
-
-    def _ensure_acap(self, n, keep):
-        """Grow the act buffers to hold n rows, preserving the first
-        ``keep`` rows."""
-        if n <= self._acap:
-            return
-        while self._acap < n:
-            self._acap *= 2
-        newS = np.empty((self._acap, self.W), dtype=np.int32)
-        newF = np.empty((self._acap, self.W), dtype=np.int32)
-        newS[:keep] = self._Sbuf[:keep]
-        newF[:keep] = self._Fbuf[:keep]
-        self._Sbuf = newS
-        self._Fbuf = newF
-
-    def _admit_pending(self):
-        """Append queued roots to the active stack in place."""
-        if not self._pending:
-            return
-        n = len(self._pending)
-        n0 = len(self.act_jid)
-        self._ensure_acap(n0 + n, n0)
-        jid = np.empty(n, dtype=np.int64)
-        node = np.empty(n, dtype=np.int64)
-        off = np.empty(n, dtype=np.int64)
-        for t, (j, nd, so, rS, rF, WS) in enumerate(self._pending):
-            jid[t] = j
-            node[t] = nd
-            off[t] = so
-            row = n0 + t
-            self._Sbuf[row, :WS] = rS
-            self._Sbuf[row, WS:] = NINF
-            self._Fbuf[row, :WS] = rF
-            self._Fbuf[row, WS:] = NINF
-        z = np.zeros(n, dtype=np.int64)
-        self.act_jid = np.concatenate([self.act_jid, jid])
-        self.act_tidx = np.concatenate([self.act_tidx, z])
-        self.act_prio = np.concatenate([self.act_prio, z])
-        self.act_node = np.concatenate([self.act_node, node])
-        self.act_offset = np.concatenate([self.act_offset, off])
-        self.S_act = self._Sbuf[: n0 + n]
-        self.F_act = self._Fbuf[: n0 + n]
-        self._pending.clear()
 
     @property
     def active(self) -> bool:
-        return len(self.act_jid) > 0 or bool(self._pending)
+        return bool(self.active_ids)
 
     def _conv_alloc(self, n):
         while self.conv_n + n > self.conv_cap:
@@ -351,119 +329,138 @@ class FlatEngine:
 
     # ------------------------------------------------------------- one wave
     def step(self) -> List[int]:
-        """Advance every active extension one wave; returns newly finished
-        job slots."""
-        self._admit_pending()
-        if not len(self.act_jid):
+        """Advance every active extension by one best-first pop; returns
+        newly finished job slots."""
+        if not self.active_ids:
             return []
-        pre_jobs = np.unique(self.act_jid)
-        self._wave()
-        post = set(np.unique(self.act_jid).tolist())
-        done = [int(j) for j in pre_jobs if int(j) not in post]
-        for j in done:
-            self.jobs[j].done = True
+        done: List[int] = []
+        parents: List[int] = []     # job ids with a column to process
+        for j in self.active_ids:
+            job = self.jobs[j]
+            tidx = self._pop_parent(j, job)
+            if tidx < 0:
+                job.done = True
+                done.append(j)
+            else:
+                job.cur = tidx
+                parents.append(j)
+        self.active_ids = parents
+        if parents:
+            self._wave(parents)
         return done
 
-    def _wave(self):
+    def _pop_parent(self, j: int, job) -> int:
+        """Pop the next processable column per the reference discipline:
+        node-cap kill (extender.py:248-253) and in-range skip (:255-260)
+        happen at pop time."""
+        cutoff = int(self.cutoff[j])
+        best = int(self.best[j])
+        wsize = max(int(self.wsizev[j]), 1)
+        cap = self.max_nodes_cap[j]
+        while True:
+            tidx = job.pop_next()
+            if tidx < 0:
+                return -1
+            cmax = job.col_max[tidx]
+            if cmax < best and len(job.ext.table) / wsize >= cap:
+                job.kill()
+                return -1
+            if cmax >= cutoff:
+                return tidx
+
+    def _wave(self, parents: List[int]):
         jobs = self.jobs
         graph = self.graph
         k = self.k
         go, ge = self.go, self.ge
         W = self.W
         jj, jj32 = self.jj, self.jj32
-        act_jid, act_tidx = self.act_jid, self.act_tidx
-        act_node, act_offset = self.act_node, self.act_offset
-        S_act, F_act = self.S_act, self.F_act
         from .wave_extender import compute_wave
 
-        # per-job best-first order: (-priority, table idx) within each job;
-        # only the RANK is needed (children sort by their parent's rank)
-        order = np.lexsort((act_tidx, -self.act_prio, act_jid))
-        prank = np.empty(len(order), dtype=np.int64)
-        prank[order] = np.arange(len(order))
+        J = len(parents)
+        pj = np.array(parents, dtype=np.int64)
+        # stage parent rows (stored at WSj width; pad region persists NINF
+        # in the staging buffers because rows are rewritten full-width)
+        ptidx = np.empty(J, dtype=np.int64)
+        pnode = np.empty(J, dtype=np.int64)
+        poff = np.empty(J, dtype=np.int64)
+        for t, j in enumerate(parents):
+            job = jobs[j]
+            col = job.ext.table[job.cur]
+            ptidx[t] = job.cur
+            pnode[t] = col.node
+            poff[t] = col.offset
+            WSj = job.WS
+            self._Sbuf[j, :WSj] = col.S
+            self._Fbuf[j, :WSj] = col.F
+        S_act = self._Sbuf[pj]
+        F_act = self._Fbuf[pj]
 
-        cutc = self.cutoff[act_jid]
+        cutc = self.cutoff[pj]
         inr = S_act >= cutc[:, None]
-        anyr = inr.any(axis=1)
-        # node cap (wave_extender ref): applies per job per wave
-        capped = (self.TL[act_jid].astype(np.float64)
-                  / self.wsizev[act_jid]) >= self.max_nodes_cap[act_jid]
-        if capped.any():
-            anyr &= ~capped | (S_act.max(axis=1) >= self.best[act_jid])
-
+        # pop-time col_max >= cutoff guarantees a nonempty hull
         first = np.argmax(inr, axis=1)
         last = W - 1 - np.argmax(inr[:, ::-1], axis=1)
         band_lo = first
-        band_hi = np.minimum(last + 1, self.wsizev[act_jid])
+        band_hi = np.minimum(last + 1, self.wsizev[pj])
         hullM = (jj[None, :] >= np.maximum(first - 1, 0)[:, None]) \
             & (jj[None, :] <= (band_hi - 1)[:, None])
         hullF = (jj[None, :] >= first[:, None]) \
             & (jj[None, :] <= band_hi[:, None])
 
-        # ---- enumerate children for every in-range column
-        next_off = act_offset + 1
-        seed_pos = next_off - self.seed_off0[act_jid]
-        in_seed = anyr & (seed_pos >= 0) \
-            & (seed_pos < self.seed_len[act_jid])
+        # ---- enumerate children (extender.py call_outgoing :168-195)
+        next_off = poff + 1
+        seed_pos = next_off - self.seed_off0[pj]
+        in_seed = (seed_pos >= 0) & (seed_pos < self.seed_len[pj])
         cls_a = in_seed & (next_off < k)
-        cls_b = in_seed & ~cls_a & self.ffs_v[act_jid]
-        cls_c = anyr & ~cls_a & ~cls_b
+        cls_b = in_seed & ~cls_a & self.ffs_v[pj]
+        cls_c = ~cls_a & ~cls_b
 
         rows_c = np.flatnonzero(cls_c)
-
-        # a/b children in act-row order (per-job enumeration order)
         ab_rows = np.flatnonzero(cls_a | cls_b)
         a_of = cls_a[ab_rows]
         node_i = np.maximum(next_off[ab_rows] - k + 1, 0)
-        ab_nodes = np.where(a_of, self.seed_node0[act_jid[ab_rows]],
-                            self.seed_nodes[act_jid[ab_rows], node_i])
-        ab_chars = self.seed_seq[act_jid[ab_rows], seed_pos[ab_rows]]
+        ab_nodes = np.where(a_of, self.seed_node0[pj[ab_rows]],
+                            self.seed_nodes[pj[ab_rows], node_i])
+        ab_chars = self.seed_seq[pj[ab_rows], seed_pos[ab_rows]]
         ab_score = np.where(
             ~a_of & (ab_nodes == 0),
-            np.where(act_node[ab_rows] == 0, ge, go), 0).astype(np.int32)
+            np.where(pnode[ab_rows] == 0, ge, go), 0).astype(np.int32)
 
         if len(rows_c):
-            own, chd, cde = _outgoing_batch(graph, act_node[rows_c])
+            own, chd, cde = _outgoing_batch(graph, pnode[rows_c])
             has_child = np.zeros(len(rows_c), dtype=bool)
             has_child[own] = True
             for r in rows_c[~has_child]:
-                jobs[int(act_jid[r])].tips.append(int(act_tidx[r]))
+                jobs[int(pj[r])].tips.append(int(ptidx[r]))
             c_rows = rows_c[own]
             c_nodes = chd
             c_chars = cde
-            # emission index within each parent (own is ascending)
-            c_emi = np.arange(len(own), dtype=np.int64) \
-                - np.searchsorted(own, own, side="left")
         else:
             c_rows = np.empty(0, dtype=np.int64)
             c_nodes = np.empty(0, dtype=np.int64)
             c_chars = np.empty(0, dtype=np.int64)
-            c_emi = np.empty(0, dtype=np.int64)
 
-        # per-job child order: [a/b children in parent-rank order] then
-        # [graph children in parent-rank, emission order]
         ch_rows = np.concatenate([ab_rows, c_rows])
         if len(ch_rows) == 0:
-            self.act_jid = np.empty(0, dtype=np.int64)
             return
         ch_nodes = np.concatenate([ab_nodes, c_nodes])
         ch_chars = np.concatenate([ab_chars, c_chars])
         ch_score = np.concatenate(
             [ab_score, np.zeros(len(c_rows), dtype=np.int32)])
-        ch_class = np.concatenate([np.zeros(len(ab_rows), dtype=np.int64),
-                                   np.ones(len(c_rows), dtype=np.int64)])
-        seqi = np.concatenate([np.zeros(len(ab_rows), dtype=np.int64),
-                               c_emi])
-        ch_jid = act_jid[ch_rows]
-        corder = np.lexsort((seqi, prank[ch_rows], ch_class, ch_jid))
+        # children are already in per-parent emission order within each
+        # class, and each parent is in exactly one class; sort rows (stable)
+        # to group each parent's children contiguously in emission order
+        corder = np.argsort(ch_rows, kind="stable")
         ch_rows = ch_rows[corder]
         ch_nodes = ch_nodes[corder]
         ch_chars = ch_chars[corder]
         ch_score = ch_score[corder]
-        ch_jid = ch_jid[corder]
+        ch_jid = pj[ch_rows]
         ch_off = next_off[ch_rows]
 
-        # ---- stacked column recurrence
+        # ---- stacked column recurrence (pre-pop cutoff; sibling-sequential
+        # cutoff raises are corrected below)
         SpM = np.where(hullM[ch_rows], S_act[ch_rows], NINF)
         SpF = np.where(hullF[ch_rows], S_act[ch_rows], NINF)
         Fp = np.where(hullF[ch_rows], F_act[ch_rows], NINF)
@@ -471,18 +468,8 @@ class FlatEngine:
         blo = band_lo[ch_rows]
         bhi = band_hi[ch_rows]
         ccut = self.cutoff[ch_jid]
-        if self.backend == "device" and len(ch_rows) >= 64:
-            from .batch import _compute_wave_device
-            S, E, F = _compute_wave_device(SpM, SpF, Fp, prof, ch_score,
-                                           ch_off > 1, blo, bhi, ccut,
-                                           go, ge)
-            S = S.astype(np.int32)
-            E = E.astype(np.int32)
-            F = F.astype(np.int32)
-        else:
-            S, E, F = compute_wave(SpM, SpF, Fp, prof, ch_score, ch_off > 1,
-                                   blo, bhi, ccut, go, ge)
-        # mask the pad region beyond each job's window width
+        S, E, F = compute_wave(SpM, SpF, Fp, prof, ch_score, ch_off > 1,
+                               blo, bhi, ccut, go, ge)
         if self.WSv[ch_jid].min() < W:
             pad = jj[None, :] >= self.WSv[ch_jid][:, None]
             S = np.where(pad, NINF, S)
@@ -491,200 +478,195 @@ class FlatEngine:
         else:
             pad = None
 
-        # max pos closest to the diagonal
         diag = (ch_off - self.seed_off[ch_jid]).astype(np.int32)
         Smax = S.max(axis=1)
         dist = np.abs(jj32[None, :] - diag[:, None])
         if pad is not None:
             dist = np.where(pad, _POS, dist)
         mp = np.argmin(np.where(S == Smax[:, None], dist, _POS), axis=1)
-
-        # per-job min cell score
         fin = np.where(S == NINF, _POS, S)
-        np.minimum.at(self.mcs, ch_jid, fin.min(axis=1))
+        col_min = fin.min(axis=1)
 
-        # branch & bound (pre-wave best/cutoff)
+        # branch & bound inputs (single-child pops use these directly;
+        # multi-child pops recompute per sibling)
         spos_c = ch_off - self.seed_off0[ch_jid]
         in_seed_c = (spos_c >= 0) & (spos_c < self.seed_len[ch_jid])
         ext_cut = (self.best[ch_jid] * self.rcut_v[ch_jid]
                    + self.pso_v[ch_jid])
-        has_ext = in_seed_c \
+        has_ext0 = in_seed_c \
             | ((S + self.pss[ch_jid]) >= ext_cut[:, None]).any(axis=1)
-        keep = in_seed_c | ((Smax >= ccut) & has_ext)
+        keep0 = in_seed_c | ((Smax >= ccut) & has_ext0)
 
-        kept = np.flatnonzero(keep)
-        if len(kept) == 0:
-            self.act_jid = np.empty(0, dtype=np.int64)
-            return
+        # group children per parent (ch_rows ascending after the sort)
+        grp_first = np.searchsorted(ch_rows, ch_rows, side="left")
+        grp_size = np.searchsorted(ch_rows, ch_rows, side="right") - grp_first
 
-        kj = ch_jid[kept]
-        # per-job cutoff/best update = max over kept children (post-wave)
-        kmax = Smax[kept]
-        np.maximum.at(self.best, kj, kmax)
-        np.maximum.at(self.cutoff, kj, kmax - self.xdrop_v[kj])
+        # candidate collection inputs gathered for ALL children up front
+        kws_all = self.wsizev[ch_jid]
+        sc_mp_all = prof[np.arange(len(ch_jid)), mp].astype(np.int64)
+        p_mp_all = S_act[ch_rows, np.maximum(mp - 1, 0)]
+        s_lp_all = S[np.arange(len(ch_jid)), kws_all]
+        p_lp_all = S_act[ch_rows, np.maximum(kws_all - 1, 0)]
+        sc_lp_all = prof[np.arange(len(ch_jid)), kws_all].astype(np.int64)
+        winc_mp_all = self.winb[ch_jid, np.maximum(mp - 1, 0)]
+        winc_lp_all = self.winb[ch_jid, np.maximum(kws_all - 1, 0)]
 
-        # ---- convergence filter, batched over kept children.  Columns of
-        # empty windows (wsize == 0) skip the filter and go inactive;
-        # dummy nodes (0) skip the store but return their raw max
-        # (extender.py:131-133).
-        scores_k = S[kept, 1:]                       # (Nk, W-1), pad NINF
-        nodes_k = ch_nodes[kept]
-        ret = np.full(len(kept), NINF, dtype=np.int32)
-        nonempty = self.wsizev[kj] > 0
+        # ---- per-child sequential bookkeeping, exactly in sibling order
+        # (extender.py:269-331).  Chain pops (one child) have no sibling
+        # sequencing; their decisions above are already exact.  Convergence
+        # -filter updates are deferred and batched after the loop: every
+        # (job, node) key in one wave is distinct (children of one pop are
+        # distinct edges), and queue pushes can't interleave with pops
+        # inside a wave, so deferral preserves the sequential order.
+        conv_q: List[tuple] = []    # (wave idx, job, node, tidx, off_diag)
+        for i in range(len(ch_rows)):
+            j = int(ch_jid[i])
+            job = jobs[j]
+            multi = grp_size[i] > 1
+            first_sib = grp_first[i] == i
+            if multi and not first_sib:
+                # later sibling: the cutoff may have risen since the wave
+                # was computed — re-mask (masking is monotone in the cutoff,
+                # so re-masking the pre-masked column is exact)
+                cut_now = int(self.cutoff[j])
+                if cut_now > int(ccut[i]):
+                    Si = np.where(S[i] < cut_now, NINF, S[i])
+                    in_band = (jj >= blo[i]) & (jj <= bhi[i])
+                    Ei = np.where(in_band | (Si != NINF), E[i], NINF)
+                    S[i] = Si
+                    E[i] = Ei
+                    Smax_i = int(Si.max())
+                    Smax[i] = Smax_i
+                    mp[i] = int(np.argmin(
+                        np.where(Si == Smax_i, dist[i], _POS)))
+                    col_min[i] = _POS if Smax_i == NINF \
+                        else np.where(Si == NINF, _POS, Si).min()
+                    # refresh candidate inputs that read S / the max pos
+                    s_lp_all[i] = Si[kws_all[i]]
+                    p_mp_all[i] = S_act[ch_rows[i], max(int(mp[i]) - 1, 0)]
+                    sc_mp_all[i] = int(prof[i, mp[i]])
+                    winc_mp_all[i] = self.winb[j, max(int(mp[i]) - 1, 0)]
+                # recompute keep with the running best/cutoff
+                cut_i = int(self.cutoff[j])
+                if in_seed_c[i]:
+                    keep_i = True
+                else:
+                    ecut = self.best[j] * self.rcut_v[j] + self.pso_v[j]
+                    has_ext = ((S[i] + self.pss[j]) >= ecut).any()
+                    keep_i = (Smax[i] >= cut_i) and has_ext
+            else:
+                keep_i = bool(keep0[i])
 
-        zero_node = nonempty & (nodes_k == 0)
-        if zero_node.any():
-            ret[zero_node] = scores_k[zero_node].max(axis=1)
+            # min cell score tracks every computed child (kept or not)
+            if col_min[i] != _POS and col_min[i] < self.mcs[j]:
+                self.mcs[j] = col_min[i]
 
-        # group kept children by (job, node); duplicates within one wave
-        # are processed in order via repeated vector passes (rare)
-        nz = np.flatnonzero(nonempty & (nodes_k != 0))
-        if len(nz):
-            CONV = self.CONV
-            remaining = nz
-            rem_keys = kj[nz] * (1 << 44) + nodes_k[nz]
-            while len(remaining):
-                _, first_idx = np.unique(rem_keys, return_index=True)
-                sel = remaining[first_idx]
-                rows = np.empty(len(sel), dtype=np.int64)
-                is_new = np.zeros(len(sel), dtype=bool)
-                for t, ci in enumerate(sel):
-                    r = jobs[int(kj[ci])].conv_rows.get(int(nodes_k[ci]))
-                    if r is None:
-                        is_new[t] = True
-                    else:
-                        rows[t] = r
-                newi = np.flatnonzero(is_new)
-                if len(newi):
-                    newrows = self._conv_alloc(len(newi))
-                    CONV = self.CONV
-                    CONV[newrows] = scores_k[sel[newi]]
-                    for t, r in zip(newi, newrows):
-                        ci = sel[t]
-                        jobs[int(kj[ci])].conv_rows[int(nodes_k[ci])] = int(r)
-                    ret[sel[newi]] = scores_k[sel[newi]].max(axis=1)
-                oldi = np.flatnonzero(~is_new)
-                if len(oldi):
-                    orow = rows[oldi]
-                    seg = CONV[orow]
-                    sc = scores_k[sel[oldi]]
-                    improved = sc > seg * self.rcut_v[kj[sel[oldi]]][:, None]
-                    upd = np.where(improved, np.maximum(seg, sc), seg)
-                    CONV[orow] = upd
-                    chg = np.where(improved, upd, NINF).max(axis=1)
-                    ret[sel[oldi]] = np.where(improved.any(axis=1), chg,
-                                              NINF)
-                mask = np.ones(len(remaining), dtype=bool)
-                mask[first_idx] = False
-                remaining = remaining[mask]
-                rem_keys = rem_keys[mask]
+            if not keep_i:
+                continue
 
-        # ---- backtrack candidate collection (extender.py:445-478
-        # check_and_add, vectorized over the wave's kept columns; tip-gated
-        # candidates are resolved against job.tips at finalize)
-        kws = self.wsizev[kj]                  # last_pos per kept column
-        cond0 = ch_off[kept] >= self.sdist_v[kj]
-        if cond0.any():
-            # table index each kept column will get in the append loop below
-            grp_first = np.searchsorted(kj, kj, side="left")
-            tidx_all = self.TL[kj] + np.arange(len(kj)) - grp_first
-            rows_par = ch_rows[kept]
-            mpk = mp[kept]
-            diagk = diag[kept].astype(np.int64)
-            sc_mp = prof[kept, mpk].astype(np.int64)
-            p_mp = S_act[rows_par, np.maximum(mpk - 1, 0)]
-            s_lp = S[kept, kws]
-            p_lp = S_act[rows_par, np.maximum(kws - 1, 0)]
-            sc_lp = prof[kept, kws].astype(np.int64)
-            winc_mp = self.winb[kj, np.maximum(mpk - 1, 0)]
-            winc_lp = self.winb[kj, np.maximum(kws - 1, 0)]
-            scorek = ch_score[kept].astype(np.int64)
-            ck = ch_chars[kept]
-            s_sp = kmax.astype(np.int64)
-            mscj = self.msc_v[kj]
-            rebj = self.reb_v[kj]
-
-            bonus1 = np.where(mpk == kws, rebj, 0)
-            valid1 = cond0 & (mpk >= 1) & (kmax != NINF) & (p_mp != NINF) \
-                & (s_sp + bonus1 >= mscj)
-            is_m1 = valid1 \
-                & (s_sp == p_mp.astype(np.int64) + scorek + sc_mp) \
-                & (winc_mp == ck)
-            take1 = valid1 & (is_m1 | (mpk == kws))
-            tip1 = valid1 & ~is_m1 & (mpk != kws)
-
-            valid2 = cond0 & (mpk != kws) & (kws >= 1) & (s_lp != NINF) \
-                & (p_lp != NINF) & (s_lp.astype(np.int64) + rebj >= mscj)
-            # start_pos == last_pos accepts unconditionally once valid
-
-            m1 = np.flatnonzero(take1 | tip1)
-            m2 = np.flatnonzero(valid2)
-            if len(m1) or len(m2):
-                e_jid = np.concatenate([kj[m1], kj[m2]])
-                e_tidx = np.concatenate([tidx_all[m1], tidx_all[m2]])
-                e_score = np.concatenate([(s_sp + bonus1)[m1],
-                                          (s_lp.astype(np.int64) + rebj)[m2]])
-                e_offd = np.concatenate([np.abs(mpk - diagk)[m1],
-                                         np.abs(kws - diagk)[m2]])
-                e_pos = np.concatenate([mpk[m1], kws[m2]])
-                e_tip = np.concatenate([tip1[m1],
-                                        np.zeros(len(m2), dtype=bool)])
-                sidx = np.argsort(e_jid, kind="stable")
-                e_jid = e_jid[sidx]
-                uj, bounds = np.unique(e_jid, return_index=True)
-                bounds = np.concatenate([bounds, [len(e_jid)]])
-                e_tidx = e_tidx[sidx]
-                e_score = e_score[sidx]
-                e_offd = e_offd[sidx]
-                e_pos = e_pos[sidx]
-                e_tip = e_tip[sidx]
-                for t in range(len(uj)):
-                    a, b = bounds[t], bounds[t + 1]
-                    jobs[int(uj[t])].cand.append(
-                        (e_tidx[a:b], e_score[a:b], e_offd[a:b],
-                         e_pos[a:b], e_tip[a:b]))
-
-        # ---- append kept columns to their tables (per-job order preserved)
-        new_jid = []
-        new_tidx = []
-        new_prio = []
-        new_rows = []
-        for t in range(len(kept)):
-            i = int(kept[t])
-            jid_i = int(ch_jid[i])
-            job = jobs[jid_i]
             WSj = job.WS
-            col = _lite_column(int(ch_nodes[i]), int(act_tidx[ch_rows[i]]),
+            tidx = len(job.ext.table)
+            col = _lite_column(int(ch_nodes[i]), int(ptidx[ch_rows[i]]),
                                int(ch_chars[i]), int(ch_off[i]), int(mp[i]),
                                0, int(ch_score[i]), S[i, :WSj], E[i, :WSj],
                                F[i, :WSj])
             job.ext.table.append(col)
-            if ret[t] != NINF:
-                new_jid.append(jid_i)
-                new_tidx.append(len(job.ext.table) - 1)
-                new_prio.append(int(ret[t]))
-                new_rows.append(i)
-        np.add.at(self.TL, kj, 1)
+            job.col_max.append(int(Smax[i]))
+            self.TL[j] += 1
+            max_val = int(Smax[i])
+            if max_val - self.xdrop_v[j] > self.cutoff[j]:
+                self.cutoff[j] = max_val - self.xdrop_v[j]
+            if max_val > self.best[j]:
+                self.best[j] = max_val
 
-        # rebuild the active stack from surviving children, in place in the
-        # capacity buffers (one gather; no whole-stack copies)
-        nr = np.array(new_rows, dtype=np.int64)
-        n1 = len(nr)
-        if n1 == 0:
-            self.act_jid = np.empty(0, dtype=np.int64)
-            self.S_act = self._Sbuf[:0]
-            self.F_act = self._Fbuf[:0]
+            # backtrack candidate cells (extender.py:445-478 check_and_add)
+            self._collect_candidates(
+                j, job, tidx, i, int(ch_off[i]), int(mp[i]),
+                int(kws_all[i]), int(Smax[i]), int(s_lp_all[i]),
+                int(p_mp_all[i]), int(p_lp_all[i]), int(sc_mp_all[i]),
+                int(sc_lp_all[i]), int(winc_mp_all[i]), int(winc_lp_all[i]),
+                int(ch_chars[i]), int(ch_score[i]), int(diag[i]))
+
+            # convergence filter (extender.py:130-165), batched below
+            if self.wsizev[j] == 0:
+                continue
+            conv_q.append((i, j, int(ch_nodes[i]), tidx,
+                           abs(int(mp[i]) - int(diag[i]))))
+
+        if conv_q:
+            self._conv_flush(conv_q, S)
+
+    def _conv_flush(self, conv_q, S):
+        """Batched update_seed_filter over this wave's kept children, then
+        the deferred queue pushes in child order."""
+        jobs = self.jobs
+        CONV = self.CONV
+        n = len(conv_q)
+        ret = np.full(n, NINF, dtype=np.int64)
+        rows = np.empty(n, dtype=np.int64)
+        kind = np.zeros(n, dtype=np.int8)      # 0 new, 1 existing, 2 dummy
+        widx = np.fromiter((c[0] for c in conv_q), dtype=np.int64, count=n)
+        for t, (i, j, node, tidx, offd) in enumerate(conv_q):
+            if node == 0:
+                kind[t] = 2
+                continue
+            r = jobs[j].conv_rows.get(node)
+            if r is None:
+                r = self._conv_alloc(1)[0]
+                jobs[j].conv_rows[node] = int(r)
+                rows[t] = r
+            else:
+                kind[t] = 1
+                rows[t] = r
+        CONV = self.CONV
+        scores = S[widx, 1:]
+        newi = np.flatnonzero(kind == 0)
+        if len(newi):
+            CONV[rows[newi]] = scores[newi]
+            ret[newi] = scores[newi].max(axis=1)
+        dumi = np.flatnonzero(kind == 2)
+        if len(dumi):
+            ret[dumi] = scores[dumi].max(axis=1)
+        oldi = np.flatnonzero(kind == 1)
+        if len(oldi):
+            orow = rows[oldi]
+            seg = CONV[orow]
+            sc = scores[oldi]
+            rc = np.fromiter((self.rcut_v[c[1]] for c in conv_q),
+                             dtype=np.float64, count=n)[oldi]
+            improved = sc > seg * rc[:, None]
+            upd = np.where(improved, np.maximum(seg, sc), seg)
+            CONV[orow] = upd
+            chg = np.where(improved, upd, NINF).max(axis=1)
+            ret[oldi] = np.where(improved.any(axis=1), chg, NINF)
+        for t, (i, j, node, tidx, offd) in enumerate(conv_q):
+            if ret[t] != NINF:
+                jobs[j].push_child(int(ret[t]), offd, tidx)
+
+    def _collect_candidates(self, j, job, tidx, i, off, mpos, kws, s_sp,
+                            s_lp, p_mp, p_lp, sc_mp, sc_lp, winc_mp,
+                            winc_lp, ch, score, diag_i):
+        if off < self.sdist_v[j]:
             return
-        self._ensure_acap(n1, 0)
-        np.take(S, nr, axis=0, out=self._Sbuf[:n1])
-        np.take(F, nr, axis=0, out=self._Fbuf[:n1])
-        self.act_jid = np.array(new_jid, dtype=np.int64)
-        self.act_tidx = np.array(new_tidx, dtype=np.int64)
-        self.act_prio = np.array(new_prio, dtype=np.int64)
-        self.act_node = ch_nodes[nr]
-        self.act_offset = ch_off[nr]
-        self.S_act = self._Sbuf[:n1]
-        self.F_act = self._Fbuf[:n1]
+        reb = int(self.reb_v[j])
+        msc = int(self.msc_v[j])
+        # candidate at the column max
+        if mpos >= 1 and s_sp != NINF and p_mp != NINF:
+            bonus = reb if mpos == kws else 0
+            if s_sp + bonus >= msc:
+                is_m = (s_sp == p_mp + score + sc_mp) and winc_mp == ch
+                if is_m or mpos == kws:
+                    job.cand.append((tidx, s_sp + bonus,
+                                     abs(mpos - diag_i), mpos, False))
+                else:
+                    job.cand.append((tidx, s_sp + bonus,
+                                     abs(mpos - diag_i), mpos, True))
+        # candidate at the window end (start_pos == last_pos accepts
+        # unconditionally once it clears the threshold)
+        if mpos != kws and kws >= 1 and s_lp != NINF and p_lp != NINF \
+                and s_lp + reb >= msc:
+            job.cand.append((tidx, s_lp + reb, abs(kws - diag_i), kws,
+                             False))
 
     # ------------------------------------------------------------- finalize
     def finalize(self, j: int) -> List[Alignment]:
@@ -711,11 +693,9 @@ class FlatEngine:
         # (score, -off_diag, -idx, pos)
         indices = []
         if job.cand:
-            tidx = np.concatenate([c[0] for c in job.cand])
-            score = np.concatenate([c[1] for c in job.cand])
-            offd = np.concatenate([c[2] for c in job.cand])
-            pos = np.concatenate([c[3] for c in job.cand])
-            tipf = np.concatenate([c[4] for c in job.cand])
+            arr = np.array(job.cand, dtype=np.int64)
+            tidx, score, offd, pos, tipf = (arr[:, 0], arr[:, 1], arr[:, 2],
+                                            arr[:, 3], arr[:, 4] != 0)
             if tipf.any():
                 istip = np.isin(tidx, np.array(job.tips, dtype=np.int64))
                 keep = ~tipf | istip
@@ -739,7 +719,7 @@ def extend_flat(jobs, backend: str = "numpy") -> List[List[Alignment]]:
     jobs: list of (extender, seed, min_path_score, force_fixed_seed).
     Jobs are grouped by graph/profile compatibility; each group runs as one
     stacked wave loop.  Per-job results are identical to
-    ``WaveExtender.get_extensions`` run sequentially.
+    ``DefaultColumnExtender.get_extensions`` run sequentially.
     """
     results: List = [None] * len(jobs)
     groups = {}
@@ -762,6 +742,6 @@ def extend_flat(jobs, backend: str = "numpy") -> List[List[Alignment]]:
             for s in eng.step():
                 results[slots[s]] = eng.finalize(s)
                 pending.discard(s)
-        for s in pending:       # jobs that never produced active columns
+        for s in pending:       # safety: jobs that never reported done
             results[slots[s]] = eng.finalize(s)
     return results

@@ -250,9 +250,18 @@ def query_epoch_codes2(table: jnp.ndarray, bitmap: jnp.ndarray,
 
 
 def _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel, selmin,
-                     num_seqs: int, num_labels: int, K: int, T: int):
+                     num_seqs: int, num_labels: int, K: int, T: int,
+                     canon: int = 0, canon_offset: int = 0):
     """Traced body shared by query_epoch_wire (five device args) and
-    query_epoch_wire_buf (one fused upload buffer)."""
+    query_epoch_wire_buf (one fused upload buffer).
+
+    canon: 0 = plain lookup; 1 = canonical-mode graph (each window resolves
+    to its canonical form's node: the rc key is a few VPU bit ops,
+    ops.rc_keys2, and at most one strand can hit a canonical graph, so the
+    canonical node is max(fwd, rc) — ref sequence_graph.hpp:49); 2 =
+    CanonicalDBG over a primary graph (fwd hit wins, rc hits shift by
+    canon_offset for the emitted node id while label counting uses the BASE
+    row — ref canonical_dbg.hpp:38, annotated_dbg.hpp:50)."""
     N, NW = words.shape
     C = max(1, (1 << 17) // T)
     pad = (-N) % C
@@ -267,9 +276,28 @@ def _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel, selmin,
         wd, vw = x
         keys = graph_ops.extract_windows2(wd, K, T)          # (C, T, 2)
         valid = graph_ops.window_valid2(vw, K, T)            # (C, T)
-        nodes = graph_ops._hash_lookup(table2, keys.reshape(C * T, 2))
-        nodes = jnp.where(valid, nodes.reshape(C, T), 0)
-        tc, th = _tile_label_counts(bitmap, nodes, num_labels)
+        nodes_f = graph_ops._hash_lookup(
+            table2, keys.reshape(C * T, 2)).reshape(C, T)
+        if canon == 0:
+            nodes = jnp.where(valid, nodes_f, 0)
+            rows_ct = nodes
+        else:
+            rck = graph_ops.rc_keys2(keys.reshape(C * T, 2), K)
+            nodes_r = graph_ops._hash_lookup(table2, rck).reshape(C, T)
+            if canon == 1:
+                nodes = jnp.where(valid, jnp.maximum(nodes_f, nodes_r), 0)
+                rows_ct = nodes
+            else:
+                rows_ct = jnp.where(valid,
+                                    jnp.where(nodes_f > 0, nodes_f, nodes_r),
+                                    0)
+                nodes = jnp.where(
+                    valid,
+                    jnp.where(nodes_f > 0, nodes_f,
+                              jnp.where(nodes_r > 0,
+                                        nodes_r + np.int32(canon_offset), 0)),
+                    0)
+        tc, th = _tile_label_counts(bitmap, rows_ct, num_labels)
         return carry, (tc, th, nodes)
     _, (tc, th, nodes) = jax.lax.scan(
         body, 0, (words.reshape(nc, C, NW),
@@ -280,12 +308,13 @@ def _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel, selmin,
     return mask, counts, present, nodes.reshape(nc * C, T)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
 def query_epoch_wire(table2: jnp.ndarray, bitmap: jnp.ndarray,
                      words: jnp.ndarray, vwords: jnp.ndarray,
                      tile_seq: jnp.ndarray, dsel: jnp.ndarray,
                      selmin: jnp.ndarray,
-                     num_seqs: int, num_labels: int, K: int, T: int):
+                     num_seqs: int, num_labels: int, K: int, T: int,
+                     canon: int = 0, canon_offset: int = 0):
     """query_epoch_codes2 with hash keys taken DIRECTLY from the 2-bit wire
     words (DNA, K <= 31): window keys are funnel shifts of the uploaded
     stream (ops.extract_windows2) and validity is a log2(K)-step sliding AND
@@ -298,13 +327,15 @@ def query_epoch_wire(table2: jnp.ndarray, bitmap: jnp.ndarray,
     over pack_kmers2 keys (W = 2).  Same fused selection/return contract as
     query_epoch_codes2."""
     return _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel,
-                            selmin, num_seqs, num_labels, K, T)
+                            selmin, num_seqs, num_labels, K, T, canon,
+                            canon_offset)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
 def query_epoch_wire_buf(table2: jnp.ndarray, bitmap: jnp.ndarray,
                          buf: jnp.ndarray, N: int, NW: int, NV: int,
-                         num_seqs: int, num_labels: int, K: int, T: int):
+                         num_seqs: int, num_labels: int, K: int, T: int,
+                         canon: int = 0, canon_offset: int = 0):
     """query_epoch_wire over ONE fused uint32 upload buffer laid out as
     [words (N*NW) | vwords (N*NV) | tile_seq (N) | dsel (num_seqs) |
     selmin (num_seqs)] (int32 fields bitcast).  Per-transfer dispatch
@@ -324,13 +355,18 @@ def query_epoch_wire_buf(table2: jnp.ndarray, bitmap: jnp.ndarray,
     o += num_seqs
     selmin = bc(buf[o:o + num_seqs])
     return _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel,
-                            selmin, num_seqs, num_labels, K, T)
+                            selmin, num_seqs, num_labels, K, T, canon,
+                            canon_offset)
 
 
 def wire_epoch_buffer(words: np.ndarray, vwords: np.ndarray,
                       tile_seq: np.ndarray, dsel: np.ndarray,
                       selmin: np.ndarray) -> np.ndarray:
     """Host-side packing of query_epoch_wire_buf's fused upload buffer."""
+    # the .view(uint32) bitcasts require 4-byte elements — a wider dtype
+    # would double the element count and shift every later field
+    for a in (tile_seq, dsel, selmin):
+        assert a.dtype.itemsize == 4, a.dtype
     return np.concatenate([
         words.reshape(-1), vwords.reshape(-1),
         np.ascontiguousarray(tile_seq).view(np.uint32),

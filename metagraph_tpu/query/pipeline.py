@@ -428,14 +428,20 @@ class QueryEngine:
         (the relay pipelines async dispatches; measured ~15% end-to-end)."""
         ag = self.anno_graph
         if (not self.use_device or ag.coord_to_header is not None
-                or self._canonical_offset is not None
-                or getattr(self.graph, "mode", None) == "canonical"
                 or getattr(self._base, "boss", None) is None
                 or not self._fused_ok):
             # non-DNA alphabets: the fused epochs' on-device window packing
             # is DNA-only; those batches take the un-fused device path
             # (_map_windows, 4/8-bit keys) instead
             return None
+        if self._canon_mode():
+            # canonical / primary graphs fuse through the wire epoch only
+            # (rc keys are VPU bit ops on the 2-bit wire keys); without the
+            # native packer or a 2-bit index, fall back to execute_batch
+            from .. import native
+            if native.get_lib() is None \
+                    or self._build_device_index2() is None:
+                return None
         if seqs and max(len(s) for s in seqs) >= (1 << 24):
             # the fused epochs fold per-sequence counts with exact-integer
             # f32 matmuls, which round above 2^24; a single sequence that
@@ -468,6 +474,15 @@ class QueryEngine:
         if st is None:
             return None
         return self._fused_collect(st, mode, num_top_labels)
+
+    def _canon_mode(self) -> int:
+        """0 = basic graph, 1 = canonical-mode graph, 2 = CanonicalDBG
+        wrapper over a primary graph (see device._wire_epoch_core)."""
+        if self._canonical_offset is not None:
+            return 2
+        if getattr(self.graph, "mode", None) == "canonical":
+            return 1
+        return 0
 
     def _fused_dispatch(self, seqs, mode: str, discovery_fraction: float,
                         presence_fraction: float):
@@ -518,8 +533,10 @@ class QueryEngine:
                                         selmin)
                 mask, counts, present, nodes_t = query_epoch_wire_buf(
                     index2.table, danno.bitmap, jnp.asarray(buf),
-                    npad, words.shape[1], vwords.shape[1], Spad, L, k, TILE)
+                    npad, words.shape[1], vwords.shape[1], Spad, L, k, TILE,
+                    self._canon_mode(), int(self._canonical_offset or 0))
             else:
+                assert not self._canon_mode()
                 if npad != n:
                     tiles2 = np.concatenate(
                         [tiles2, np.zeros((npad - n, tiles2.shape[1]),

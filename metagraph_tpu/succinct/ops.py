@@ -109,6 +109,45 @@ def _funnel_shift(words: jnp.ndarray, s: int) -> jnp.ndarray:
                                       << np.uint32(1))
 
 
+def _rev2_word(w):
+    """Reverse the order of the 16 2-bit groups within each uint32."""
+    w = ((w & np.uint32(0xFFFF0000)) >> 16) \
+        | ((w & np.uint32(0x0000FFFF)) << 16)
+    w = ((w & np.uint32(0xFF00FF00)) >> 8) \
+        | ((w & np.uint32(0x00FF00FF)) << 8)
+    w = ((w & np.uint32(0xF0F0F0F0)) >> 4) \
+        | ((w & np.uint32(0x0F0F0F0F)) << 4)
+    w = ((w & np.uint32(0xCCCCCCCC)) >> 2) \
+        | ((w & np.uint32(0x33333333)) << 2)
+    return w
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def rc_keys2(keys: jnp.ndarray, K: int) -> jnp.ndarray:
+    """Reverse-complement of (..., 2) uint32 pack_kmers2 window keys.
+
+    Pure VPU bit ops (complement = XOR since A/T and C/G pair across the
+    2-bit code, group reversal = 4-step butterfly + word swap, then a
+    funnel realignment by 64-2K bits) — the device-side equivalent of the
+    host's comp[window][::-1] repack (kmer_transform.hpp:16 semantics).
+    2 <= K <= 31 (the pack_kmers2 contract)."""
+    lo = ~keys[..., 0]
+    hi = ~keys[..., 1]
+    rlo = _rev2_word(hi)          # 64-bit 2-bit-group reversal + word swap
+    rhi = _rev2_word(lo)
+    s = 64 - 2 * K
+    if s >= 32:
+        out_lo = rhi if s == 32 else (rhi >> np.uint32(s - 32))
+        out_hi = jnp.zeros_like(rhi)
+    else:
+        out_lo = (rlo >> np.uint32(s)) | (rhi << np.uint32(32 - s))
+        out_hi = rhi >> np.uint32(s)
+    mask_lo = np.uint32(0xFFFFFFFF) if K >= 16 \
+        else np.uint32((1 << (2 * K)) - 1)
+    mask_hi = np.uint32((1 << max(2 * K - 32, 0)) - 1)
+    return jnp.stack([out_lo & mask_lo, out_hi & mask_hi], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def extract_windows2(words: jnp.ndarray, K: int, T: int) -> jnp.ndarray:
     """(C, NW) uint32 2-bit code stream -> (C, T, 2) uint32 window keys.

@@ -373,6 +373,68 @@ class TestWireEpoch:
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
         np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+        # the production entrypoint packs the five inputs into ONE upload
+        # buffer (query_epoch_wire_buf); the offset math must reproduce the
+        # direct five-arg results bit-identically
+        from metagraph_tpu.query.device import (query_epoch_wire_buf,
+                                                wire_epoch_buffer)
+        buf = wire_epoch_buffer(words, vwords, ts2, dsel, selmin)
+        m3, c3, p3, n3 = query_epoch_wire_buf(
+            idx2.table, pipe.annotation.bitmap, jnp.asarray(buf),
+            len(words), words.shape[1], vwords.shape[1], S, L, K, TILE)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m3))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c3))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p3))
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n3))
+
+    def _fused_vs_host(self, mode_name, K=19):
+        """query_batch_fused payloads == host (no-device) payloads on a
+        canonical / primary graph, for every query mode."""
+        from metagraph_tpu import native
+        from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+        from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+        from metagraph_tpu.query.pipeline import QueryEngine
+        if native.get_lib() is None:
+            import pytest
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(23)
+        refs = ["".join(rng.choice(list("ACGT"), size=400)).encode()
+                for _ in range(6)]
+        g = DBGSuccinct.build(refs, K, mode=mode_name)
+        graph = g
+        if mode_name == "primary":
+            from metagraph_tpu.graph.canonical import CanonicalDBG
+            graph = CanonicalDBG(g)
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(graph, anno)
+        for i, s in enumerate(refs):
+            ag.annotate_sequence(s, [f"s{i}"])
+        # queries: exact slices, reverse complements, noisy reads, invalids
+        comp = bytes.maketrans(b"ACGT", b"TGCA")
+        queries = []
+        for i, s in enumerate(refs):
+            queries.append(s[i * 10: i * 10 + 120])
+            queries.append(s[30: 200][::-1].translate(comp))
+            q = bytearray(s[50: 180])
+            for p in range(0, len(q), 17):
+                q[p] = ord(rng.choice(list("ACGTN")))
+            queries.append(bytes(q))
+        queries.append(b"N" * 60)
+        queries.append(b"ACG")
+        host = QueryEngine(ag, use_device=False)
+        dev = QueryEngine(ag, use_device=True)
+        for qmode in ("labels", "matches", "counts", "signature"):
+            want = [host.execute(n, qmode, 5, 0.6, 0.05)
+                    for n in host.map_batch(queries)]
+            got = dev.query_batch_fused(queries, qmode, 5, 0.6, 0.05)
+            assert got is not None, f"fused path refused {mode_name}"
+            assert got == want, f"{mode_name}/{qmode}"
+
+    def test_fused_canonical_graph_matches_host(self):
+        self._fused_vs_host("canonical")
+
+    def test_fused_primary_graph_matches_host(self):
+        self._fused_vs_host("primary")
 
 
 class TestWideAlphabetDeviceIndex:
