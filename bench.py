@@ -145,6 +145,19 @@ def main():
     log(f"device epoch (fused map+count): {dt*1e3:.1f} ms (median "
         f"{np.median(times)*1e3:.1f}) -> {dev_kps/1e6:.1f} M kmers/s "
         f"({S/dt:.0f} reads/s) on {jax.devices()[0].platform}")
+    # roofline: minimum HBM traffic per window = one hash-bucket row gather
+    # (BUCKET*(W+1) uint32, ops.py:240) + one annotation row gather
+    # (ceil(L/32) uint32) + the int8 bit-expand materialized by the tile
+    # reduction (L bytes write+read).  v5e-1 HBM ~ 820 GB/s.
+    Wwords = pipe.index.table.shape[1] // 16 - 1
+    bytes_per_win = 16 * (Wwords + 1) * 4 + ((L + 31) // 32) * 4 + 2 * L
+    hbm = 820e9
+    sol = hbm / bytes_per_win
+    tiles_total = tiles.shape[0] * tiles.shape[1]
+    log(f"roofline: ~{bytes_per_win} B/window min HBM traffic -> "
+        f"gather-bound SoL ~{sol/1e6:.0f} M kmers/s; measured epoch runs at "
+        f"{tiles_total/dt/sol*100:.0f}% of that "
+        f"({tiles_total/dt*bytes_per_win/1e9:.0f} GB/s effective)")
 
     # THE production path (cmd_query --device, query/pipeline.py): batched
     # map + device counts + thresholds + payload formatting, end to end
@@ -216,12 +229,38 @@ def main():
         sys.exit(1)
     log("baseline/device counts identical")
 
-    # aligner throughput: the production batch path (cmd_align) on noisy
-    # 150bp reads vs the round-1 per-read inline extender
+    # build throughput (BASELINE asks for build k-mers/s): host pipeline
+    # end to end (extract -> sort/dedupe -> dummy edges -> BOSS arrays) and
+    # the device sort core separately
+    t0 = time.perf_counter()
+    g2 = DBGSuccinct.build(seqs, K)
+    build_dt = time.perf_counter() - t0
+    total_kmers = sum(max(len(s) - K, 0) for s in seqs)
+    assert g2.num_nodes() == 591997
+    log(f"build (host pipeline): {build_dt:.2f} s -> "
+        f"{total_kmers/build_dt/1e6:.2f} M kmers/s "
+        f"({g2.num_nodes()} nodes)")
+    build_kps = total_kmers / build_dt
+    del g2
+    try:
+        from metagraph_tpu.succinct.device_build import device_sort_unique
+        _ = device_sort_unique(queries)          # compile warmup
+        t0 = time.perf_counter()
+        _skeys = device_sort_unique(np.roll(queries, 1, axis=0))
+        dsort_dt = time.perf_counter() - t0
+        log(f"build (device sort+dedupe core): {dsort_dt*1e3:.0f} ms -> "
+            f"{n_kmers/dsort_dt/1e6:.1f} M kmers/s")
+    except Exception as e:         # device path optional on CPU fallback
+        log(f"build (device sort core): skipped ({e})")
+
+    # aligner throughput: the production batch path (cmd_align, flat
+    # multi-extension engine) on noisy 150bp reads, vs the 1-core
+    # sequential per-read loop (the reference's per-thread align model,
+    # dbg_aligner.cpp:358 — same algorithm, no cross-read batching)
     import random
     random.seed(42)
     reads = []
-    while len(reads) < 120:
+    while len(reads) < 480:
         src = random.choice(seqs)
         if len(src) < 200:
             continue
@@ -241,9 +280,36 @@ def main():
         res = aligner.align_batch(reads)
         al_dt = min(al_dt, time.perf_counter() - t0)
     n_aligned = sum(1 for r in res if r)
-    log(f"aligner batch path: {len(reads)/al_dt:.0f} reads/s "
-        f"({al_dt*1e3/len(reads):.1f} ms/read, {n_aligned}/{len(reads)} "
-        f"aligned)")
+    # 1-core sequential baseline on a sample, extrapolated per read
+    sample = reads[:48]
+    t0 = time.perf_counter()
+    res_seq = [aligner.align(r) for r in sample]
+    seq_dt = (time.perf_counter() - t0) / len(sample)
+    same = all(
+        [(a.score, a.cigar.to_string()) for a in x]
+        == [(a.score, a.cigar.to_string()) for a in y]
+        for x, y in zip(res[:48], res_seq))
+    align_rps = len(reads) / al_dt
+    log(f"aligner batch path: {align_rps:.0f} reads/s "
+        f"({al_dt*1e3/len(reads):.2f} ms/read, {n_aligned}/{len(reads)} "
+        f"aligned); sequential 1-core baseline {1/seq_dt:.0f} reads/s "
+        f"-> {align_rps*seq_dt:.1f}x (outputs identical: {same})")
+
+    # pallas SW kernel relay-dispatch latency (VERDICT r2 #9: promote the
+    # kernel into the batched extender if dispatch <= 10 ms)
+    if tpu_ok:
+        try:
+            from metagraph_tpu.align import pallas_sw
+            qs = np.tile(np.arange(4, dtype=np.int32), (8, 16))
+            rs = np.tile(np.arange(4, dtype=np.int32), (8, 32))
+            _ = pallas_sw.batch_local_align_scores(qs, rs)   # compile
+            t0 = time.perf_counter()
+            _ = pallas_sw.batch_local_align_scores(qs, rs)
+            pd = time.perf_counter() - t0
+            log(f"pallas SW kernel dispatch (8x64x128 tile): {pd*1e3:.1f} ms"
+                f" ({'promote' if pd <= 0.010 else 'keep XLA-jit path'})")
+        except Exception as e:
+            log(f"pallas dispatch measurement skipped: {e}")
 
     out = {
         "metric": "annotated_query_throughput",

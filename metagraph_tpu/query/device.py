@@ -65,16 +65,26 @@ def query_epoch(table: jnp.ndarray, bitmap: jnp.ndarray, queries: jnp.ndarray,
 
 
 
-def _tile_label_counts(bitmap, nodes_ct, num_labels):
+def _tile_label_counts(bitmap, nodes_ct, num_labels, words_fn=None):
     """(C, T) node ids (0 = miss) -> ((C, L) int32 tile label counts,
     (C,) int32 tile hits).  Fused gather -> int8 bit-expand -> int32 tile
     sum: ~20% faster than int32 expansion on v5e (exact: tile sums < 2^31).
-    The ONE counting body shared by every epoch variant."""
+    The ONE counting body shared by every epoch variant.
+
+    words_fn(anno_dev, rows) optionally replaces the dense bitmap gather
+    with a compressed row-words source (BRWT descend / row-diff walk,
+    annotation/device_matrix.py) — ``bitmap`` then carries the device
+    annotation pytree instead of the raw array."""
     shifts = jnp.arange(32, dtype=jnp.uint32)
     hit = nodes_ct > 0
-    rows = jnp.where(hit, nodes_ct - 1, 0)
-    words = anno_ops.gather_anno_rows(bitmap, rows, num_labels) \
-        * hit[..., None].astype(jnp.uint32)
+    if words_fn is None:
+        rows = jnp.where(hit, nodes_ct - 1, 0)
+        words = anno_ops.gather_anno_rows(bitmap, rows, num_labels) \
+            * hit[..., None].astype(jnp.uint32)
+    else:
+        rows = jnp.where(hit, nodes_ct - 1, -1)
+        words = words_fn(bitmap, rows.reshape(-1)).reshape(
+            nodes_ct.shape[0], nodes_ct.shape[1], -1)
     Lw = words.shape[-1]
     bits = ((words[..., None] >> shifts) & 1).astype(jnp.int8)
     tc = bits.sum(axis=1, dtype=jnp.int32).reshape(
@@ -251,7 +261,7 @@ def query_epoch_codes2(table: jnp.ndarray, bitmap: jnp.ndarray,
 
 def _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel, selmin,
                      num_seqs: int, num_labels: int, K: int, T: int,
-                     canon: int = 0, canon_offset: int = 0):
+                     canon: int = 0, canon_offset: int = 0, words_fn=None):
     """Traced body shared by query_epoch_wire (five device args) and
     query_epoch_wire_buf (one fused upload buffer).
 
@@ -283,11 +293,20 @@ def _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel, selmin,
             rows_ct = nodes
         else:
             rck = graph_ops.rc_keys2(keys.reshape(C * T, 2), K)
-            nodes_r = graph_ops._hash_lookup(table2, rck).reshape(C, T)
             if canon == 1:
-                nodes = jnp.where(valid, jnp.maximum(nodes_f, nodes_r), 0)
+                # canonical-mode graph stores BOTH strands; the host maps
+                # each window to its canonical form (min strand in BOSS
+                # priority order, pipeline._map_windows) — select that key
+                # on device and do ONE lookup (bit-exact with host)
+                kf = keys.reshape(C * T, 2)
+                take_rc = graph_ops.keys2_greater(kf, rck, K)
+                kc = jnp.where(take_rc[:, None], rck, kf)
+                nodes = jnp.where(
+                    valid,
+                    graph_ops._hash_lookup(table2, kc).reshape(C, T), 0)
                 rows_ct = nodes
             else:
+                nodes_r = graph_ops._hash_lookup(table2, rck).reshape(C, T)
                 rows_ct = jnp.where(valid,
                                     jnp.where(nodes_f > 0, nodes_f, nodes_r),
                                     0)
@@ -297,7 +316,7 @@ def _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel, selmin,
                               jnp.where(nodes_r > 0,
                                         nodes_r + np.int32(canon_offset), 0)),
                     0)
-        tc, th = _tile_label_counts(bitmap, rows_ct, num_labels)
+        tc, th = _tile_label_counts(bitmap, rows_ct, num_labels, words_fn)
         return carry, (tc, th, nodes)
     _, (tc, th, nodes) = jax.lax.scan(
         body, 0, (words.reshape(nc, C, NW),
@@ -308,13 +327,13 @@ def _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel, selmin,
     return mask, counts, present, nodes.reshape(nc * C, T)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
 def query_epoch_wire(table2: jnp.ndarray, bitmap: jnp.ndarray,
                      words: jnp.ndarray, vwords: jnp.ndarray,
                      tile_seq: jnp.ndarray, dsel: jnp.ndarray,
                      selmin: jnp.ndarray,
                      num_seqs: int, num_labels: int, K: int, T: int,
-                     canon: int = 0, canon_offset: int = 0):
+                     canon: int = 0, canon_offset: int = 0, words_fn=None):
     """query_epoch_codes2 with hash keys taken DIRECTLY from the 2-bit wire
     words (DNA, K <= 31): window keys are funnel shifts of the uploaded
     stream (ops.extract_windows2) and validity is a log2(K)-step sliding AND
@@ -328,14 +347,15 @@ def query_epoch_wire(table2: jnp.ndarray, bitmap: jnp.ndarray,
     query_epoch_codes2."""
     return _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel,
                             selmin, num_seqs, num_labels, K, T, canon,
-                            canon_offset)
+                            canon_offset, words_fn)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
 def query_epoch_wire_buf(table2: jnp.ndarray, bitmap: jnp.ndarray,
                          buf: jnp.ndarray, N: int, NW: int, NV: int,
                          num_seqs: int, num_labels: int, K: int, T: int,
-                         canon: int = 0, canon_offset: int = 0):
+                         canon: int = 0, canon_offset: int = 0,
+                         words_fn=None):
     """query_epoch_wire over ONE fused uint32 upload buffer laid out as
     [words (N*NW) | vwords (N*NV) | tile_seq (N) | dsel (num_seqs) |
     selmin (num_seqs)] (int32 fields bitcast).  Per-transfer dispatch
@@ -356,7 +376,7 @@ def query_epoch_wire_buf(table2: jnp.ndarray, bitmap: jnp.ndarray,
     selmin = bc(buf[o:o + num_seqs])
     return _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel,
                             selmin, num_seqs, num_labels, K, T, canon,
-                            canon_offset)
+                            canon_offset, words_fn)
 
 
 def wire_epoch_buffer(words: np.ndarray, vwords: np.ndarray,

@@ -434,10 +434,11 @@ class QueryEngine:
             # is DNA-only; those batches take the un-fused device path
             # (_map_windows, 4/8-bit keys) instead
             return None
-        if self._canon_mode():
-            # canonical / primary graphs fuse through the wire epoch only
-            # (rc keys are VPU bit ops on the 2-bit wire keys); without the
-            # native packer or a 2-bit index, fall back to execute_batch
+        if self._canon_mode() or self._needs_words_fn():
+            # canonical / primary graphs and compressed device annotations
+            # (BRWT descend / row-diff walk) fuse through the wire epoch
+            # only; without the native packer or a 2-bit index, fall back
+            # to execute_batch
             from .. import native
             if native.get_lib() is None \
                     or self._build_device_index2() is None:
@@ -447,10 +448,7 @@ class QueryEngine:
             # f32 matmuls, which round above 2^24; a single sequence that
             # long can exceed the bound — take the exact host-count path
             return None
-        from ..annotation.ops import DeviceAnnotation
         danno = self._build_device_annotation()
-        if not isinstance(danno, DeviceAnnotation):
-            return None
         from .device import TILE
         from .. import native
         if native.get_lib() is not None and len(seqs) >= 16 \
@@ -483,6 +481,13 @@ class QueryEngine:
         if getattr(self.graph, "mode", None) == "canonical":
             return 1
         return 0
+
+    def _needs_words_fn(self) -> bool:
+        """True when the device annotation is a compressed structure
+        (DeviceBRWT / DeviceRowDiff) served through a row-words function
+        instead of a dense bitmap gather."""
+        self._build_device_annotation()
+        return self._device_words is not None
 
     def _fused_dispatch(self, seqs, mode: str, discovery_fraction: float,
                         presence_fraction: float):
@@ -531,12 +536,16 @@ class QueryEngine:
                     if npad != n else tile_seq
                 buf = wire_epoch_buffer(words, vwords, tile_seq, dsel,
                                         selmin)
+                wfn = self._device_words
                 mask, counts, present, nodes_t = query_epoch_wire_buf(
-                    index2.table, danno.bitmap, jnp.asarray(buf),
+                    index2.table,
+                    danno if wfn is not None else danno.bitmap,
+                    jnp.asarray(buf),
                     npad, words.shape[1], vwords.shape[1], Spad, L, k, TILE,
-                    self._canon_mode(), int(self._canonical_offset or 0))
+                    self._canon_mode(), int(self._canonical_offset or 0),
+                    wfn)
             else:
-                assert not self._canon_mode()
+                assert not self._canon_mode() and not self._needs_words_fn()
                 if npad != n:
                     tiles2 = np.concatenate(
                         [tiles2, np.zeros((npad - n, tiles2.shape[1]),

@@ -148,6 +148,35 @@ def rc_keys2(keys: jnp.ndarray, K: int) -> jnp.ndarray:
     return jnp.stack([out_lo & mask_lo, out_hi & mask_hi], axis=-1)
 
 
+def boss_rot2(keys: jnp.ndarray, K: int):
+    """(..., 2) uint32 wire keys -> (lo, hi) BOSS-priority-order surrogates.
+
+    boss_priority_order (packing.py:27) compares chars K-2, K-3, .., 0,
+    then K-1 last.  On the wire key (char i at bits 2i; integer comparison
+    weighs char K-1 most) that order is EXACTLY a 2-bit rotate-left within
+    the 2K-bit key: char j moves to group j+1 (mod K), putting char K-2 in
+    the top group and char K-1 in the bottom one.  Comparing the rotated
+    keys as (hi, lo) pairs therefore reproduces the host's packed-row
+    canonical-strand choice (kmer/extractor._rows_greater) bit-for-bit."""
+    lo = keys[..., 0]
+    hi = keys[..., 1]
+    top2 = (hi >> np.uint32(2 * K - 34)) & np.uint32(3) if 2 * K - 2 >= 32 \
+        else (lo >> np.uint32(2 * K - 2)) & np.uint32(3)
+    mask_lo = np.uint32(0xFFFFFFFF) if K >= 16 \
+        else np.uint32((1 << (2 * K)) - 1)
+    mask_hi = np.uint32((1 << max(2 * K - 32, 0)) - 1)
+    rlo = ((lo << np.uint32(2)) | top2) & mask_lo
+    rhi = ((hi << np.uint32(2)) | (lo >> np.uint32(30))) & mask_hi
+    return rlo, rhi
+
+
+def keys2_greater(a: jnp.ndarray, b: jnp.ndarray, K: int) -> jnp.ndarray:
+    """a > b in BOSS priority order, for (..., 2) uint32 wire keys."""
+    alo, ahi = boss_rot2(a, K)
+    blo, bhi = boss_rot2(b, K)
+    return (ahi > bhi) | ((ahi == bhi) & (alo > blo))
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def extract_windows2(words: jnp.ndarray, K: int, T: int) -> jnp.ndarray:
     """(C, NW) uint32 2-bit code stream -> (C, T, 2) uint32 window keys.

@@ -423,12 +423,67 @@ class TestWireEpoch:
         queries.append(b"ACG")
         host = QueryEngine(ag, use_device=False)
         dev = QueryEngine(ag, use_device=True)
+        def norm(p):
+            def third(t):
+                v = t[2]
+                if isinstance(v, np.ndarray):
+                    return v.tolist()
+                return [list(x) if isinstance(x, (list, np.ndarray)) else x
+                        for x in v]
+            return [[(t[0], t[1], third(t))
+                     if isinstance(t, tuple) and len(t) == 3 else t
+                     for t in seq_r] for seq_r in p]
         for qmode in ("labels", "matches", "counts", "signature"):
             want = [host.execute(n, qmode, 5, 0.6, 0.05)
                     for n in host.map_batch(queries)]
             got = dev.query_batch_fused(queries, qmode, 5, 0.6, 0.05)
             assert got is not None, f"fused path refused {mode_name}"
-            assert got == want, f"{mode_name}/{qmode}"
+            assert norm(got) == norm(want), f"{mode_name}/{qmode}"
+
+    def test_fused_compressed_annotation_matches_host(self):
+        """The ONE-dispatch fused path with BRWT / row-diff-BRWT device
+        annotations (words_fn row source) is payload-identical to host —
+        the configuration that scales past dense R x L/8 bitmaps
+        (ref multi_brwt/brwt.hpp:66)."""
+        from metagraph_tpu import native
+        from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+        from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+        from metagraph_tpu.annotation.matrix import (BRWT, RowDiff,
+                                                     StaticAnnotation)
+        from metagraph_tpu.query.pipeline import QueryEngine
+        if native.get_lib() is None:
+            import pytest
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(31)
+        K = 21
+        refs = ["".join(rng.choice(list("ACGT"), size=500)).encode()
+                for _ in range(8)]
+        g = DBGSuccinct.build(refs, K)
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        for i, s in enumerate(refs):
+            ag.annotate_sequence(s, [f"s{i}"])
+        anno.freeze()
+        cols = [anno.column_rows(c) for c in range(anno.num_labels)]
+        R, L = anno.num_rows, anno.num_labels
+        queries = [s[17:190] for s in refs] + [b"N" * 40, refs[0][:K - 1]]
+        host = QueryEngine(ag, use_device=False)
+        # (no "counts": binary BRWT matrices carry no k-mer count values)
+        want = {m: [host.execute(n, m, 5, 0.6, 0.05)
+                    for n in host.map_batch(queries)]
+                for m in ("labels", "matches", "signature")}
+        for name, matrix in [
+                ("brwt", BRWT.from_columns(cols, R, L)),
+                ("row_diff_brwt",
+                 RowDiff.from_annotation(cols, R, L, g, inner_type=BRWT))]:
+            ag2 = AnnotatedDBG(g, StaticAnnotation(matrix, anno.encoder,
+                                                   name))
+            dev = QueryEngine(ag2, use_device=True)
+            for qmode, w in want.items():
+                got = dev.query_batch_fused(queries, qmode, 5, 0.6, 0.05)
+                assert got is not None, f"fused path refused {name}"
+                assert str(got) == str(w), f"{name}/{qmode}"
+            assert dev._device_words is not None
 
     def test_fused_canonical_graph_matches_host(self):
         self._fused_vs_host("canonical")
