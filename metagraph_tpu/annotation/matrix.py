@@ -207,6 +207,55 @@ class RowSparse(BinaryMatrix):
         return out
 
 
+def _dedup_csr_rows(indptr, indices):
+    """Deduplicate CSR rows; codes are assigned in FIRST-OCCURRENCE order
+    (matching a sequential dict over rows 0..R-1).  Vectorized: rows are
+    grouped by length, each group deduped with np.unique(axis=0) over a
+    contiguous (n, len) gather, then groups merge by the global row id of
+    each distinct row's first occurrence.  Peak memory is O(nnz), not
+    O(R * max_len).  Returns (codes, distinct_indptr, distinct_indices)."""
+    num_rows = len(indptr) - 1
+    lens = np.diff(indptr)
+    codes = np.zeros(num_rows, dtype=np.int64)
+    firsts = []      # (first_row, content array) per distinct row
+    inv_list = []    # (rows_of_len, inverse -> local distinct id, base)
+    base = 0
+    for ln in np.unique(lens):
+        rsel = np.flatnonzero(lens == ln)
+        if ln == 0:
+            firsts.append((np.array([rsel[0]]),
+                           np.zeros((1, 0), dtype=indices.dtype)))
+            inv_list.append((rsel, np.zeros(len(rsel), dtype=np.int64),
+                             base))
+            base += 1
+            continue
+        mat = indices[indptr[rsel][:, None] + np.arange(ln)]
+        uniq, first_i, inv = np.unique(mat, axis=0, return_index=True,
+                                       return_inverse=True)
+        firsts.append((rsel[first_i], uniq))
+        inv_list.append((rsel, inv.reshape(-1), base))
+        base += len(uniq)
+    first_rows = np.concatenate([f for f, _ in firsts]) if firsts \
+        else np.zeros(0, dtype=np.int64)
+    order = np.argsort(first_rows, kind="stable")
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    for rsel, inv, b in inv_list:
+        codes[rsel] = rank[b + inv]
+    contents = [None] * len(order)
+    pos = 0
+    for f, uniq in firsts:
+        for t in range(len(f)):
+            contents[rank[pos + t]] = uniq[t]
+        pos += len(f)
+    d_indptr = np.zeros(len(order) + 1, dtype=np.int64)
+    if contents:
+        d_indptr[1:] = np.cumsum([len(c) for c in contents])
+    d_indices = np.concatenate(contents).astype(np.int64) if contents \
+        else np.zeros(0, dtype=np.int64)
+    return codes, d_indptr, d_indices
+
+
 class UniqueRowBinmat(BinaryMatrix):
     """Distinct rows + per-row code (ref row_vector/unique_row_binmat)."""
 
@@ -222,22 +271,8 @@ class UniqueRowBinmat(BinaryMatrix):
     @classmethod
     def from_columns(cls, columns, num_rows, num_labels):
         indptr, indices = cls._csr_from_columns(columns, num_rows)
-        # hash rows by their label tuple
-        keys = {}
-        codes = np.zeros(num_rows, dtype=np.int64)
-        d_indptr = [0]
-        d_indices = []
-        for r in range(num_rows):
-            t = tuple(indices[indptr[r]: indptr[r + 1]].tolist())
-            code = keys.get(t)
-            if code is None:
-                code = len(keys)
-                keys[t] = code
-                d_indices.extend(t)
-                d_indptr.append(len(d_indices))
-            codes[r] = code
-        return cls(codes, np.array(d_indptr, dtype=np.int64),
-                   np.array(d_indices, dtype=np.int64), num_labels)
+        codes, d_indptr, d_indices = _dedup_csr_rows(indptr, indices)
+        return cls(codes, d_indptr, d_indices, num_labels)
 
     def get_rows_mask(self, rows):
         out = np.zeros((len(rows), self.num_labels), dtype=bool)
@@ -267,25 +302,18 @@ class Rainbow(BinaryMatrix):
     def from_columns(cls, columns, num_rows, num_labels, inner_type=None):
         inner_type = inner_type or BRWT
         indptr, indices = cls._csr_from_columns(columns, num_rows)
-        keys = {}
-        codes = np.zeros(num_rows, dtype=np.int64)
-        distinct = []
-        for r in range(num_rows):
-            t = tuple(indices[indptr[r]: indptr[r + 1]].tolist())
-            code = keys.get(t)
-            if code is None:
-                code = len(keys)
-                keys[t] = code
-                distinct.append(t)
-            codes[r] = code
+        codes, d_indptr, d_indices = _dedup_csr_rows(indptr, indices)
+        ndist = len(d_indptr) - 1
         # distinct rows -> per-label column arrays for the inner matrix
-        inner_cols = [[] for _ in range(num_labels)]
-        for dr, t in enumerate(distinct):
-            for c in t:
-                inner_cols[c].append(dr)
+        d_rows = np.repeat(np.arange(ndist, dtype=np.int64),
+                           np.diff(d_indptr))
+        order = np.lexsort((d_rows, d_indices))
+        lab_sorted = d_indices[order]
+        row_sorted = d_rows[order]
+        starts = np.searchsorted(lab_sorted, np.arange(num_labels + 1))
         inner = inner_type.from_columns(
-            [np.array(c, dtype=np.int64) for c in inner_cols],
-            len(distinct), num_labels)
+            [row_sorted[starts[c]: starts[c + 1]]
+             for c in range(num_labels)], ndist, num_labels)
         return cls(codes, inner, num_labels)
 
     def get_rows_mask(self, rows):
@@ -598,6 +626,25 @@ class RowDiff(BinaryMatrix):
         succ_full = np.full(M, -1, dtype=np.int64)
         succ_full[idx] = np.where(succ_rows >= 0, succ_rows + 1, -1)
         dist = np.full(M, -1, dtype=np.int64)   # distance to next anchor
+
+        # Acyclic bulk, vectorized: on the successor forest the sequential
+        # walk's result is a pure function — dist(n) = depth-to-terminal(n)
+        # mod max_length, anchor iff that is 0 — so pointer doubling over
+        # succ_full resolves every node whose chain reaches a terminal in
+        # O(M log M) array ops (ref row_diff_builder.cpp stage 1 walks each
+        # path; the mod identity makes the order irrelevant here).  Only
+        # cycle basins (whose anchor placement depends on the ascending
+        # visit order) drop to the per-path walk below.
+        jump = np.where(succ_full > 0, succ_full, np.arange(M))
+        w = (succ_full > 0).astype(np.int64)
+        for _ in range(max(M - 1, 1).bit_length()):
+            w = w + w[jump]
+            jump = jump[jump]
+        resolved = valid & (succ_full[jump] <= 0)
+        if resolved.any():
+            r = np.flatnonzero(resolved)
+            dist[r] = w[r] % max_length
+            anchors[r] = dist[r] == 0
 
         for e in idx:
             if dist[e] >= 0:
