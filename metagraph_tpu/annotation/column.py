@@ -290,6 +290,28 @@ class ColumnMajorAnnotation:
                 out[i].append((c, rc[lo[i]:hi[i], 1].tolist()))
         return out
 
+    def coords_triples(self):
+        """All coordinates as three parallel int64 arrays (rows, labels,
+        coords) sorted by (row, label, coord) — the vectorized bulk export
+        the tuple-matrix converters build from (instead of per-row lists)."""
+        self.freeze()
+        parts_r, parts_l, parts_c = [], [], []
+        for c in range(self.num_labels):
+            rc = self._coords[c]
+            if not len(rc):
+                continue
+            parts_r.append(rc[:, 0])
+            parts_l.append(np.full(len(rc), c, dtype=np.int64))
+            parts_c.append(rc[:, 1])
+        if not parts_r:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        rows = np.concatenate(parts_r)
+        labs = np.concatenate(parts_l)
+        crd = np.concatenate(parts_c)
+        order = np.lexsort((crd, labs, rows))
+        return rows[order], labs[order], crd[order]
+
     def compressed_columns(self):
         """Per-label adaptive compressed bit vectors (the reference's
         ColumnCompressed storage unit, annotate_column_compressed.hpp:26

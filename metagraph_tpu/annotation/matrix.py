@@ -413,13 +413,24 @@ class BRWT(BinaryMatrix):
     NAME = "brwt"
 
     class Node:
-        __slots__ = ("bitmap", "rank", "children", "labels")
+        __slots__ = ("bv", "children", "labels")
 
         def __init__(self, bitmap, children, labels):
-            self.bitmap = bitmap                     # bool over parent's rows
-            self.rank = np.cumsum(bitmap)            # rank1 inclusive
+            from ..succinct.bitrank import BitRank
+            # packed words + two-level rank directory (~0.18 B/bit); the
+            # round-2 cumsum rank cost 9 B/bit and capped tree scale
+            self.bv = bitmap if isinstance(bitmap, BitRank) \
+                else BitRank(np.asarray(bitmap, dtype=np.uint8))
             self.children = children
             self.labels = labels                     # column ids (leaves only)
+
+        @property
+        def bitmap(self):
+            """Unpacked bool view over the parent's reduced rows (compat for
+            stats / device flattening; queries use bv directly)."""
+            bits = np.unpackbits(self.bv.words.view(np.uint8),
+                                 bitorder="little")[: self.bv.n]
+            return bits.astype(bool)
 
     def __init__(self, root, num_rows, num_labels):
         self.root = root
@@ -427,18 +438,21 @@ class BRWT(BinaryMatrix):
         self.num_labels = num_labels
 
     @staticmethod
-    def greedy_linkage(columns, num_rows, max_sampled_rows: int = 1 << 20):
-        """Agglomerative greedy column clustering
+    def greedy_linkage(columns, num_rows, max_sample_bytes: int = 1 << 26):
+        """Agglomerative greedy column clustering over SAMPLED rows
         (ref clustering.cpp:223-365 greedy_matching /
-        agglomerative_greedy_linkage): each round, greedily pair the most
-        correlated clusters (popcount of AND on sampled rows) and merge.
-        Returns a nested-tuple tree over label ids."""
+        agglomerative_greedy_linkage, which likewise subsamples rows):
+        each round, greedily pair the most correlated clusters (popcount
+        of AND on the sample) and merge.  The sample is capped so the
+        dense working set stays <= max_sample_bytes regardless of label
+        count.  Returns a nested-tuple tree over label ids."""
         n = len(columns)
         if n == 1:
             return 0
-        if num_rows > max_sampled_rows:
+        max_rows = max(max_sample_bytes // max(n, 1), 1024)
+        if num_rows > max_rows:
             # subsample every step-th row (ref clustering.cpp sampling)
-            step = (num_rows + max_sampled_rows - 1) // max_sampled_rows
+            step = (num_rows + max_rows - 1) // max_rows
             m = (num_rows + step - 1) // step
             dense = np.zeros((n, m), dtype=bool)
             for c, col in enumerate(columns):
@@ -452,8 +466,10 @@ class BRWT(BinaryMatrix):
         trees = list(range(n))
         mats = dense
         while len(trees) > 1:
-            # popcount of AND per pair (ref correlation_similarity)
-            sim = mats.astype(np.int64) @ mats.T.astype(np.int64)
+            # popcount of AND per pair (ref correlation_similarity);
+            # float32 matmul is exact for counts < 2^24 and runs on BLAS
+            f = mats.astype(np.float32)
+            sim = (f @ f.T).astype(np.int64)
             np.fill_diagonal(sim, -1)
             order = np.dstack(np.unravel_index(
                 np.argsort(sim, axis=None)[::-1], sim.shape))[0]
@@ -483,9 +499,7 @@ class BRWT(BinaryMatrix):
         if num_labels == 0:
             root = cls.Node(np.zeros(num_rows, dtype=bool), [], [])
             return cls(root, num_rows, 0)
-        cols_dense = [np.zeros(num_rows, dtype=bool) for _ in range(num_labels)]
-        for c, col in enumerate(columns):
-            cols_dense[c][col] = True
+        columns = [np.asarray(col, dtype=np.int64) for col in columns]
 
         tree = cls.greedy_linkage(columns, num_rows) if linkage \
             and num_labels > 1 else None
@@ -494,16 +508,13 @@ class BRWT(BinaryMatrix):
             return [t] if isinstance(t, int) else \
                 tree_labels(t[0]) + tree_labels(t[1])
 
-        def build(subtree, label_ids, rows_mask):
-            """rows_mask: bool over global rows covered by this node scope."""
-            sub = [cols_dense[c][rows_mask] for c in label_ids]
-            agg = np.zeros(int(rows_mask.sum()), dtype=bool)
-            for s in sub:
-                agg |= s
+        def build(subtree, label_ids):
+            """Bottom-up: returns (scope_rows, children, labels) where
+            scope_rows are the sorted GLOBAL rows covered by this node's
+            label subset (every label's rows are a subset of each
+            ancestor's scope, so scopes need no parent context)."""
             if len(label_ids) == 1:
-                return cls.Node(agg, [], list(label_ids))
-            reduced_mask = rows_mask.copy()
-            reduced_mask[rows_mask] = agg
+                return columns[label_ids[0]], [], list(label_ids)
             if subtree is not None and not isinstance(subtree, int):
                 groups = [(subtree[0], tree_labels(subtree[0])),
                           (subtree[1], tree_labels(subtree[1]))]
@@ -511,13 +522,23 @@ class BRWT(BinaryMatrix):
                 mid = (len(label_ids) + arity - 1) // arity
                 groups = [(None, label_ids[i:i + mid])
                           for i in range(0, len(label_ids), mid)]
-            children = [build(st, g, reduced_mask) for st, g in groups]
-            return cls.Node(agg, children, [])
+            built = [build(st, g) for st, g in groups]
+            scope = built[0][0]
+            for b in built[1:]:
+                scope = np.union1d(scope, b[0])
+            children = []
+            for c_scope, c_children, c_labels in built:
+                bm = np.zeros(len(scope), dtype=np.uint8)
+                bm[np.searchsorted(scope, c_scope)] = 1
+                children.append(cls.Node(bm, c_children, c_labels))
+            return scope, children, []
 
-        root = build(tree, tree_labels(tree) if tree is not None
-                     else list(range(num_labels)),
-                     np.ones(num_rows, dtype=bool))
-        return cls(root, num_rows, num_labels)
+        scope, children, labels = build(
+            tree, tree_labels(tree) if tree is not None
+            else list(range(num_labels)))
+        root_bm = np.zeros(num_rows, dtype=np.uint8)
+        root_bm[scope] = 1
+        return cls(cls.Node(root_bm, children, labels), num_rows, num_labels)
 
     def get_rows_mask(self, rows):
         out = np.zeros((len(rows), self.num_labels), dtype=bool)
@@ -526,11 +547,13 @@ class BRWT(BinaryMatrix):
         def descend(node, rows_local, query_idx):
             if len(rows_local) == 0:
                 return
-            bits = node.bitmap[rows_local]
+            w = node.bv.words
+            bits = (w[rows_local >> 6]
+                    >> (rows_local & 63).astype(np.uint64)) & np.uint64(1)
             hit = np.flatnonzero(bits)
             if len(hit) == 0:
                 return
-            reduced = node.rank[rows_local[hit]] - 1
+            reduced = node.bv.rank(rows_local[hit]) - 1
             if not node.children:
                 out[query_idx[hit], node.labels[0]] = True
                 return
@@ -852,35 +875,121 @@ class IntRowDiff(BinaryMatrix):
                 for v in vals]
 
 
+def _ragged_gather(starts, lens):
+    """Indices selecting, for each i, the slice [starts[i], starts[i]+lens[i])
+    of a flat array, concatenated — the vectorized variable-length gather."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    off = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=off[1:])
+    return np.repeat(starts - off, lens) + np.arange(total)
+
+
+def _parity_triples(R, L, C):
+    """Keep (R, L, C) triples occurring an odd number of times — batched
+    symmetric difference over integer triple multisets.  Returns sorted by
+    (R, L, C)."""
+    if not len(R):
+        return R, L, C
+    order = np.lexsort((C, L, R))
+    R, L, C = R[order], L[order], C[order]
+    eq = (R[1:] == R[:-1]) & (L[1:] == L[:-1]) & (C[1:] == C[:-1])
+    first = np.concatenate([[0], np.flatnonzero(~eq) + 1])
+    counts = np.diff(np.concatenate([first, [len(R)]]))
+    sel = first[counts % 2 == 1]
+    return R[sel], L[sel], C[sel]
+
+
 class TupleCSCMatrix(BinaryMatrix):
-    """Coordinate matrix: per-row (label, coord tuple) lists
+    """Coordinate matrix in CSR: per row a slice of label codes, per
+    (row, label) a slice of coordinates — no per-row Python objects
     (ref rank_extended/tuple_csc_matrix.hpp:24)."""
 
     NAME = "brwt_coord"
 
-    def __init__(self, rows, num_labels):
-        self.rows = rows          # list per row: [(label, (coords...))]
-        self.num_rows = len(rows)
+    def __init__(self, lab_indptr, labels, coord_indptr, coords,
+                 num_rows, num_labels):
+        self.lab_indptr = lab_indptr        # (num_rows+1) -> labels slice
+        self.labels = labels                # (nnz,) ascending per row
+        self.coord_indptr = coord_indptr    # (nnz+1) -> coords slice
+        self.coords = coords                # ascending per (row, label)
+        self.num_rows = num_rows
         self.num_labels = num_labels
+
+    @classmethod
+    def from_triples(cls, rows, labs, crd, num_rows, num_labels):
+        """(row, label, coord) triples sorted by (row, label, coord)."""
+        if len(rows):
+            new = np.empty(len(rows), dtype=bool)
+            new[0] = True
+            new[1:] = (rows[1:] != rows[:-1]) | (labs[1:] != labs[:-1])
+            starts = np.flatnonzero(new).astype(np.int64)
+            labels = labs[starts]
+            pair_rows = rows[starts]
+            coord_indptr = np.concatenate([starts, [len(rows)]])
+        else:
+            labels = np.zeros(0, dtype=np.int64)
+            pair_rows = np.zeros(0, dtype=np.int64)
+            coord_indptr = np.zeros(1, dtype=np.int64)
+        lab_indptr = np.searchsorted(
+            pair_rows, np.arange(num_rows + 1, dtype=np.int64))
+        return cls(lab_indptr, labels, coord_indptr,
+                   np.ascontiguousarray(crd, dtype=np.int64),
+                   num_rows, num_labels)
 
     @classmethod
     def from_annotation(cls, anno):
         anno.freeze()
-        rows = [[] for _ in range(anno.num_rows)]
-        tuples = anno.get_row_tuples(np.arange(anno.num_rows))
-        for r, row in enumerate(tuples):
-            rows[r] = [(int(c), tuple(int(x) for x in t)) for c, t in row]
-        return cls(rows, anno.num_labels)
+        if hasattr(anno, "coords_triples"):
+            rows, labs, crd = anno.coords_triples()
+        else:   # generic fallback for non-column annotators
+            tuples = anno.get_row_tuples(np.arange(anno.num_rows))
+            rows = np.array([r for r, row in enumerate(tuples)
+                             for c, t in row for _ in t], dtype=np.int64)
+            labs = np.array([c for row in tuples
+                             for c, t in row for _ in t], dtype=np.int64)
+            crd = np.array([x for row in tuples
+                            for _c, t in row for x in t], dtype=np.int64)
+        return cls.from_triples(rows, labs, crd,
+                                anno.num_rows, anno.num_labels)
+
+    def row_triples(self, rows, owners=None):
+        """Batched gather: for queried `rows` return (owner, label, coord)
+        triples, sorted by (owner-position, label, coord).  `owners`
+        relabels each queried row (defaults to its position)."""
+        rows = np.asarray(rows, dtype=np.int64)
+        if owners is None:
+            owners = np.arange(len(rows), dtype=np.int64)
+        p_lens = self.lab_indptr[rows + 1] - self.lab_indptr[rows]
+        pair_idx = _ragged_gather(self.lab_indptr[rows], p_lens)
+        p_own = np.repeat(owners, p_lens)
+        c_lens = self.coord_indptr[pair_idx + 1] - self.coord_indptr[pair_idx]
+        tri_idx = _ragged_gather(self.coord_indptr[pair_idx], c_lens)
+        return (np.repeat(p_own, c_lens),
+                np.repeat(self.labels[pair_idx], c_lens),
+                self.coords[tri_idx])
 
     def get_rows_mask(self, rows):
+        rows = np.asarray(rows, dtype=np.int64)
         out = np.zeros((len(rows), self.num_labels), dtype=bool)
-        for i, r in enumerate(rows):
-            for c, _t in self.rows[r]:
-                out[i, c] = True
+        lens = self.lab_indptr[rows + 1] - self.lab_indptr[rows]
+        idx = _ragged_gather(self.lab_indptr[rows], lens)
+        out[np.repeat(np.arange(len(rows)), lens), self.labels[idx]] = True
         return out
 
     def get_row_tuples(self, rows):
-        return [[(c, list(t)) for c, t in self.rows[int(r)]] for r in rows]
+        out = []
+        for r in rows:
+            r = int(r)
+            row = []
+            for j in range(int(self.lab_indptr[r]),
+                           int(self.lab_indptr[r + 1])):
+                row.append((int(self.labels[j]),
+                            self.coords[self.coord_indptr[j]:
+                                        self.coord_indptr[j + 1]].tolist()))
+            out.append(row)
+        return out
 
 
 class TupleRowDiff(BinaryMatrix):
@@ -891,11 +1000,11 @@ class TupleRowDiff(BinaryMatrix):
 
     NAME = "row_diff_coord"
 
-    def __init__(self, diffs, succ, anchors, num_labels):
-        self.diffs = diffs        # list per row: [(label, frozenset coords)]
+    def __init__(self, diffs: "TupleCSCMatrix", succ, anchors, num_labels):
+        self.diffs = diffs        # TupleCSCMatrix of per-row diff coord sets
         self.succ = succ
         self.anchors = anchors
-        self.num_rows = len(diffs)
+        self.num_rows = diffs.num_rows
         self.num_labels = num_labels
 
     @classmethod
@@ -904,54 +1013,85 @@ class TupleRowDiff(BinaryMatrix):
         succ, anchors = RowDiff.build_routing(graph, max_length)
         anno.freeze()
         num_rows, num_labels = anno.num_rows, anno.num_labels
-        tuples = anno.get_row_tuples(np.arange(num_rows))
-        coord_sets = [{c: set(t) for c, t in row} for row in tuples]
-        diffs = []
-        for r in range(num_rows):
-            row = coord_sets[r]
-            if anchors[r] or succ[r] < 0:
-                diffs.append([(c, frozenset(s))
-                              for c, s in sorted(row.items())])
-                continue
-            succ_set = coord_sets[succ[r]]
-            out = []
-            for c in sorted(set(row) | set(succ_set)):
-                expected = {x - 1 for x in succ_set.get(c, ())}
-                d = row.get(c, set()) ^ expected
-                if d:
-                    out.append((c, frozenset(d)))
-            diffs.append(out)
+        full = TupleCSCMatrix.from_annotation(anno)
+        # coordinate *sets*: drop duplicate (row, label, coord) triples so
+        # the symmetric differences below are set algebra
+        R, L, C = full.row_triples(np.arange(num_rows),
+                                   owners=np.arange(num_rows))
+        if len(R):
+            keep = np.empty(len(R), dtype=bool)
+            keep[0] = True
+            keep[1:] = ((R[1:] != R[:-1]) | (L[1:] != L[:-1])
+                        | (C[1:] != C[:-1]))
+            R, L, C = R[keep], L[keep], C[keep]
+        full = TupleCSCMatrix.from_triples(R, L, C, num_rows, num_labels)
+        # diff(r) = coords(r) XOR (coords(succ(r)) - 1) for non-anchor rows;
+        # anchors store the full set.  Batched: own triples + succ triples
+        # (owner relabelled to r, coords shifted by -1), then parity-fold.
+        src = np.flatnonzero(~anchors & (succ >= 0))
+        sR, sL, sC = full.row_triples(succ[src], owners=src)
+        dR, dL, dC = _parity_triples(np.concatenate([R, sR]),
+                                     np.concatenate([L, sL]),
+                                     np.concatenate([C, sC - 1]))
+        diffs = TupleCSCMatrix.from_triples(dR, dL, dC, num_rows, num_labels)
         return cls(diffs, succ, anchors, num_labels)
 
-    def _reconstruct(self, r):
-        chain = []
-        cur = int(r)
-        while True:
-            chain.append(cur)
-            if self.anchors[cur] or self.succ[cur] < 0:
-                break
-            cur = int(self.succ[cur])
-        sets: dict = {}
-        for cur in reversed(chain):
-            shifted = {c: {x - 1 for x in s} for c, s in sets.items()}
-            if self.anchors[cur] or self.succ[cur] < 0:
-                shifted = {}
-            merged: dict = dict(shifted)
-            for c, d in self.diffs[cur]:
-                merged[c] = merged.get(c, set()) ^ set(d)
-            sets = {c: s for c, s in merged.items() if s}
-        return sets
+    def _reconstruct_triples(self, rows):
+        """Batched: result(r) = XOR over chain nodes n_i at depth i of
+        (diffs(n_i) shifted by -i) — the unrolled form of
+        diff(r) XOR shift(result(succ(r)), -1) (ref tuple_row_diff.hpp:27).
+        Returns (owner, label, coord) sorted by (owner, label, coord)."""
+        rows = np.asarray(rows, dtype=np.int64)
+        owners, nodes, depths = [], [], []
+        own = np.arange(len(rows), dtype=np.int64)
+        cur = rows.copy()
+        d = 0
+        while len(own):
+            owners.append(own)
+            nodes.append(cur.copy())
+            depths.append(np.full(len(own), d, dtype=np.int64))
+            alive = ~(self.anchors[cur] | (self.succ[cur] < 0))
+            own = own[alive]
+            cur = self.succ[cur[alive]]
+            d += 1
+            if d > self.num_rows:
+                raise ValueError(
+                    "row-diff successor walk did not terminate — "
+                    "inconsistent routing")
+        N = np.concatenate(nodes) if nodes else np.zeros(0, dtype=np.int64)
+        O = np.concatenate(owners) if owners else np.zeros(0, dtype=np.int64)
+        D = np.concatenate(depths) if depths else np.zeros(0, dtype=np.int64)
+        p_lens = self.diffs.lab_indptr[N + 1] - self.diffs.lab_indptr[N]
+        pair_idx = _ragged_gather(self.diffs.lab_indptr[N], p_lens)
+        pO = np.repeat(O, p_lens)
+        pD = np.repeat(D, p_lens)
+        c_lens = (self.diffs.coord_indptr[pair_idx + 1]
+                  - self.diffs.coord_indptr[pair_idx])
+        tri_idx = _ragged_gather(self.diffs.coord_indptr[pair_idx], c_lens)
+        return _parity_triples(np.repeat(pO, c_lens),
+                               np.repeat(self.diffs.labels[pair_idx], c_lens),
+                               self.diffs.coords[tri_idx]
+                               - np.repeat(pD, c_lens))
 
     def get_rows_mask(self, rows):
         out = np.zeros((len(rows), self.num_labels), dtype=bool)
-        for i, r in enumerate(rows):
-            for c in self._reconstruct(r):
-                out[i, c] = True
+        O, L, _C = self._reconstruct_triples(rows)
+        out[O, L] = True
         return out
 
     def get_row_tuples(self, rows):
-        return [[(c, sorted(s)) for c, s in sorted(self._reconstruct(r).items())]
-                for r in rows]
+        O, L, C = self._reconstruct_triples(rows)
+        out = [[] for _ in range(len(rows))]
+        if not len(O):
+            return out
+        new = np.empty(len(O), dtype=bool)
+        new[0] = True
+        new[1:] = (O[1:] != O[:-1]) | (L[1:] != L[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(O)]])
+        for s, e in zip(starts, ends):
+            out[int(O[s])].append((int(L[s]), C[s:e].tolist()))
+        return out
 
 
 def _row_diff_inner(target: str):
