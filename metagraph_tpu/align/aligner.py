@@ -216,6 +216,13 @@ class DBGAligner:
             if both:
                 per_seq.append((qi, True, revcomp(fq)))
         pres = [dict() for _ in queries]
+        # batched node mapping: one native lookup over every (read,
+        # orientation) replaces per-read map_to_nodes_sequentially calls
+        if per_seq and hasattr(dbg, "map_to_nodes_sequentially_batch"):
+            node_lists = dbg.map_to_nodes_sequentially_batch(
+                [s for _, _, s in per_seq])
+            for (qi, orient, _s), nl in zip(per_seq, node_lists):
+                pres[qi].setdefault(orient, {})["nodes"] = nl
         if not want_ranges:
             return pres
         enc_parts = []
@@ -241,9 +248,9 @@ class DBGAligner:
             codes, starts, lens_all)
         p = 0
         for (qi, orient, _off, n_pos, lens) in meta:
-            pres[qi][orient] = {
-                "ranges": (firsts[p: p + n_pos], lasts[p: p + n_pos],
-                           matcheds[p: p + n_pos])}
+            pres[qi].setdefault(orient, {})["ranges"] = (
+                firsts[p: p + n_pos], lasts[p: p + n_pos],
+                matcheds[p: p + n_pos])
             p += n_pos
         return pres
 

@@ -9,8 +9,19 @@ the sequential extender would make — and all popped columns' children are
 scored by ONE stacked column-DP call and one batched graph-traversal call.
 Branch pops (2+ children, where the sequential semantics update the x-drop
 cutoff and best score between siblings) take a per-child exact loop; chain
-pops (one child, the vast majority in a de Bruijn graph) stay fully
-vectorized.
+pops (one child, the vast majority in a de Bruijn graph — ~99% measured)
+are handled fully vectorized: per-wave bookkeeping (cutoff/best raises,
+min-cell tracking, backtrack-candidate checks) runs as array ops over all
+single-child jobs at once, since each job contributes at most one child per
+wave and jobs are independent.
+
+Columns live in a COLUMNAR store (gS/gE/gF + per-column metadata arrays)
+shared across jobs: each wave appends its kept children with one slice
+write, parent rows re-enter the next wave through one gather, and rows are
+recycled through a free list when a job finalizes — no per-column Python
+objects during extension.  Backtracking sees the table through a lazy
+adapter that materializes Column views only for the cells a trace actually
+touches.
 
 The engine admits new extension jobs while others are mid-flight (continuous
 batching): when a read finishes one extension, its next seed's extension
@@ -47,6 +58,36 @@ def _lite_column(node, parent, c, offset, max_pos, trim, score, S, E, F):
     return col
 
 
+def _materialize_table(eng, gcols, WS):
+    """Bulk-construct the per-job Column list from the columnar store
+    (attribute scalars come from one .tolist() pass per field; S/E/F are
+    zero-copy views into the store — valid until the rows are recycled)."""
+    gi = np.array(gcols, dtype=np.int64)
+    nodes = eng.g_node[gi].tolist()
+    parents = eng.g_parent[gi].tolist()
+    cs = eng.g_c[gi].tolist()
+    offs = eng.g_off[gi].tolist()
+    mps = eng.g_maxpos[gi].tolist()
+    scores = eng.g_score[gi].tolist()
+    gS, gE, gF = eng.gS, eng.gE, eng.gF
+    table = []
+    app = table.append
+    for t, g in enumerate(gcols):
+        col = Column.__new__(Column)
+        col.S = gS[g, :WS]
+        col.E = gE[g, :WS]
+        col.F = gF[g, :WS]
+        col.node = nodes[t]
+        col.parent = parents[t]
+        col.c = cs[t]
+        col.offset = offs[t]
+        col.max_pos = mps[t]
+        col.trim = 0
+        col.score = scores[t]
+        app(col)
+    return table
+
+
 def _outgoing_batch(graph, nodes: np.ndarray):
     """(owner, child, char_code) for a node array."""
     fn = getattr(graph, "call_outgoing_batch", None)
@@ -71,7 +112,7 @@ def _group_key(ext):
 class _Job:
     __slots__ = ("ext", "seed", "min_path_score", "ffs", "start", "window",
                  "wsize", "WS", "seed_offset", "tips", "conv_rows", "cand",
-                 "queue", "next_nodes", "col_max", "cur", "done")
+                 "queue", "next_nodes", "gcols", "col_max", "cur", "done")
 
     def __init__(self, ext, seed, min_path_score, ffs):
         self.ext = ext
@@ -85,6 +126,7 @@ class _Job:
         # best-first pop state (replicates extender.py:236-252 discipline)
         self.queue = [(0, 0, 0)]
         self.next_nodes: List[tuple] = []
+        self.gcols: List[int] = []    # per-job tidx -> global store row
         self.col_max: List[int] = []  # stored column max per table entry
         self.cur = -1
         self.done = False
@@ -176,9 +218,21 @@ class FlatEngine:
         self.pss = np.zeros((cap, W), dtype=np.int32)
         self.winb = np.zeros((cap, W), dtype=np.int64)  # window bytes
 
-        # parent staging buffers (one row per active job per wave)
-        self._Sbuf = np.full((cap, W), NINF, dtype=np.int32)
-        self._Fbuf = np.full((cap, W), NINF, dtype=np.int32)
+        # columnar table store shared across jobs (rows recycle via `free`
+        # when a job finalizes; np.empty = virtual allocation, so a large
+        # initial cap costs address space, not RSS)
+        self.gcap = 1 << 16
+        self.g_n = 0
+        self.free: List[int] = []
+        self.gS = np.empty((self.gcap, W), dtype=np.int32)
+        self.gE = np.empty((self.gcap, W), dtype=np.int32)
+        self.gF = np.empty((self.gcap, W), dtype=np.int32)
+        self.g_node = np.empty(self.gcap, dtype=np.int64)
+        self.g_parent = np.empty(self.gcap, dtype=np.int64)
+        self.g_c = np.empty(self.gcap, dtype=np.int64)
+        self.g_off = np.empty(self.gcap, dtype=np.int64)
+        self.g_maxpos = np.empty(self.gcap, dtype=np.int64)
+        self.g_score = np.empty(self.gcap, dtype=np.int64)
 
         # convergence-filter store: rows of width W-1 (np.empty = virtual
         # allocation; pages commit only on write)
@@ -215,12 +269,6 @@ class FlatEngine:
             new = np.zeros((cap, self.W), dtype=old.dtype)
             new[: len(old)] = old
             setattr(self, name, new)
-        for name in ("_Sbuf", "_Fbuf"):
-            # staging pad region must read NINF (only [:WSj] is rewritten)
-            old = getattr(self, name)
-            new = np.full((cap, self.W), NINF, dtype=old.dtype)
-            new[: len(old)] = old
-            setattr(self, name, new)
 
     def _grow_seed_tables(self, ln, ls):
         if ln > self.Ln:
@@ -235,6 +283,37 @@ class FlatEngine:
             new = np.zeros((self.jcap, self.Ls), dtype=np.int64)
             new[:, : self.seed_seq.shape[1]] = self.seed_seq
             self.seed_seq = new
+
+    # --------------------------------------------------------- column store
+    def _grow_store(self, need):
+        cap = self.gcap
+        while cap < need:
+            cap *= 2
+        newS = np.empty((cap, self.W), dtype=np.int32)
+        newS[: self.g_n] = self.gS[: self.g_n]
+        newE = np.empty((cap, self.W), dtype=np.int32)
+        newE[: self.g_n] = self.gE[: self.g_n]
+        newF = np.empty((cap, self.W), dtype=np.int32)
+        newF[: self.g_n] = self.gF[: self.g_n]
+        self.gS, self.gE, self.gF = newS, newE, newF
+        for name in ("g_node", "g_parent", "g_c", "g_off", "g_maxpos",
+                     "g_score"):
+            setattr(self, name, _grow1(getattr(self, name), cap))
+        self.gcap = cap
+
+    def _galloc(self, n):
+        """Allocate n store rows (recycled rows first)."""
+        free = self.free
+        if len(free) >= n:
+            rows = np.array(free[-n:], dtype=np.int64)
+            del free[-n:]
+            return rows
+        need = self.g_n + n
+        if need > self.gcap:
+            self._grow_store(need)
+        rows = np.arange(self.g_n, need, dtype=np.int64)
+        self.g_n = need
+        return rows
 
     def add_job(self, ext, seed, min_path_score, force_fixed_seed) -> int:
         """Admit one extension; returns its job slot.  The job joins the
@@ -303,9 +382,20 @@ class FlatEngine:
             ok &= np.minimum.accumulate(ok)
             rE[1:] = np.where(ok, chain, NINF)
             rS[1:] = rE[1:]
-        root = _lite_column(seed.nodes[0], -1, 0, job.seed_offset, 0, 0, 0,
-                            rS, rE, rF)
-        ext.table = [root]
+        g = int(self._galloc(1)[0])
+        self.gS[g] = NINF
+        self.gE[g] = NINF
+        self.gF[g] = NINF
+        self.gS[g, :WS] = rS
+        self.gE[g, :WS] = rE
+        self.gF[g, :WS] = rF
+        self.g_node[g] = seed.nodes[0]
+        self.g_parent[g] = -1
+        self.g_c[g] = 0
+        self.g_off[g] = job.seed_offset
+        self.g_maxpos[g] = 0
+        self.g_score[g] = 0
+        job.gcols = [g]
         ext.prev_starts = set()
         ext.min_cell_score = 0
         job.col_max = [int(rS.max())]
@@ -362,7 +452,7 @@ class FlatEngine:
             if tidx < 0:
                 return -1
             cmax = job.col_max[tidx]
-            if cmax < best and len(job.ext.table) / wsize >= cap:
+            if cmax < best and len(job.gcols) / wsize >= cap:
                 job.kill()
                 return -1
             if cmax >= cutoff:
@@ -379,22 +469,18 @@ class FlatEngine:
 
         J = len(parents)
         pj = np.array(parents, dtype=np.int64)
-        # stage parent rows (stored at WSj width; pad region persists NINF
-        # in the staging buffers because rows are rewritten full-width)
+        # gather parent rows from the columnar store (rows are stored
+        # full-width with an NINF pad beyond each job's WS)
         ptidx = np.empty(J, dtype=np.int64)
-        pnode = np.empty(J, dtype=np.int64)
-        poff = np.empty(J, dtype=np.int64)
+        g_cur = np.empty(J, dtype=np.int64)
         for t, j in enumerate(parents):
             job = jobs[j]
-            col = job.ext.table[job.cur]
             ptidx[t] = job.cur
-            pnode[t] = col.node
-            poff[t] = col.offset
-            WSj = job.WS
-            self._Sbuf[j, :WSj] = col.S
-            self._Fbuf[j, :WSj] = col.F
-        S_act = self._Sbuf[pj]
-        F_act = self._Fbuf[pj]
+            g_cur[t] = job.gcols[job.cur]
+        S_act = self.gS[g_cur]
+        F_act = self.gF[g_cur]
+        pnode = self.g_node[g_cur]
+        poff = self.g_off[g_cur]
 
         cutc = self.cutoff[pj]
         inr = S_act >= cutc[:, None]
@@ -503,28 +589,121 @@ class FlatEngine:
 
         # candidate collection inputs gathered for ALL children up front
         kws_all = self.wsizev[ch_jid]
-        sc_mp_all = prof[np.arange(len(ch_jid)), mp].astype(np.int64)
+        ar = np.arange(len(ch_jid))
+        sc_mp_all = prof[ar, mp].astype(np.int64)
         p_mp_all = S_act[ch_rows, np.maximum(mp - 1, 0)]
-        s_lp_all = S[np.arange(len(ch_jid)), kws_all]
+        s_lp_all = S[ar, kws_all]
         p_lp_all = S_act[ch_rows, np.maximum(kws_all - 1, 0)]
-        sc_lp_all = prof[np.arange(len(ch_jid)), kws_all].astype(np.int64)
         winc_mp_all = self.winb[ch_jid, np.maximum(mp - 1, 0)]
-        winc_lp_all = self.winb[ch_jid, np.maximum(kws_all - 1, 0)]
 
-        # ---- per-child sequential bookkeeping, exactly in sibling order
-        # (extender.py:269-331).  Chain pops (one child) have no sibling
-        # sequencing; their decisions above are already exact.  Convergence
-        # -filter updates are deferred and batched after the loop: every
-        # (job, node) key in one wave is distinct (children of one pop are
-        # distinct edges), and queue pushes can't interleave with pops
-        # inside a wave, so deferral preserves the sequential order.
-        conv_q: List[tuple] = []    # (wave idx, job, node, tidx, off_diag)
-        for i in range(len(ch_rows)):
+        single = grp_size == 1
+        si = np.flatnonzero(single)
+        mi = np.flatnonzero(~single)
+
+        # conv-filter entries staged per wave: (wave row, job, node, tidx,
+        # off_diag); singles append their arrays, multis append in loop order
+        conv_parts = []
+
+        # ---- vectorized single-child (chain) pops: each job contributes at
+        # most one child this wave, so per-job scalar updates are disjoint
+        # fancy-index writes (extender.py:269-331 semantics, no siblings)
+        if len(si):
+            jid_s = ch_jid[si]
+            # min cell score tracks every computed child (kept or not)
+            cm = col_min[si]
+            mold = self.mcs[jid_s]
+            self.mcs[jid_s] = np.where((cm != _POS) & (cm < mold), cm, mold)
+
+            ki = si[keep0[si]]
+            if len(ki):
+                kjid = ch_jid[ki]
+                smax_k = Smax[ki]
+                tidx_k = self.TL[kjid].copy()
+                rows = self._galloc(len(ki))
+                self.gS[rows] = S[ki]
+                self.gE[rows] = E[ki]
+                self.gF[rows] = F[ki]
+                self.g_node[rows] = ch_nodes[ki]
+                self.g_parent[rows] = ptidx[ch_rows[ki]]
+                self.g_c[rows] = ch_chars[ki]
+                self.g_off[rows] = ch_off[ki]
+                self.g_maxpos[rows] = mp[ki]
+                self.g_score[rows] = ch_score[ki]
+                self.TL[kjid] += 1
+                # x-drop cutoff / best raises (int64: Smax may be NINF for
+                # in-seed children; int32 subtraction would wrap)
+                cand_cut = smax_k.astype(np.int64) - self.xdrop_v[kjid]
+                self.cutoff[kjid] = np.maximum(
+                    self.cutoff[kjid].astype(np.int64),
+                    cand_cut).astype(np.int32)
+                self.best[kjid] = np.maximum(self.best[kjid], smax_k)
+                for j_, g_, cm_ in zip(kjid.tolist(), rows.tolist(),
+                                       smax_k.tolist()):
+                    jb = jobs[j_]
+                    jb.gcols.append(g_)
+                    jb.col_max.append(cm_)
+
+                # backtrack candidate cells (extender.py:445-478
+                # check_and_add), all conditions as array ops
+                off_k = ch_off[ki]
+                elig = off_k >= self.sdist_v[kjid]
+                if elig.any():
+                    mpos = mp[ki]
+                    kws = kws_all[ki]
+                    s_sp = smax_k.astype(np.int64)
+                    s_lp = s_lp_all[ki].astype(np.int64)
+                    p_mp = p_mp_all[ki].astype(np.int64)
+                    p_lp = p_lp_all[ki].astype(np.int64)
+                    reb = self.reb_v[kjid]
+                    msc = self.msc_v[kjid]
+                    at_end = mpos == kws
+                    bonus = np.where(at_end, reb, 0)
+                    sc1 = s_sp + bonus
+                    c1 = elig & (mpos >= 1) & (s_sp != NINF) \
+                        & (p_mp != NINF) & (sc1 >= msc)
+                    is_m = (s_sp == p_mp + ch_score[ki] + sc_mp_all[ki]) \
+                        & (winc_mp_all[ki] == ch_chars[ki])
+                    tipf = ~(is_m | at_end)
+                    sc2 = s_lp + reb
+                    c2 = elig & ~at_end & (kws >= 1) & (s_lp != NINF) \
+                        & (p_lp != NINF) & (sc2 >= msc)
+                    offd1 = np.abs(mpos - diag[ki])
+                    i1 = np.flatnonzero(c1)
+                    for j_, t_, s_, o_, p_, f_ in zip(
+                            kjid[i1].tolist(), tidx_k[i1].tolist(),
+                            sc1[i1].tolist(), offd1[i1].tolist(),
+                            mpos[i1].tolist(), tipf[i1].tolist()):
+                        jobs[j_].cand.append((t_, s_, o_, p_, f_))
+                    i2 = np.flatnonzero(c2)
+                    if len(i2):
+                        offd2 = np.abs(kws - diag[ki])
+                        for j_, t_, s_, o_, p_ in zip(
+                                kjid[i2].tolist(), tidx_k[i2].tolist(),
+                                sc2[i2].tolist(), offd2[i2].tolist(),
+                                kws[i2].tolist()):
+                            jobs[j_].cand.append((t_, s_, o_, p_, False))
+
+                # convergence filter (extender.py:130-165), batched below
+                cf = self.wsizev[kjid] > 0
+                if cf.any():
+                    cfi = np.flatnonzero(cf)
+                    conv_parts.append((ki[cfi], kjid[cfi],
+                                       ch_nodes[ki][cfi], tidx_k[cfi],
+                                       np.abs(mp[ki] - diag[ki])[cfi]))
+
+        # ---- per-child sequential bookkeeping for branch pops (2+
+        # siblings), exactly in sibling order (extender.py:269-331): the
+        # x-drop cutoff and best score can rise between siblings.
+        # Convergence-filter updates are deferred and batched after the
+        # loop: every (job, node) key in one wave is distinct (children of
+        # one pop are distinct edges), and queue pushes can't interleave
+        # with pops inside a wave, so deferral preserves sequential order.
+        m_conv = []
+        for i in mi.tolist():
             j = int(ch_jid[i])
             job = jobs[j]
-            multi = grp_size[i] > 1
             first_sib = grp_first[i] == i
-            if multi and not first_sib:
+            if not first_sib:
                 # later sibling: the cutoff may have risen since the wave
                 # was computed — re-mask (masking is monotone in the cutoff,
                 # so re-masking the pre-masked column is exact)
@@ -564,13 +743,18 @@ class FlatEngine:
             if not keep_i:
                 continue
 
-            WSj = job.WS
-            tidx = len(job.ext.table)
-            col = _lite_column(int(ch_nodes[i]), int(ptidx[ch_rows[i]]),
-                               int(ch_chars[i]), int(ch_off[i]), int(mp[i]),
-                               0, int(ch_score[i]), S[i, :WSj], E[i, :WSj],
-                               F[i, :WSj])
-            job.ext.table.append(col)
+            tidx = int(self.TL[j])
+            g = int(self._galloc(1)[0])
+            self.gS[g] = S[i]
+            self.gE[g] = E[i]
+            self.gF[g] = F[i]
+            self.g_node[g] = ch_nodes[i]
+            self.g_parent[g] = ptidx[ch_rows[i]]
+            self.g_c[g] = ch_chars[i]
+            self.g_off[g] = ch_off[i]
+            self.g_maxpos[g] = mp[i]
+            self.g_score[g] = ch_score[i]
+            job.gcols.append(g)
             job.col_max.append(int(Smax[i]))
             self.TL[j] += 1
             max_val = int(Smax[i])
@@ -581,46 +765,58 @@ class FlatEngine:
 
             # backtrack candidate cells (extender.py:445-478 check_and_add)
             self._collect_candidates(
-                j, job, tidx, i, int(ch_off[i]), int(mp[i]),
+                j, job, tidx, int(ch_off[i]), int(mp[i]),
                 int(kws_all[i]), int(Smax[i]), int(s_lp_all[i]),
                 int(p_mp_all[i]), int(p_lp_all[i]), int(sc_mp_all[i]),
-                int(sc_lp_all[i]), int(winc_mp_all[i]), int(winc_lp_all[i]),
-                int(ch_chars[i]), int(ch_score[i]), int(diag[i]))
+                int(winc_mp_all[i]), int(ch_chars[i]), int(ch_score[i]),
+                int(diag[i]))
 
             # convergence filter (extender.py:130-165), batched below
             if self.wsizev[j] == 0:
                 continue
-            conv_q.append((i, j, int(ch_nodes[i]), tidx,
+            m_conv.append((i, j, int(ch_nodes[i]), tidx,
                            abs(int(mp[i]) - int(diag[i]))))
 
-        if conv_q:
-            self._conv_flush(conv_q, S)
+        if m_conv:
+            arr = np.array(m_conv, dtype=np.int64)
+            conv_parts.append((arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
+                               arr[:, 4]))
+        if conv_parts:
+            if len(conv_parts) == 1:
+                ci, cj, cnode, ctidx, coffd = conv_parts[0]
+            else:
+                ci, cj, cnode, ctidx, coffd = (
+                    np.concatenate([p[t] for p in conv_parts])
+                    for t in range(5))
+            self._conv_flush(ci, cj, cnode, ctidx, coffd, S)
 
-    def _conv_flush(self, conv_q, S):
+    def _conv_flush(self, ci, cj, cnode, ctidx, coffd, S):
         """Batched update_seed_filter over this wave's kept children, then
         the deferred queue pushes in child order."""
         jobs = self.jobs
-        CONV = self.CONV
-        n = len(conv_q)
+        n = len(ci)
         ret = np.full(n, NINF, dtype=np.int64)
         rows = np.empty(n, dtype=np.int64)
         kind = np.zeros(n, dtype=np.int8)      # 0 new, 1 existing, 2 dummy
-        widx = np.fromiter((c[0] for c in conv_q), dtype=np.int64, count=n)
-        for t, (i, j, node, tidx, offd) in enumerate(conv_q):
+        cjl = cj.tolist()
+        cnl = cnode.tolist()
+        for t in range(n):
+            node = cnl[t]
             if node == 0:
                 kind[t] = 2
                 continue
-            r = jobs[j].conv_rows.get(node)
-            if r is None:
-                r = self._conv_alloc(1)[0]
-                jobs[j].conv_rows[node] = int(r)
-                rows[t] = r
-            else:
+            r = jobs[cjl[t]].conv_rows.get(node)
+            if r is not None:
                 kind[t] = 1
                 rows[t] = r
-        CONV = self.CONV
-        scores = S[widx, 1:]
         newi = np.flatnonzero(kind == 0)
+        if len(newi):
+            nr = self._conv_alloc(len(newi))
+            rows[newi] = nr
+            for t, r in zip(newi.tolist(), nr.tolist()):
+                jobs[cjl[t]].conv_rows[cnl[t]] = r
+        CONV = self.CONV
+        scores = S[ci, 1:]
         if len(newi):
             CONV[rows[newi]] = scores[newi]
             ret[newi] = scores[newi].max(axis=1)
@@ -632,20 +828,22 @@ class FlatEngine:
             orow = rows[oldi]
             seg = CONV[orow]
             sc = scores[oldi]
-            rc = np.fromiter((self.rcut_v[c[1]] for c in conv_q),
-                             dtype=np.float64, count=n)[oldi]
+            rc = self.rcut_v[cj[oldi]]
             improved = sc > seg * rc[:, None]
             upd = np.where(improved, np.maximum(seg, sc), seg)
             CONV[orow] = upd
             chg = np.where(improved, upd, NINF).max(axis=1)
             ret[oldi] = np.where(improved.any(axis=1), chg, NINF)
-        for t, (i, j, node, tidx, offd) in enumerate(conv_q):
-            if ret[t] != NINF:
-                jobs[j].push_child(int(ret[t]), offd, tidx)
+        rl = ret.tolist()
+        ctl = ctidx.tolist()
+        col_ = coffd.tolist()
+        for t in range(n):
+            if rl[t] != NINF:
+                jobs[cjl[t]].push_child(rl[t], col_[t], ctl[t])
 
-    def _collect_candidates(self, j, job, tidx, i, off, mpos, kws, s_sp,
-                            s_lp, p_mp, p_lp, sc_mp, sc_lp, winc_mp,
-                            winc_lp, ch, score, diag_i):
+    def _collect_candidates(self, j, job, tidx, off, mpos, kws, s_sp,
+                            s_lp, p_mp, p_lp, sc_mp, winc_mp, ch, score,
+                            diag_i):
         if off < self.sdist_v[j]:
             return
         reb = int(self.reb_v[j])
@@ -687,7 +885,9 @@ class FlatEngine:
             for t, (node, _row) in enumerate(items):
                 cc[node] = (startj, block[t])
         if ext.config.no_backtrack:
+            self._release(job)
             return [job.seed]
+        ext.table = _materialize_table(self, job.gcols, WSj)
         # resolve tip-gated candidates and order exactly like the
         # reference's indices.sort(reverse=True) on
         # (score, -off_diag, -idx, pos)
@@ -710,7 +910,15 @@ class FlatEngine:
                                       job.window, startj, job.seed_offset)
         for e in exts:
             e.trim_offset()
+        self._release(job)
         return exts
+
+    def _release(self, job):
+        """Recycle the job's store rows (its table adapter is dead after
+        finalize — alignments hold no references into the store)."""
+        job.ext.table = None
+        self.free.extend(job.gcols)
+        job.gcols = []
 
 
 def extend_flat(jobs, backend: str = "numpy") -> List[List[Alignment]]:

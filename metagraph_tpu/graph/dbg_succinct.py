@@ -121,6 +121,37 @@ class DBGSuccinct:
             edges = np.where(self.boss.valid[edges] > 0, edges, 0)
         return edges
 
+    def map_to_nodes_sequentially_batch(self, sequences) -> list:
+        """map_to_nodes_sequentially over many sequences with ONE native
+        lookup: sequences are joined with a sentinel code (>= alph_size), so
+        windows crossing a boundary are invalid and drop out exactly like
+        per-sequence misses (ref sequence_graph.hpp:49, batched)."""
+        ex = self.extractor
+        K = self.boss.k + 1
+        parts = [ex.encode(s) for s in sequences]
+        if not parts:
+            return []
+        sent = np.array([self.boss.alph_size], dtype=parts[0].dtype)
+        glue = []
+        offs = []
+        off = 0
+        for i, p in enumerate(parts):
+            if i:
+                glue.append(sent)
+                off += 1
+            offs.append(off)
+            glue.append(p)
+            off += len(p)
+        res = self.boss.map_sequence(np.concatenate(glue))
+        if self.masked:
+            res = np.where(self.boss.valid[res] > 0, res, 0)
+        out = []
+        for p, o in zip(parts, offs):
+            n = len(p) - K + 1
+            out.append(res[o: o + n] if n > 0
+                       else np.zeros(0, dtype=np.int64))
+        return out
+
     def map_to_nodes(self, sequence: bytes | str) -> np.ndarray:
         if self.mode == CANONICAL:
             # map the canonical form of every k-mer (ref sequence_graph.hpp:49,
