@@ -44,6 +44,25 @@ from .extender import Column
 
 _POS = np.int32(2 ** 31 - 1)
 
+_nlib = None
+
+
+def _native_lib():
+    """The fastio native library (None when the toolchain is unavailable —
+    the numpy fallback path is bit-identical)."""
+    global _nlib
+    if _nlib is None:
+        import os
+        if os.environ.get("MG_NO_NATIVE_ALIGN"):
+            _nlib = False
+        else:
+            try:
+                from ..native import get_lib
+                _nlib = get_lib() or False
+            except Exception:
+                _nlib = False
+    return _nlib or None
+
 
 def _lite_column(node, parent, c, offset, max_pos, trim, score, S, E, F):
     col = Column.__new__(Column)
@@ -483,16 +502,13 @@ class FlatEngine:
         poff = self.g_off[g_cur]
 
         cutc = self.cutoff[pj]
+        wsize_pj = np.ascontiguousarray(self.wsizev[pj])
         inr = S_act >= cutc[:, None]
         # pop-time col_max >= cutoff guarantees a nonempty hull
         first = np.argmax(inr, axis=1)
         last = W - 1 - np.argmax(inr[:, ::-1], axis=1)
         band_lo = first
-        band_hi = np.minimum(last + 1, self.wsizev[pj])
-        hullM = (jj[None, :] >= np.maximum(first - 1, 0)[:, None]) \
-            & (jj[None, :] <= (band_hi - 1)[:, None])
-        hullF = (jj[None, :] >= first[:, None]) \
-            & (jj[None, :] <= band_hi[:, None])
+        band_hi = np.minimum(last + 1, wsize_pj)
 
         # ---- enumerate children (extender.py call_outgoing :168-195)
         next_off = poff + 1
@@ -547,40 +563,78 @@ class FlatEngine:
 
         # ---- stacked column recurrence (pre-pop cutoff; sibling-sequential
         # cutoff raises are corrected below)
-        SpM = np.where(hullM[ch_rows], S_act[ch_rows], NINF)
-        SpF = np.where(hullF[ch_rows], S_act[ch_rows], NINF)
-        Fp = np.where(hullF[ch_rows], F_act[ch_rows], NINF)
-        prof = self.P[ch_jid, self.char_idx[ch_chars]]
         blo = band_lo[ch_rows]
         bhi = band_hi[ch_rows]
         ccut = self.cutoff[ch_jid]
-        S, E, F = compute_wave(SpM, SpF, Fp, prof, ch_score, ch_off > 1,
-                               blo, bhi, ccut, go, ge)
-        if self.WSv[ch_jid].min() < W:
-            pad = jj[None, :] >= self.WSv[ch_jid][:, None]
-            S = np.where(pad, NINF, S)
-            E = np.where(pad, NINF, E)
-            F = np.where(pad, NINF, F)
-        else:
-            pad = None
-
         diag = (ch_off - self.seed_off[ch_jid]).astype(np.int32)
-        Smax = S.max(axis=1)
-        dist = np.abs(jj32[None, :] - diag[:, None])
-        if pad is not None:
-            dist = np.where(pad, _POS, dist)
-        mp = np.argmin(np.where(S == Smax[:, None], dist, _POS), axis=1)
-        fin = np.where(S == NINF, _POS, S)
-        col_min = fin.min(axis=1)
-
-        # branch & bound inputs (single-child pops use these directly;
-        # multi-child pops recompute per sibling)
         spos_c = ch_off - self.seed_off0[ch_jid]
         in_seed_c = (spos_c >= 0) & (spos_c < self.seed_len[ch_jid])
         ext_cut = (self.best[ch_jid] * self.rcut_v[ch_jid]
-                   + self.pso_v[ch_jid])
-        has_ext0 = in_seed_c \
-            | ((S + self.pss[ch_jid]) >= ext_cut[:, None]).any(axis=1)
+                   + self.pso_v[ch_jid]).astype(np.float64)
+        CHn = len(ch_rows)
+        P2 = self.P.reshape(-1, W)
+        prof_rows = ch_jid * self.C + self.char_idx[ch_chars]
+        lib = _native_lib()
+        if lib is not None:
+            # one native call computes S/E/F + per-child stats for the whole
+            # wave (native/fastio.cpp align_wave; bit-identical to the numpy
+            # path below)
+            S = np.empty((CHn, W), dtype=np.int32)
+            E = np.empty((CHn, W), dtype=np.int32)
+            F = np.empty((CHn, W), dtype=np.int32)
+            Smax = np.empty(CHn, dtype=np.int32)
+            mp = np.empty(CHn, dtype=np.int32)
+            col_min = np.empty(CHn, dtype=np.int32)
+            hx = np.empty(CHn, dtype=np.uint8)
+            has_del = np.ascontiguousarray(ch_off > 1)
+            prow64 = np.ascontiguousarray(prof_rows, dtype=np.int64)
+            # bind every buffer to a local: .ctypes.data is a bare int, so
+            # an unbound temporary would be freed before the C call runs
+            ccut_c = np.ascontiguousarray(ccut)
+            ws_c = np.ascontiguousarray(self.WSv[ch_jid])
+            jid_c = np.ascontiguousarray(ch_jid)
+            lib.align_wave(
+                self.gS.ctypes.data, self.gF.ctypes.data,
+                g_cur.ctypes.data, cutc.ctypes.data,
+                wsize_pj.ctypes.data, J, W,
+                ch_rows.ctypes.data, P2.ctypes.data, prow64.ctypes.data,
+                ch_score.ctypes.data, has_del.ctypes.data,
+                ccut_c.ctypes.data,
+                ws_c.ctypes.data,
+                diag.ctypes.data, self.pss.ctypes.data,
+                jid_c.ctypes.data,
+                ext_cut.ctypes.data, CHn, go, ge, int(NINF),
+                S.ctypes.data, E.ctypes.data, F.ctypes.data,
+                Smax.ctypes.data, mp.ctypes.data, col_min.ctypes.data,
+                hx.ctypes.data)
+            has_ext0 = in_seed_c | (hx != 0)
+        else:
+            hullM = (jj[None, :] >= np.maximum(first - 1, 0)[:, None]) \
+                & (jj[None, :] <= (band_hi - 1)[:, None])
+            hullF = (jj[None, :] >= first[:, None]) \
+                & (jj[None, :] <= band_hi[:, None])
+            SpM = np.where(hullM[ch_rows], S_act[ch_rows], NINF)
+            SpF = np.where(hullF[ch_rows], S_act[ch_rows], NINF)
+            Fp = np.where(hullF[ch_rows], F_act[ch_rows], NINF)
+            prof = P2[prof_rows]
+            S, E, F = compute_wave(SpM, SpF, Fp, prof, ch_score, ch_off > 1,
+                                   blo, bhi, ccut, go, ge)
+            if self.WSv[ch_jid].min() < W:
+                pad = jj[None, :] >= self.WSv[ch_jid][:, None]
+                S = np.where(pad, NINF, S)
+                E = np.where(pad, NINF, E)
+                F = np.where(pad, NINF, F)
+            else:
+                pad = None
+            Smax = S.max(axis=1)
+            dist = np.abs(jj32[None, :] - diag[:, None])
+            if pad is not None:
+                dist = np.where(pad, _POS, dist)
+            mp = np.argmin(np.where(S == Smax[:, None], dist, _POS), axis=1)
+            fin = np.where(S == NINF, _POS, S)
+            col_min = fin.min(axis=1)
+            has_ext0 = in_seed_c \
+                | ((S + self.pss[ch_jid]) >= ext_cut[:, None]).any(axis=1)
         keep0 = in_seed_c | ((Smax >= ccut) & has_ext0)
 
         # group children per parent (ch_rows ascending after the sort)
@@ -590,7 +644,7 @@ class FlatEngine:
         # candidate collection inputs gathered for ALL children up front
         kws_all = self.wsizev[ch_jid]
         ar = np.arange(len(ch_jid))
-        sc_mp_all = prof[ar, mp].astype(np.int64)
+        sc_mp_all = P2[prof_rows, mp].astype(np.int64)
         p_mp_all = S_act[ch_rows, np.maximum(mp - 1, 0)]
         s_lp_all = S[ar, kws_all]
         p_lp_all = S_act[ch_rows, np.maximum(kws_all - 1, 0)]
@@ -716,14 +770,18 @@ class FlatEngine:
                     E[i] = Ei
                     Smax_i = int(Si.max())
                     Smax[i] = Smax_i
+                    dist_i = np.abs(jj32 - diag[i])
+                    wl = int(self.WSv[j])
+                    if wl < W:
+                        dist_i = np.where(jj >= wl, _POS, dist_i)
                     mp[i] = int(np.argmin(
-                        np.where(Si == Smax_i, dist[i], _POS)))
+                        np.where(Si == Smax_i, dist_i, _POS)))
                     col_min[i] = _POS if Smax_i == NINF \
                         else np.where(Si == NINF, _POS, Si).min()
                     # refresh candidate inputs that read S / the max pos
                     s_lp_all[i] = Si[kws_all[i]]
                     p_mp_all[i] = S_act[ch_rows[i], max(int(mp[i]) - 1, 0)]
-                    sc_mp_all[i] = int(prof[i, mp[i]])
+                    sc_mp_all[i] = int(P2[prof_rows[i], mp[i]])
                     winc_mp_all[i] = self.winb[j, max(int(mp[i]) - 1, 0)]
                 # recompute keep with the running best/cutoff
                 cut_i = int(self.cutoff[j])

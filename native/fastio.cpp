@@ -761,4 +761,115 @@ int64_t tile_pack2(const uint8_t *seq_cat, const int64_t *seq_lens,
     return n_tiles;
 }
 
+// Stacked alignment wave kernel: the numerical core of one flat-engine wave
+// (flat.py _wave; exact semantics of wave_extender.compute_wave plus the
+// hull/pad/stat array ops around it, ref aligner_extender_methods.cpp:209-290).
+// All arithmetic in int64 — bit-identical to the numpy int32 path, which
+// never wraps given the +-100 NINF headroom.
+void align_wave(
+    const int32_t *gS, const int32_t *gF,   // column store bases, stride W
+    const int64_t *g_cur,                   // (J) parent store rows
+    const int32_t *cutc,                    // (J) parent x-drop cutoffs
+    const int64_t *wsize_p,                 // (J) per-parent window size
+    int64_t J, int64_t W,
+    const int64_t *ch_rows,                 // (CH) child -> parent slot
+    const int32_t *P, const int64_t *prof_rows,  // profile base, stride W
+    const int32_t *ch_score, const uint8_t *has_del,
+    const int32_t *ccut,                    // (CH) per-child cutoff
+    const int64_t *ws_ch,                   // (CH) per-child WS (pad bound)
+    const int32_t *diag,                    // (CH) seed diagonal
+    const int32_t *pss, const int64_t *pss_rows, // partial sums, stride W
+    const double *ext_cut,                  // (CH) extension score cutoff
+    int64_t CH, int64_t go, int64_t ge, int64_t ninf,
+    int32_t *S, int32_t *E, int32_t *F,     // (CH, W) outputs
+    int32_t *smax, int32_t *mpos, int32_t *colmin, uint8_t *has_ext)
+{
+    const int64_t POS = 2147483647;
+    // per-parent hull: [first, last] = span of cells >= cutoff
+    std::vector<int64_t> blo(J), bhi(J);
+    for (int64_t p = 0; p < J; ++p) {
+        const int32_t *row = gS + g_cur[p] * W;
+        const int32_t cut = cutc[p];
+        int64_t first = 0, last = W - 1;
+        for (int64_t j = 0; j < W; ++j)
+            if (row[j] >= cut) { first = j; break; }
+        for (int64_t j = W - 1; j >= 0; --j)
+            if (row[j] >= cut) { last = j; break; }
+        blo[p] = first;
+        bhi[p] = last + 1 < wsize_p[p] ? last + 1 : wsize_p[p];
+    }
+    for (int64_t c = 0; c < CH; ++c) {
+        const int64_t p = ch_rows[c];
+        const int32_t *Sp = gS + g_cur[p] * W;
+        const int32_t *Fpr = gF + g_cur[p] * W;
+        const int32_t *pr = P + prof_rows[c] * W;
+        const int32_t *ps = pss + pss_rows[c] * W;
+        int32_t *Sc = S + c * W;
+        int32_t *Ec = E + c * W;
+        int32_t *Fc = F + c * W;
+        const int64_t lo = blo[p], hi = bhi[p];
+        const int64_t mlo = lo - 1 > 0 ? lo - 1 : 0, mhi = hi - 1;
+        const int64_t ns = ch_score[c];
+        const int64_t wlim = ws_ch[c] < W ? ws_ch[c] : W;
+        const int64_t cut = ccut[c];
+        const uint8_t hd = has_del[c];
+        const double xcut = ext_cut[c];
+        int64_t run = INT64_MIN;        // running max of B[0..j-1]
+        int64_t best = ninf, cmin = POS;
+        uint8_t hx = 0;
+        for (int64_t j = 0; j < W; ++j) {
+            int64_t M;
+            if (j >= 1) {
+                const int64_t spm =
+                    (j - 1 >= mlo && j - 1 <= mhi) ? Sp[j - 1] : ninf;
+                M = (spm == ninf) ? ninf : spm + pr[j] + ns;
+            } else {
+                M = ninf;
+            }
+            int64_t Fv = ninf;
+            if (hd) {
+                const bool inb = (j >= lo && j <= hi);
+                const int64_t spf = inb ? Sp[j] : ninf;
+                const int64_t fp = inb ? Fpr[j] : ninf;
+                const int64_t dop = (spf == ninf) ? ninf : spf + go;
+                const int64_t dex = (fp == ninf) ? ninf : fp + ge;
+                Fv = dop > dex ? dop : dex;
+                Fv = (Fv == ninf) ? ninf : Fv + ns;
+            }
+            if (Fv > M) M = Fv;
+            int64_t Ev = ninf;
+            if (j >= 1) {
+                const int64_t idxge = j * ge;
+                Ev = (run <= ninf - idxge) ? ninf : run + idxge;
+            }
+            const int64_t B = M + go - (j + 1) * ge;
+            if (B > run) run = B;
+            int64_t Sv = M > Ev ? M : Ev;
+            if (Sv < cut) Sv = ninf;
+            if (!((j >= lo && j <= hi) || Sv != ninf)) Ev = ninf;
+            if (j >= wlim) { Sv = ninf; Ev = ninf; Fv = ninf; }
+            Sc[j] = (int32_t)Sv;
+            Ec[j] = (int32_t)Ev;
+            Fc[j] = (int32_t)Fv;
+            if (Sv > best) best = Sv;
+            if (Sv != ninf && Sv < cmin) cmin = Sv;
+            if (!hx && (double)(Sv + (int64_t)ps[j]) >= xcut) hx = 1;
+        }
+        // max position: first index minimizing |j - diag| among S == best
+        // (pad cells rank as +inf, matching the numpy dist mask)
+        int64_t bmp = 0, bdist = POS + 1;
+        const int64_t dg = diag[c];
+        for (int64_t j = 0; j < W; ++j) {
+            if (Sc[j] != (int32_t)best) continue;
+            const int64_t d = (j >= wlim) ? POS
+                : (j > dg ? j - dg : dg - j);
+            if (d < bdist) { bdist = d; bmp = j; }
+        }
+        smax[c] = (int32_t)best;
+        mpos[c] = (int32_t)bmp;
+        colmin[c] = (int32_t)(cmin == POS ? POS : cmin);
+        has_ext[c] = hx;
+    }
+}
+
 }  // extern "C"
