@@ -1,5 +1,7 @@
 native:
-	g++ -O3 -shared -fPIC -std=c++17 native/fastio.cpp -o metagraph_tpu/native/_fastio.so
+	g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread \
+	    native/fastio.cpp native/align_engine.cpp \
+	    -o metagraph_tpu/native/_fastio.so
 
 test:
 	PYTHONPATH=. JAX_PLATFORMS=cpu python -m pytest tests/ -q

@@ -20,7 +20,7 @@ from typing import List
 import numpy as np
 
 from .config import NINF
-from .flat import FlatEngine, _group_key
+from .flat import make_engine, _group_key
 
 
 def drive_batch(gens: List, backend: str = "numpy", graph=None,
@@ -45,8 +45,8 @@ def drive_batch(gens: List, backend: str = "numpy", graph=None,
         if eng is None:
             W = max(max_window,
                     len(ext.query) - seed.get_clipping() + 1)
-            eng = FlatEngine(ext.graph, ext.config, ext.profile_chars,
-                             ext.char_idx, W, backend)
+            eng = make_engine(ext.graph, ext.config, ext.profile_chars,
+                              ext.char_idx, W, backend)
             engines[key] = eng
         return eng, key
 

@@ -64,6 +64,21 @@ def _native_lib():
     return _nlib or None
 
 
+def make_engine(graph, config, profile_chars, char_idx, W,
+                backend: str = "numpy"):
+    """Engine factory: the native C++ engine when the toolchain is up
+    (bit-identical, ~an order of magnitude less interpreter overhead),
+    else the numpy FlatEngine.  MG_NO_NATIVE_ENGINE forces the numpy
+    engine; MG_NO_NATIVE_ALIGN disables native code entirely."""
+    import os
+    if _native_lib() is not None and \
+            not os.environ.get("MG_NO_NATIVE_ENGINE"):
+        from .native_engine import NativeFlatEngine
+        return NativeFlatEngine(graph, config, profile_chars, char_idx, W,
+                                backend)
+    return FlatEngine(graph, config, profile_chars, char_idx, W, backend)
+
+
 def _lite_column(node, parent, c, offset, max_pos, trim, score, S, E, F):
     col = Column.__new__(Column)
     col.S, col.E, col.F = S, E, F
@@ -998,8 +1013,8 @@ def extend_flat(jobs, backend: str = "numpy") -> List[List[Alignment]]:
         ext0 = jobs[idxs[0]][0]
         W = max(len(jobs[i][0].query) - jobs[i][1].get_clipping() + 1
                 for i in idxs)
-        eng = FlatEngine(ext0.graph, ext0.config, ext0.profile_chars,
-                         ext0.char_idx, W, backend)
+        eng = make_engine(ext0.graph, ext0.config, ext0.profile_chars,
+                          ext0.char_idx, W, backend)
         slots = {}
         for i in idxs:
             slots[eng.add_job(*jobs[i])] = i

@@ -14,8 +14,10 @@ import sys
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native",
-                    "fastio.cpp")
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native")
+_SRCS = [os.path.join(_NATIVE_DIR, "fastio.cpp"),
+         os.path.join(_NATIVE_DIR, "align_engine.cpp")]
+_SRC = _SRCS[0]
 _SO = os.path.join(_HERE, "_fastio.so")
 
 _lib = None
@@ -25,7 +27,8 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             "-pthread", _SRC, "-o", _SO],
+             "-pthread"] + [s for s in _SRCS if os.path.exists(s)]
+            + ["-o", _SO],
             check=True, capture_output=True)
         return True
     except Exception:
@@ -36,8 +39,9 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib or None
-    if not os.path.exists(_SO) or (os.path.exists(_SRC) and
-                                   os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+    src_mtime = max((os.path.getmtime(s) for s in _SRCS
+                     if os.path.exists(s)), default=0)
+    if not os.path.exists(_SO) or src_mtime > os.path.getmtime(_SO):
         if not os.path.exists(_SRC) or not _build():
             _lib = False
             return None
