@@ -294,6 +294,19 @@ def main():
         f"({al_dt*1e3/len(reads):.2f} ms/read, {n_aligned}/{len(reads)} "
         f"aligned); sequential 1-core baseline {1/seq_dt:.0f} reads/s "
         f"-> {align_rps*seq_dt:.1f}x (outputs identical: {same})")
+    # host-parallel fan-out (the reference's -p loop, cli/align.cpp:305)
+    par_dt = np.inf
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        res_p = aligner.align_batch(reads, processes=4)
+        par_dt = min(par_dt, time.perf_counter() - t0)
+    same_p = all(
+        [(a.score, a.cigar.to_string()) for a in x]
+        == [(a.score, a.cigar.to_string()) for a in y]
+        for x, y in zip(res_p, res))
+    log(f"aligner 4-process fan-out: {len(reads)/par_dt:.0f} reads/s "
+        f"({al_dt/par_dt:.1f}x over 1 process; outputs identical: "
+        f"{same_p})")
 
     # pallas SW kernel relay-dispatch latency (VERDICT r2 #9: promote the
     # kernel into the batched extender if dispatch <= 10 ms)

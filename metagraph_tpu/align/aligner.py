@@ -175,12 +175,17 @@ class DBGAligner:
             assert tag == "extend"
             resp = extend_flat([req])[0]
 
-    def align_batch(self, queries: List[bytes], backend: str = "numpy"
-                    ) -> List[List[Alignment]]:
+    def align_batch(self, queries: List[bytes], backend: str = "numpy",
+                    processes: int = 1) -> List[List[Alignment]]:
         """Lockstep batch alignment: every query's extension waves are
         computed together — one batched compute_wave per global step (the
         TPU-shaped replacement for the reference's per-thread align loop,
-        ref dbg_aligner.cpp:358; per-read results identical to align())."""
+        ref dbg_aligner.cpp:358; per-read results identical to align()).
+        ``processes`` > 1 forks worker processes over read chunks (the
+        host-parallel analog of the reference's -p OpenMP loop,
+        ref cli/align.cpp:305)."""
+        if processes > 1 and len(queries) > 1:
+            return self._align_batch_forked(queries, backend, processes)
         from .batch import drive_batch
         from .wave_extender import WaveExtender
         pres = self._preseed_batch(queries)
@@ -189,6 +194,70 @@ class DBGAligner:
             [self.align_gen(q, extender_default=WaveExtender, pre=pre)
              for q, pre in zip(queries, pres)], backend, graph=self.graph,
             max_window=max_window)
+
+    def _align_batch_forked(self, queries, backend, processes):
+        """Fork-based data parallelism over reads: children inherit the
+        graph copy-on-write (no serialization of the index), align a strided
+        chunk each, and pipe pickled alignments back.  Byte-identical to the
+        single-process batch: chunking does not change per-read results."""
+        import os
+        import pickle
+        import struct
+        if not hasattr(os, "fork"):
+            return self.align_batch(queries, backend)
+        n = min(int(processes), len(queries))
+        chunks = [list(range(i, len(queries), n)) for i in range(n)]
+        pids, pipes = [], []
+        for ci in range(1, n):
+            r, w = os.pipe()
+            pid = os.fork()
+            if pid == 0:
+                code = 1
+                try:
+                    os.close(r)
+                    res = self.align_batch(
+                        [queries[i] for i in chunks[ci]], backend)
+                    data = pickle.dumps(res, pickle.HIGHEST_PROTOCOL)
+                    os.write(w, struct.pack("<Q", len(data)))
+                    off = 0
+                    while off < len(data):
+                        off += os.write(w, data[off: off + (1 << 20)])
+                    code = 0
+                finally:
+                    os._exit(code)       # skip atexit (TPU client state)
+            os.close(w)
+            pids.append(pid)
+            pipes.append(r)
+        out: List = [None] * len(queries)
+        for i, res in zip(chunks[0],
+                          self.align_batch([queries[i] for i in chunks[0]],
+                                           backend)):
+            out[i] = res
+        for ci in range(1, n):
+            r = pipes[ci - 1]
+            buf = b""
+            while len(buf) < 8:
+                part = os.read(r, 8 - len(buf))
+                if not part:
+                    break
+                buf += part
+            if len(buf) < 8:
+                os.close(r)
+                os.waitpid(pids[ci - 1], 0)
+                raise RuntimeError("alignment worker died")
+            (ln,) = struct.unpack("<Q", buf)
+            parts, got = [], 0
+            while got < ln:
+                chunk = os.read(r, min(1 << 20, ln - got))
+                if not chunk:
+                    raise RuntimeError("alignment worker died mid-write")
+                parts.append(chunk)
+                got += len(chunk)
+            os.close(r)
+            os.waitpid(pids[ci - 1], 0)
+            for i, res in zip(chunks[ci], pickle.loads(b"".join(parts))):
+                out[i] = res
+        return out
 
     def _fold_query(self, query: bytes) -> bytes:
         alpha = getattr(self.graph, "alphabet", None)

@@ -67,6 +67,46 @@ class _JobRec:
                  "wsize", "WS", "seed_offset")
 
 
+class _LazyTable:
+    """Indexable view of a job's columns in the native store; Column
+    objects materialize on first access (backtracking touches only the
+    cells along accepted traces, a tiny fraction of the table)."""
+
+    __slots__ = ("gS", "gE", "gF", "gcols", "nodes", "parents", "cs",
+                 "offs", "mps", "scores", "WS", "_cache")
+
+    def __init__(self, gS, gE, gF, gcols, nodes, parents, cs, offs, mps,
+                 scores, WS):
+        self.gS, self.gE, self.gF = gS, gE, gF
+        self.gcols = gcols
+        self.nodes, self.parents, self.cs = nodes, parents, cs
+        self.offs, self.mps, self.scores = offs, mps, scores
+        self.WS = WS
+        self._cache = {}
+
+    def __len__(self):
+        return len(self.gcols)
+
+    def __getitem__(self, i):
+        col = self._cache.get(i)
+        if col is None:
+            g = self.gcols[i]
+            WS = self.WS
+            col = Column.__new__(Column)
+            col.S = self.gS[g, :WS]
+            col.E = self.gE[g, :WS]
+            col.F = self.gF[g, :WS]
+            col.node = int(self.nodes[i])
+            col.parent = int(self.parents[i])
+            col.c = int(self.cs[i])
+            col.offset = int(self.offs[i])
+            col.max_pos = int(self.mps[i])
+            col.trim = 0
+            col.score = int(self.scores[i])
+            self._cache[i] = col
+        return col
+
+
 class NativeFlatEngine:
     """Drop-in FlatEngine whose wave loop runs in C++."""
 
@@ -238,25 +278,8 @@ class NativeFlatEngine:
                           parents.ctypes.data, cs.ctypes.data,
                           offs.ctypes.data, mps.ctypes.data,
                           scores.ctypes.data)
-        table = []
-        app = table.append
-        nl, pl, cl, ol, ml, sl = (nodes.tolist(), parents.tolist(),
-                                  cs.tolist(), offs.tolist(), mps.tolist(),
-                                  scores.tolist())
-        for t, g in enumerate(gcols.tolist()):
-            col = Column.__new__(Column)
-            col.S = gS[g, :WS]
-            col.E = gE[g, :WS]
-            col.F = gF[g, :WS]
-            col.node = nl[t]
-            col.parent = pl[t]
-            col.c = cl[t]
-            col.offset = ol[t]
-            col.max_pos = ml[t]
-            col.trim = 0
-            col.score = sl[t]
-            app(col)
-        ext.table = table
+        ext.table = _LazyTable(gS, gE, gF, gcols, nodes, parents, cs,
+                               offs, mps, scores, WS)
 
         indices = []
         if ncand:

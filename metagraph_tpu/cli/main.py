@@ -936,8 +936,9 @@ def cmd_align(args):
         # lockstep batch: all reads' extension waves are scored together
         # (align/batch.py); per-read output identical to sequential align()
         for rec, alns in zip(recs,
-                             aligner.align_batch([r.seq for r in recs],
-                                                 backend=backend)):
+                             aligner.align_batch(
+                                 [r.seq for r in recs], backend=backend,
+                                 processes=max(args.parallel, 1))):
             if getattr(args, "json", False):
                 # one GA4GH-style JSON line per alignment
                 # (ref alignment.cpp Alignment::to_json, align.cpp:295-302)

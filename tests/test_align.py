@@ -339,6 +339,16 @@ class TestWaveExtenderParity:
         seq = [al.align(r) for r in reads]
         assert key(al.align_batch(reads)) == key(seq)
         assert key(al.align_batch(reads, backend="device")) == key(seq)
+        # fork-based host fan-out (aligner -p): byte-identical results
+        assert key(al.align_batch(reads, processes=3)) == key(seq)
+        # the numpy engine (native disabled) is the bit-exact oracle
+        import metagraph_tpu.align.flat as _flat
+        saved = _flat._nlib
+        _flat._nlib = False
+        try:
+            assert key(al.align_batch(reads)) == key(seq)
+        finally:
+            _flat._nlib = saved
 
     def test_wave_extender_matches_inline(self):
         from metagraph_tpu.align.extender import DefaultColumnExtender
