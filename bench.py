@@ -220,6 +220,22 @@ def main():
     mc_dt = time.perf_counter() - t0
     log(f"cpu baseline ({nth} cores): {mc_dt*1e3:.1f} ms -> "
         f"{n_kmers_big/mc_dt/1e6:.2f} M kmers/s")
+
+    # host-path -p fan-out (fork per batch, query.cpp:1304 analog): the
+    # full query_records pipeline without --device, 1 vs 4 processes
+    recs_q = recs[:400]
+    host_ts = {}
+    for _np in (1, 4):
+        hq = QueryEngine(AnnotatedDBG(g, anno), use_device=False,
+                         n_threads=_np)
+        _ = list(hq.query_records(recs_q[:6], "labels",
+                                  batch_size_bp=100_000))  # warm host index
+        t0 = time.perf_counter()
+        _hr = list(hq.query_records(recs_q, "labels",
+                                    batch_size_bp=100_000))
+        host_ts[_np] = time.perf_counter() - t0
+    log(f"host query path -p fan-out: {host_ts[1]:.2f}s (1 proc) -> "
+        f"{host_ts[4]:.2f}s (4 procs), {host_ts[1]/host_ts[4]:.1f}x")
     # cross-check: baseline counts == device counts (r0 ran the unrolled
     # workload; padding rows are sentinel misses on both sides)
     dcounts, dpresent = np.asarray(r0[0]), np.asarray(r0[1])

@@ -863,11 +863,28 @@ class QueryEngine:
             if batch:
                 yield batch, batch_bp
 
-        if self.n_threads is not None and self.n_threads > 1:
-            # -p/--parallel: overlap reading+building the next batch with
-            # processing the current one (the reference's nested thread
-            # pools, query.cpp:1304-1401, collapse to a one-deep pipeline
-            # here — the device dispatch is already batch-parallel inside)
+        import os as _os
+        if (self.n_threads is not None and self.n_threads > 1
+                and not self.use_device and hasattr(_os, "fork")):
+            # -p/--parallel on the host path: fork one worker per batch
+            # (up to n_threads in flight) — the index is inherited
+            # copy-on-write, results pipe back pickled in input order
+            # (the reference's per-batch OpenMP fan-out,
+            # query.cpp:1304-1401).  The device path keeps the one-deep
+            # prefetch below: its dispatch is already batch-parallel.
+            from collections import deque
+            inflight = deque()
+            for b, bp in batches():
+                while len(inflight) >= self.n_threads:
+                    yield from _fork_collect(inflight.popleft())
+                inflight.append(_fork_submit(process, b, bp))
+            while inflight:
+                yield from _fork_collect(inflight.popleft())
+        elif self.n_threads is not None and self.n_threads > 1:
+            # overlap reading+building the next batch with processing the
+            # current one (the reference's nested thread pools,
+            # query.cpp:1304-1401, collapse to a one-deep pipeline here —
+            # the device dispatch is already batch-parallel inside)
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=1) as pool:
                 pending = None
@@ -880,6 +897,58 @@ class QueryEngine:
         else:
             for b, bp in batches():
                 yield from process(b, bp)
+
+
+def _fork_submit(fn, *args):
+    """Fork a worker that runs fn(*args) and pipes back the pickled result
+    (inputs travel via fork copy-on-write, not serialization)."""
+    import os
+    import pickle
+    import struct
+    r, w = os.pipe()
+    pid = os.fork()
+    if pid == 0:
+        code = 1
+        try:
+            os.close(r)
+            data = pickle.dumps(fn(*args), pickle.HIGHEST_PROTOCOL)
+            os.write(w, struct.pack("<Q", len(data)))
+            off = 0
+            while off < len(data):
+                off += os.write(w, data[off: off + (1 << 20)])
+            code = 0
+        finally:
+            os._exit(code)           # skip atexit (inherited runtime state)
+    os.close(w)
+    return pid, r
+
+
+def _fork_collect(handle):
+    import os
+    import pickle
+    import struct
+    pid, r = handle
+    buf = b""
+    while len(buf) < 8:
+        part = os.read(r, 8 - len(buf))
+        if not part:
+            break
+        buf += part
+    if len(buf) < 8:
+        os.close(r)
+        os.waitpid(pid, 0)
+        raise RuntimeError("query worker died")
+    (ln,) = struct.unpack("<Q", buf)
+    parts, got = [], 0
+    while got < ln:
+        chunk = os.read(r, min(1 << 20, ln - got))
+        if not chunk:
+            raise RuntimeError("query worker died mid-write")
+        parts.append(chunk)
+        got += len(chunk)
+    os.close(r)
+    os.waitpid(pid, 0)
+    return pickle.loads(b"".join(parts))
 
 
 # seqtk-style complement: case-preserving, IUPAC degenerate codes included

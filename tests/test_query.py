@@ -139,6 +139,21 @@ class TestQueryByteAnchors:
     def test_matches(self, engine):
         assert self.run_query(engine, "matches") == 136959
 
+    def test_forked_host_parallel_identical(self, engine):
+        """-p N on the host path forks per-batch workers; output order and
+        bytes must match the serial run (query.cpp:1304 fan-out analog)."""
+        if engine.use_device:
+            pytest.skip("fork fan-out applies to the host path")
+        from metagraph_tpu.seq_io.fasta import read_fasta
+        recs = read_fasta(
+            "/root/reference/metagraph/tests/data/transcripts_1000.fa")[:300]
+        par = QueryEngine(engine.anno_graph, use_device=False, n_threads=3)
+        serial = [r.to_string() for r in engine.query_records(
+            recs, "labels", 2 ** 63, 1.0, 0.0, batch_size_bp=50_000)]
+        forked = [r.to_string() for r in par.query_records(
+            recs, "labels", 2 ** 63, 1.0, 0.0, batch_size_bp=50_000)]
+        assert forked == serial
+
     def test_labels_both(self, engine):
         assert self.run_query(engine, "labels", True) == 261390
 
