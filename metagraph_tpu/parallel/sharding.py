@@ -142,6 +142,94 @@ def sharded_annotated_query_fn(mesh: Mesh, rows_per_shard: int,
     return jax.jit(_step)
 
 
+def make_host_mesh(n_devices: int | None = None, host_axis: int = 2,
+                   data_axis: int = 2) -> Mesh:
+    """Mesh with an explicit 'host' axis: the multi-host (DCN) topology.
+
+    The k-mer index range-partitions over ('host', 'model') — the cross-host
+    split of the key space (the reference scales out by files+cloud the same
+    way, scripts/cloud/client.py) — while 'data'/'model' traffic rides ICI
+    within a host.  The query step below crosses the host axis with exactly
+    ONE collective per epoch (the node-hit pmax), which is the DCN-friendly
+    layout: per-host work is local until the final combine."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    model_axis = n // (host_axis * data_axis)
+    if model_axis < 1:
+        raise ValueError(f"need >= {host_axis * data_axis} devices, have {n}")
+    arr = np.array(devs[: host_axis * data_axis * model_axis]).reshape(
+        host_axis, data_axis, model_axis)
+    return Mesh(arr, ("host", "data", "model"))
+
+
+def shard_hash_table_host(table: np.ndarray, mesh: Mesh):
+    """Shard the hash table by bucket range over ('host', 'model')."""
+    m = mesh.shape["host"] * mesh.shape["model"]
+    n_buckets = table.shape[0]
+    table = pad_rows(table, m, fill=np.iinfo(np.uint32).max)
+    return (jax.device_put(
+        table, jax.NamedSharding(mesh, P(("host", "model"), None))),
+        table.shape[0] // m, n_buckets)
+
+
+def sharded_annotated_query_fn_host(mesh: Mesh, rows_per_shard: int,
+                                    labels_per_shard: int, num_seqs: int,
+                                    n_buckets: int):
+    """The multi-HOST query step: index buckets sharded over
+    ('host', 'model'), labels over 'model', queries over 'data'.  One pmax
+    over ('host', 'model') is the only cross-host collective per epoch."""
+    if num_seqs % mesh.shape["data"]:
+        raise ValueError("num_seqs must be a multiple of the data axis")
+    from ..annotation.ops import count_labels
+    from ..succinct.ops import _hash_words
+
+    n_model = mesh.shape["model"]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(("host", "model"), None), P(None, "model"),
+                  P("data", None), P("data")),
+        out_specs=(P("data", "model"), P("data")), check_vma=False)
+    def _step(table_shard, bitmap_shard, queries, seq_ids):
+        shard_i = (jax.lax.axis_index("host") * n_model
+                   + jax.lax.axis_index("model"))
+        my = shard_i * rows_per_shard
+        b = _hash_words(queries, n_buckets, 1)
+        W = queries.shape[1]
+        local = b - my
+        in_range = (local >= 0) & (local < rows_per_shard)
+        rows = table_shard[jnp.clip(local, 0, rows_per_shard - 1)]
+        rows = rows.reshape(queries.shape[0], -1, W + 1)
+        eq = jnp.all(rows[:, :, :W] == queries[:, None, :], axis=-1)
+        hit = jnp.any(eq, axis=-1) & in_range
+        ids = jnp.max(jnp.where(eq, rows[:, :, W], 0), axis=-1)
+        out = jnp.where(hit, ids.astype(jnp.int32), 0)
+        # the one cross-host collective: combine disjoint per-range hits
+        nodes = jax.lax.pmax(out, ("host", "model"))
+        counts, present = count_labels(bitmap_shard, nodes, seq_ids,
+                                       num_seqs // mesh.shape["data"],
+                                       labels_per_shard)
+        return counts, present
+
+    return jax.jit(_step)
+
+
+def collective_counts(compiled_text: str) -> dict:
+    """Per-kind collective-op counts from compiled HLO text (the dryrun
+    prints these to pin the communication plan; the host-mesh step must
+    show exactly one all-reduce)."""
+    import re
+    out = {}
+    for kind in ("all-reduce", "all-gather", "all-to-all",
+                 "collective-permute", "reduce-scatter"):
+        n = len(re.findall(rf"\b{kind}(?:-start)?\(", compiled_text)) \
+            + len(re.findall(rf"= {kind}\b", compiled_text))
+        out[kind] = n
+    return out
+
+
 def sharded_lookup_fn(mesh: Mesh):
     """Build the jitted sharded lookup: queries (Q, W) -> ids (Q,)."""
 
