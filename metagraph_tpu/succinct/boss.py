@@ -51,6 +51,11 @@ class BOSS:
         # bits per stored count (weights saturate at 2^width - 1); persisted
         # so merge/extend keep the source width (ref NodeWeights int_vector)
         self.count_width = 8
+        # suffix-range index (ref boss.hpp:288 index_suffix_ranges): None
+        # until index_suffix_ranges(L) precomputes prefix ranges
+        self.suffix_L = 0
+        self.suf_rl = self.suf_ru = self.suf_ok = None
+        self.suf_off = None
         self._build_indexes()
 
     # ------------------------------------------------------------------ setup
