@@ -109,6 +109,15 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
+    lib.refbase_lookup.restype = None
+    lib.refbase_lookup.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32]
+    lib.count_rows.restype = None
+    lib.count_rows.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
     lib.align_wave.restype = None
     lib.align_wave.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -128,10 +137,14 @@ class RefBaseline:
     (hash lookup + per-sequence label counting; see native/fastio.cpp for why
     the actual reference binary cannot be built here)."""
 
-    def __init__(self, keys: np.ndarray, ids: np.ndarray, bitmap: np.ndarray):
+    def __init__(self, keys: np.ndarray, ids: np.ndarray,
+                 bitmap: np.ndarray | None = None):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native toolchain unavailable")
+        # reject silent value-truncating casts (uint64 keys must be .view()ed
+        # to uint32 pairs by the caller, not astype()d)
+        assert np.asarray(keys).dtype.itemsize == 4, np.asarray(keys).dtype
         keys = np.ascontiguousarray(keys, dtype=np.uint32)
         ids = np.ascontiguousarray(ids, dtype=np.uint32)
         n, W = keys.shape
@@ -143,7 +156,20 @@ class RefBaseline:
                           self.tkeys.ctypes.data_as(ctypes.c_void_p),
                           self.tids.ctypes.data_as(ctypes.c_void_p), M)
         self.M, self.W = M, W
-        self.bitmap = np.ascontiguousarray(bitmap, dtype=np.uint32)
+        self.bitmap = None if bitmap is None \
+            else np.ascontiguousarray(bitmap, dtype=np.uint32)
+
+    def lookup(self, queries: np.ndarray, n_threads: int = 1) -> np.ndarray:
+        """(Q, W) packed window keys -> (Q,) int64 node ids (0 = miss)."""
+        lib = get_lib()
+        queries = np.ascontiguousarray(queries, dtype=np.uint32)
+        out = np.empty(len(queries), dtype=np.int64)
+        lib.refbase_lookup(
+            self.tkeys.ctypes.data_as(ctypes.c_void_p),
+            self.tids.ctypes.data_as(ctypes.c_void_p), self.M, self.W,
+            queries.ctypes.data_as(ctypes.c_void_p), len(queries),
+            out.ctypes.data_as(ctypes.c_void_p), n_threads)
+        return out
 
     def query(self, queries: np.ndarray, seq_ids: np.ndarray, num_seqs: int,
               num_labels: int, n_threads: int = 1):
@@ -163,6 +189,30 @@ class RefBaseline:
             counts.ctypes.data_as(ctypes.c_void_p),
             present.ctypes.data_as(ctypes.c_void_p), n_threads)
         return counts, present
+
+
+def count_rows(rows: np.ndarray, seq_ids: np.ndarray, bitmap: np.ndarray,
+               num_seqs: int, num_labels: int, n_threads: int = 1):
+    """Per-sequence label-occurrence counts from pre-mapped annotation rows
+    (-1 = miss).  seq_ids must be non-decreasing (threads split at sequence
+    boundaries).  -> (counts (S, L) int32, present (S,) int32); None when
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    seq_ids = np.ascontiguousarray(seq_ids, dtype=np.int32)
+    bitmap = np.ascontiguousarray(bitmap, dtype=np.uint32)
+    counts = np.empty((num_seqs, num_labels), dtype=np.int32)
+    present = np.empty(num_seqs, dtype=np.int32)
+    lib.count_rows(
+        rows.ctypes.data_as(ctypes.c_void_p),
+        seq_ids.ctypes.data_as(ctypes.c_void_p), len(rows),
+        bitmap.ctypes.data_as(ctypes.c_void_p),
+        bitmap.shape[0], bitmap.shape[1], num_labels, num_seqs,
+        counts.ctypes.data_as(ctypes.c_void_p),
+        present.ctypes.data_as(ctypes.c_void_p), n_threads)
+    return counts, present
 
 
 def fasta_encode(data: bytes):

@@ -70,7 +70,11 @@ class BOSS:
         # NF[c] = rank_last(F[c])  (ref boss.hpp:509)
         self.NF = self._rk_last.rank(self.F)
         self._num_valid = int(np.count_nonzero(self.valid))
-        # pointer tables for the mixed-symbol native kernels
+        self._build_ptr_tables()
+
+    def _build_ptr_tables(self):
+        """ctypes pointer tables for the mixed-symbol native kernels
+        (NOT picklable — dropped by __getstate__, rebuilt on unpickle)."""
         import ctypes as ct
         np_ = len(self._planes)
         self._pl_words = (ct.c_void_p * np_)(
@@ -84,6 +88,16 @@ class BOSS:
         self._pl_nsup = np.array([len(p._sup) for p in self._planes],
                                  np.int64)
         self._pl_total = np.array([p.total for p in self._planes], np.int64)
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        for key in ("_pl_words", "_pl_sup", "_pl_sub"):
+            state.pop(key, None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._build_ptr_tables()
 
     @property
     def num_valid(self) -> int:

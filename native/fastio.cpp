@@ -381,6 +381,109 @@ void refbase_query(const uint32_t *tkeys, const uint32_t *tids, int64_t M,
     }
 }
 
+// Batch hash lookup only (no counting): packed window keys -> node ids
+// (0 = miss).  The host (non-device) query path's map_to_nodes core — same
+// table layout as refbase_query (ref query.cpp:1304 construct_query_graph's
+// map step).
+static void refbase_lookup_range(
+        const uint32_t *tkeys, const uint32_t *tids, int64_t M, int32_t W,
+        const uint32_t *queries, int64_t q0, int64_t q1, int64_t *out) {
+    for (int64_t q = q0; q < q1; ++q) {
+        const uint32_t *key = queries + q * W;
+        uint64_t slot = refbase_hash(key, W) & (uint64_t)(M - 1);
+        int64_t node = 0;
+        while (tids[slot] != 0xFFFFFFFFu) {
+            if (memcmp(tkeys + slot * W, key, W * sizeof(uint32_t)) == 0) {
+                node = (int64_t)tids[slot];
+                break;
+            }
+            slot = (slot + 1) & (uint64_t)(M - 1);
+        }
+        out[q] = node;
+    }
+}
+
+void refbase_lookup(const uint32_t *tkeys, const uint32_t *tids, int64_t M,
+                    int32_t W, const uint32_t *queries, int64_t Q,
+                    int64_t *out, int32_t n_threads) {
+    if (n_threads <= 1 || Q < (1 << 14)) {
+        refbase_lookup_range(tkeys, tids, M, W, queries, 0, Q, out);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t per = (Q + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+        int64_t q0 = t * per, q1 = q0 + per < Q ? q0 + per : Q;
+        if (q0 >= q1)
+            break;
+        threads.emplace_back(refbase_lookup_range, tkeys, tids, M, W,
+                             queries, q0, q1, out);
+    }
+    for (auto &th : threads)
+        th.join();
+}
+
+// Per-sequence per-label occurrence counting from PRE-MAPPED annotation rows
+// (-1 = miss).  The counting half of refbase_query, for callers that already
+// ran node mapping (canonical folding, rc resolution etc. happen upstream).
+// seq_ids must be non-decreasing (the natural batch layout): threads split
+// at sequence boundaries and write disjoint count rows — no merge needed.
+static void count_rows_range(
+        const int64_t *rows, const int32_t *seq_ids, int64_t q0, int64_t q1,
+        const uint32_t *bitmap, int64_t R, int32_t Lw, int32_t L,
+        int32_t *counts, int32_t *present) {
+    for (int64_t q = q0; q < q1; ++q) {
+        int64_t r = rows[q];
+        if (r < 0 || r >= R)
+            continue;
+        int32_t s = seq_ids[q];
+        ++present[s];
+        const uint32_t *rw = bitmap + r * Lw;
+        int32_t *cr = counts + (int64_t)s * L;
+        for (int32_t w = 0; w < Lw; ++w) {
+            uint32_t bits = rw[w];
+            while (bits) {
+                int b = __builtin_ctz(bits);
+                ++cr[w * 32 + b];
+                bits &= bits - 1;
+            }
+        }
+    }
+}
+
+void count_rows(const int64_t *rows, const int32_t *seq_ids, int64_t Q,
+                const uint32_t *bitmap, int64_t R, int32_t Lw, int32_t L,
+                int32_t S, int32_t *counts, int32_t *present,
+                int32_t n_threads) {
+    memset(counts, 0, (int64_t)S * L * sizeof(int32_t));
+    memset(present, 0, S * sizeof(int32_t));
+    if (n_threads <= 1 || Q < (1 << 14)) {
+        count_rows_range(rows, seq_ids, 0, Q, bitmap, R, Lw, L, counts,
+                         present);
+        return;
+    }
+    // split points aligned to sequence boundaries (seq_ids non-decreasing)
+    std::vector<int64_t> cuts;
+    cuts.push_back(0);
+    int64_t per = (Q + n_threads - 1) / n_threads;
+    for (int32_t t = 1; t < n_threads; ++t) {
+        int64_t q = t * per;
+        if (q >= Q)
+            break;
+        while (q < Q && q > 0 && seq_ids[q] == seq_ids[q - 1])
+            ++q;                      // advance to the next sequence start
+        if (q > cuts.back() && q < Q)
+            cuts.push_back(q);
+    }
+    cuts.push_back(Q);
+    std::vector<std::thread> threads;
+    for (size_t t = 0; t + 1 < cuts.size(); ++t)
+        threads.emplace_back(count_rows_range, rows, seq_ids, cuts[t],
+                             cuts[t + 1], bitmap, R, Lw, L, counts, present);
+    for (auto &th : threads)
+        th.join();
+}
+
 // ------------------------------------------------------------------ bitrank
 // Batch rank/select over the packed-word bit vectors built by
 // metagraph_tpu/succinct/bitrank.py (two-level directory: int64 superblock
