@@ -196,6 +196,9 @@ def cmd_build(args):
                               window_weights=weights if have_weights else None,
                               disk_swap=args.disk_swap, mem_cap_bytes=mem_cap)
     g.boss.state = args.state
+    if getattr(args, "index_ranges", 0):
+        with PhaseTimer("index suffix ranges"):
+            g.boss.index_suffix_ranges(args.index_ranges)
     with PhaseTimer("serialize"):
         g.save(args.out, mmap_layout=args.mmap or args.state == "fast")
     print(f"graph built: k={args.k} nodes={g.num_nodes()}", file=sys.stderr)
@@ -1207,6 +1210,14 @@ def cmd_transform(args):
     from ..graph import traversal
 
     g = DBGSuccinct.load(args.input[0])
+    if getattr(args, "index_ranges", 0):
+        # ref transform_graph.cpp:96: index suffix ranges on an existing
+        # graph and re-serialize
+        g.boss.index_suffix_ranges(args.index_ranges)
+        g.save(args.out)
+        print(f"suffix ranges of length {args.index_ranges} indexed",
+              file=sys.stderr)
+        return
     if getattr(args, "to_ref_format", False):
         # emit a .dbg the reference metagraph binary can load (state SMALL;
         # ref dbg_succinct.cpp:787-833) + .edgemask dummy mask sidecar
@@ -1312,6 +1323,9 @@ def main(argv=None):
     p.add_argument("--disk-swap", default=None, metavar="DIR",
                    help="directory for external-memory k-mer sort "
                         "spill chunks (bounded-RAM build)")
+    p.add_argument("--index-ranges", type=int, default=0, metavar="L",
+                   help="index all BOSS node ranges for suffixes of this "
+                        "length (ref config.cpp:382 --index-ranges)")
     p.add_argument("--mem-cap-gb", type=float, default=None,
                    help="RAM cap for the k-mer buffer; implies "
                         "disk spill when exceeded")
@@ -1398,6 +1412,9 @@ def main(argv=None):
     p.add_argument("--to-ref-format", action="store_true",
                    help="write a .dbg loadable by the reference metagraph "
                         "binary (sdsl state SMALL)")
+    p.add_argument("--index-ranges", type=int, default=0, metavar="L",
+                   help="index BOSS suffix ranges of this length and "
+                        "re-serialize (ref transform_graph.cpp:96)")
     p.add_argument("--mode", default=None,
                    choices=["basic", "canonical", "primary"])
     p.add_argument("--state", default=None,

@@ -51,11 +51,10 @@ class BOSS:
         # bits per stored count (weights saturate at 2^width - 1); persisted
         # so merge/extend keep the source width (ref NodeWeights int_vector)
         self.count_width = 8
-        # suffix-range index (ref boss.hpp:288 index_suffix_ranges): None
-        # until index_suffix_ranges(L) precomputes prefix ranges
+        # suffix-range index (ref boss.hpp:288): empty until
+        # index_suffix_ranges(L) precomputes the length-L prefix ranges
         self.suffix_L = 0
         self.suf_rl = self.suf_ru = self.suf_ok = None
-        self.suf_off = None
         self._build_indexes()
 
     # ------------------------------------------------------------------ setup
@@ -340,19 +339,84 @@ class BOSS:
         ru = F_ext[s + 1]
         return rl, ru
 
+    def index_suffix_ranges(self, L: int):
+        """Precompute node ranges for ALL (alph_size-1)^L sentinel-free
+        length-L prefixes of the tightening order, cutting node lookups from
+        k-1 to k-1-L tighten rounds (ref boss.hpp:288 index_suffix_ranges,
+        get_initial_range boss.hpp:636-680; the reference calls these
+        "suffixes" because BOSS searches co-lex).
+
+        Construction is L rounds of vectorized cross-product tightening
+        (total work = table size, no per-combo loop).  Combo id layout
+        matches the reference exactly: id = sum_t (c_t - 1) * (A-1)^t
+        (boss.hpp:654-657 — position 0 least significant)."""
+        A = self.alph_size
+        if L <= 0:
+            self.suffix_L = 0
+            self.suf_rl = self.suf_ru = self.suf_ok = None
+            return
+        assert L < self.k, (L, self.k)
+        chars = np.arange(1, A, dtype=np.int64)
+        rl, ru = self.initial_range(chars)
+        alive = rl <= ru
+        for _t in range(1, L):
+            n = len(rl)
+            # new char c_t becomes the NEXT more-significant digit:
+            # id_new = (c_t - 1) * (A-1)^t + id_old
+            rl = np.tile(rl, A - 1)
+            ru = np.tile(ru, A - 1)
+            al = np.tile(alive, A - 1)
+            s = np.repeat(chars, n)
+            rl, ru, alive = self.tighten_range(rl, ru, s, al)
+        self.suffix_L = int(L)
+        self.suf_rl = np.where(alive, rl, 1).astype(np.int64)
+        self.suf_ru = np.where(alive, ru, 0).astype(np.int64)
+        self.suf_ok = alive.astype(np.uint8)
+
+    def _suffix_combo(self, codes2d: np.ndarray):
+        """(Q, >=L) int codes -> (combo id, sentinel-free mask) for the
+        suffix-range tables (id valid only where the mask holds)."""
+        L, A = self.suffix_L, self.alph_size
+        c = codes2d[:, :L].astype(np.int64)
+        nosent = np.all((c >= 1) & (c < A), axis=1)
+        cc = np.clip(c - 1, 0, A - 2)
+        idx = np.zeros(len(c), dtype=np.int64)
+        for t in range(L):
+            idx += cc[:, t] * (A - 1) ** t
+        return idx, nosent
+
     def index_batch(self, nodes: np.ndarray) -> np.ndarray:
         """Batched node lookup: (Q, k) node code matrices -> last-edge index or 0.
 
         Vectorized equivalent of BOSS::index (ref boss.hpp:696-718): the k-1
         tighten iterations run in lockstep over the whole batch — on device this
-        is a lax.fori_loop of gathers.
-        """
+        is a lax.fori_loop of gathers.  With a suffix-range index, lookups
+        start L levels deep (ref get_initial_range; sentinel-containing
+        prefixes fall back to the F-based range, dead combos are npos)."""
         Q, k = nodes.shape
         assert k == self.k
         res = self._map_native(nodes, with_edge=False)
         if res is not None:
             return res
         alive = np.all(nodes < self.alph_size, axis=1)
+        L = self.suffix_L
+        if L and k > L:
+            idx, nosent = self._suffix_combo(nodes)
+            use = alive & nosent
+            s0 = np.where(alive, nodes[:, 0].astype(np.int64), 0)
+            frl, fru = self.initial_range(s0)
+            rl = np.where(use, self.suf_rl[idx], frl)
+            ru = np.where(use, self.suf_ru[idx], fru)
+            off = np.where(use, L, 1)
+            alive = alive & (rl <= ru)
+            for pos in range(1, k):
+                act = alive & (pos >= off)
+                s = np.where(act, nodes[:, pos].astype(np.int64), 0)
+                nrl, nru, ok = self.tighten_range(rl, ru, s, act)
+                rl = np.where(act, nrl, rl)
+                ru = np.where(act, nru, ru)
+                alive = alive & (ok | ~act)
+            return np.where(alive, ru, 0)
         s0 = np.where(alive, nodes[:, 0].astype(np.int64), 0)
         rl, ru = self.initial_range(s0)
         alive = alive & (rl <= ru)
@@ -384,14 +448,32 @@ class BOSS:
         rl, ru = self.initial_range(s0)
         alive = valid0 & (rl <= ru)
         matched = alive.astype(np.int64)
-        rl = np.where(alive, rl, 0)
-        ru = np.where(alive, ru, 0)
+        off = np.ones(n, dtype=np.int64)
+        L = self.suffix_L
+        if L:
+            # windows long enough, sentinel-free in the first L chars, with
+            # a live precomputed combo start L levels deep (ref index_range
+            # boss.hpp:738-755: an EMPTY indexed range restarts from
+            # scratch, so shorter prefixes still match identically)
+            gidx = np.minimum(starts[:, None]
+                              + np.arange(L, dtype=np.int64)[None, :],
+                              len(codes) - 1)
+            idx, nosent = self._suffix_combo(codes[gidx])
+            use = valid0 & (lens >= L) & nosent \
+                & (self.suf_ok[idx].astype(bool))
+            rl = np.where(use, self.suf_rl[idx], rl)
+            ru = np.where(use, self.suf_ru[idx], ru)
+            alive = np.where(use, True, alive)
+            matched = np.where(use, L, matched)
+            off = np.where(use, L, off)
         for t in range(1, int(lens.max())):
-            act = alive & (t < lens)
-            if not act.any():
+            act = alive & (t < lens) & (t >= off)
+            if not (alive & (t < lens)).any():
                 break
             s = np.where(act, codes[np.minimum(starts + t, len(codes) - 1)], 0)
-            rl, ru, ok = self.tighten_range(rl, ru, s, act)
+            nrl, nru, ok = self.tighten_range(rl, ru, s, act)
+            rl = np.where(act, nrl, rl)
+            ru = np.where(act, nru, ru)
             matched += ok.astype(np.int64)
             alive = alive & ~(act & ~ok)
         first = np.where(matched > 0, self.succ_last(rl), 0)
@@ -463,7 +545,14 @@ class BOSS:
             self.alph_size,
             km.ctypes.data_as(ctypes.c_void_p), len(km), self.k,
             1 if with_edge else 0,
-            out.ctypes.data_as(ctypes.c_void_p))
+            out.ctypes.data_as(ctypes.c_void_p),
+            self.suf_rl.ctypes.data_as(ctypes.c_void_p)
+            if self.suffix_L else None,
+            self.suf_ru.ctypes.data_as(ctypes.c_void_p)
+            if self.suffix_L else None,
+            self.suf_ok.ctypes.data_as(ctypes.c_void_p)
+            if self.suffix_L else None,
+            self.suffix_L)
         return out
 
     def map_to_edges_batch(self, kmers: np.ndarray) -> np.ndarray:
@@ -531,6 +620,12 @@ class BOSS:
     def save(self, path: str, **extra):
         extra.setdefault("state", self.state)
         extra.setdefault("count_width", self.count_width)
+        if self.suffix_L:
+            # persist the suffix-range index (ref boss.cpp:399 serialize)
+            extra.setdefault("suffix_L", self.suffix_L)
+            extra.setdefault("suf_rl", self.suf_rl)
+            extra.setdefault("suf_ru", self.suf_ru)
+            extra.setdefault("suf_ok", self.suf_ok)
         np.savez_compressed(
             path, k=self.k, alph_size=self.alph_size, W=self.W, last=self.last,
             F=self.F, valid=self.valid,
@@ -584,4 +679,9 @@ class BOSS:
             boss.state = str(z["state"])
         if "count_width" in z.files:
             boss.count_width = int(z["count_width"])
+        if "suffix_L" in z.files and int(z["suffix_L"]):
+            boss.suffix_L = int(z["suffix_L"])
+            boss.suf_rl = z["suf_rl"].astype(np.int64)
+            boss.suf_ru = z["suf_ru"].astype(np.int64)
+            boss.suf_ok = z["suf_ok"].astype(np.uint8)
         return boss

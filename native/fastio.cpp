@@ -630,7 +630,11 @@ void boss_map_edges_batch(
         int64_t ln, int64_t lnw, int64_t lnsup, int64_t ltotal,
         const int64_t *F, const int64_t *NF, int32_t alph,
         const uint8_t *kmers, int64_t Q, int32_t k, int32_t with_edge,
-        int64_t *out) {
+        int64_t *out,
+        // optional suffix-range index (ref boss.hpp:288): lookups start
+        // sufL levels deep for sentinel-free prefixes.  sufL == 0 disables.
+        const int64_t *suf_rl, const int64_t *suf_ru, const uint8_t *suf_ok,
+        int32_t sufL) {
     int64_t M = ln;  // last has one bit per W row
     BRView last{(const uint64_t *)lw, (const int64_t *)lsup,
                 (const uint16_t *)lsub, ln, lnw, lnsup, ltotal};
@@ -658,12 +662,39 @@ void boss_map_edges_batch(
             }
         if (!ok || (with_edge && codes[k] >= alph))
             continue;
-        int32_t s = codes[0];
-        int64_t rl = F[s] + 1 < M ? F[s] + 1 : M;
-        int64_t ru = s + 1 < alph ? F[s + 1] : M - 1;
-        if (rl > ru)
-            continue;
-        for (int32_t p = 1; p < k && ok; ++p) {
+        int32_t p0 = 1;
+        int64_t rl, ru;
+        bool indexed = false;
+        if (sufL > 0 && sufL < k) {
+            // combo id = sum_t (c_t - 1) * (alph-1)^t, sentinel-free only
+            // (ref get_initial_range, boss.hpp:645-661)
+            uint64_t idx = 0;
+            bool nosent = true;
+            for (int32_t t = sufL - 1; t >= 0; --t) {
+                if (codes[t] == 0) {
+                    nosent = false;
+                    break;
+                }
+                idx = idx * (uint64_t)(alph - 1) + (uint64_t)(codes[t] - 1);
+            }
+            if (nosent) {
+                if (!suf_ok[idx])
+                    continue;            // npos (ref boss.hpp:707-708)
+                rl = suf_rl[idx];
+                ru = suf_ru[idx];
+                p0 = sufL;
+                indexed = true;
+            }
+        }
+        if (!indexed) {
+            int32_t s0 = codes[0];
+            rl = F[s0] + 1 < M ? F[s0] + 1 : M;
+            ru = s0 + 1 < alph ? F[s0 + 1] : M - 1;
+            if (rl > ru)
+                continue;
+        }
+        int32_t s;
+        for (int32_t p = p0; p < k && ok; ++p) {
             s = codes[p];
             int64_t rk_rl = rankW(rl - 1 > 0 ? rl - 1 : 0, s) + 1;
             int64_t rk_ru = rankW(ru, s);

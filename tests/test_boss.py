@@ -182,3 +182,75 @@ class TestSortedTableMerge:
         with pytest.raises(ValueError):
             DBGSuccinct.merge([DBGSuccinct.build(seqs, 11),
                                DBGSuccinct.build(seqs, 13)])
+
+
+class TestSuffixRangeIndex:
+    """index_suffix_ranges (ref boss.hpp:288, get_initial_range :636-680):
+    lookups with the precomputed length-L prefix ranges must be identical to
+    the unindexed search on hits, misses, and sentinel-containing queries."""
+
+    def _queries(self, boss, seqs, extra_dollar=True):
+        ex = KmerExtractor()
+        codes = np.concatenate(
+            [np.concatenate([ex.encode(s), [5]]) for s in seqs])
+        wins = np.lib.stride_tricks.sliding_window_view(codes, boss.k)
+        bad = np.concatenate([[0], np.cumsum(codes >= 5)])
+        ok = (bad[boss.k:] - bad[:-boss.k]) == 0
+        q = np.ascontiguousarray(wins[ok])
+        rng = np.random.default_rng(7)
+        rand = rng.integers(1, 5, (2000, boss.k)).astype(np.uint8)
+        parts = [q, rand]
+        if extra_dollar:
+            d = rand[:200].copy()
+            d[:, :2] = 0                       # $-prefixed node strings
+            parts.append(d)
+        return np.concatenate(parts)
+
+    @pytest.mark.parametrize("L", [1, 3, 6])
+    def test_index_batch_identical(self, L):
+        seqs = [b"ACGTACCCGGTTAGCAGTACGTTTACGCAT" * 4, b"TTTTACGCATCAGT"]
+        g = DBGSuccinct.build(seqs, 11)
+        boss = g.boss
+        q = self._queries(boss, seqs)
+        base = boss.index_batch(q)
+        assert (base > 0).any() and (base == 0).any()
+        boss.index_suffix_ranges(L)
+        assert np.array_equal(boss.index_batch(q), base)
+        # numpy fallback path too (no native kernel)
+        import types
+        boss._map_native = types.MethodType(
+            lambda self, k, with_edge: None, boss)
+        boss.index_suffix_ranges(0)
+        base_py = boss.index_batch(q)
+        assert np.array_equal(base_py, base)
+        boss.index_suffix_ranges(L)
+        assert np.array_equal(boss.index_batch(q), base_py)
+
+    def test_index_range_batch_identical(self):
+        seqs = [b"ACGTACCCGGTTAGCAGTACGTTTACGCAT" * 3]
+        g = DBGSuccinct.build(seqs, 11)
+        boss = g.boss
+        ex = KmerExtractor()
+        codes = ex.encode(seqs[0] + b"GGGGCCCCAAAA")
+        starts = np.arange(0, len(codes) - 12, 1)
+        lens = np.full(len(starts), 10)
+        lens[::3] = 4
+        lens[::7] = 11
+        base = boss.index_range_batch(codes, starts, lens)
+        for L in (2, 5):
+            boss.index_suffix_ranges(L)
+            got = boss.index_range_batch(codes, starts, lens)
+            for a, b in zip(got, base):
+                assert np.array_equal(a, b)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        g = DBGSuccinct.build([b"ACGTACCCGGTTAGCAGT"], 6)
+        g.boss.index_suffix_ranges(3)
+        p = str(tmp_path / "sufidx")
+        g.boss.save(p)
+        b2 = BOSS.load(p + ".npz")
+        assert b2.suffix_L == 3
+        assert np.array_equal(b2.suf_rl, g.boss.suf_rl)
+        assert np.array_equal(b2.suf_ru, g.boss.suf_ru)
+        q = self._queries(g.boss, [b"ACGTACCCGGTTAGCAGT"])
+        assert np.array_equal(b2.index_batch(q), g.boss.index_batch(q))
