@@ -249,3 +249,38 @@ def test_host_axis_mesh_query(tiny):
     cc = sh.collective_counts(txt)
     assert cc["all-reduce"] >= 1, cc
     assert cc["all-to-all"] == 0 and cc["collective-permute"] == 0, cc
+
+
+@pytest.mark.parametrize("n_devices", [8, 4, 2, 1])
+def test_sharded_build_boss_device_real(tiny, n_devices):
+    """DEVICE-REAL back half (VERDICT r3 next #2): dummy routing, level
+    loop, edge routing, and emission halos all run as shard_map collectives
+    (all_to_all / all_gather / psum) — the host _exchange model is gone
+    from this path.  Arrays bit-identical to the single-device build."""
+    from metagraph_tpu.parallel.build_device import (
+        sharded_build_boss_device, collective_summary)
+    g, anno, ag, seqs = tiny
+    arrays = sharded_build_boss_device(seqs, g.k, n_devices=n_devices)
+    for name in ("W", "last", "F", "valid"):
+        assert np.array_equal(getattr(arrays, name),
+                              getattr(g.boss, name)), (n_devices, name)
+    cs = collective_summary()
+    a2a = sum(c for (stage, kind), (c, b) in cs.items()
+              if kind == "all_to_all")
+    assert a2a >= g.k, cs          # route-nodes + (k-2) levels + edges + sort
+    assert any(kind == "all_gather" for (_, kind) in cs), cs
+    assert any(kind == "psum" for (_, kind) in cs), cs
+
+
+def test_sharded_build_boss_device_canonical(tiny):
+    """Canonical-mode (both-strand) sharded device build stays bit-exact."""
+    from metagraph_tpu.parallel.build_device import sharded_build_boss_device
+    from metagraph_tpu.succinct.construct import build_boss_arrays
+    from metagraph_tpu.kmer.extractor import KmerExtractor
+    g, anno, ag, seqs = tiny
+    ex = KmerExtractor()
+    kmers, _ = ex.extract(seqs, g.k, mode="both")
+    ref = build_boss_arrays(kmers)
+    arrays = sharded_build_boss_device(seqs, g.k, n_devices=8, mode="both")
+    for name in ("W", "last", "F", "valid"):
+        assert np.array_equal(getattr(arrays, name), getattr(ref, name)), name
