@@ -242,3 +242,277 @@ def sharded_lookup_fn(mesh: Mesh):
         return jax.lax.pmax(local, "model")
 
     return jax.jit(_lookup)
+
+
+# ----------------------------------------------------- compressed annotations
+# The reference's production indexes are Multi-BRWT / row-diff at millions of
+# labels (ref multi_brwt/brwt.hpp:66-76) — exactly the case where one
+# device's HBM cannot hold the matrix.  Labels shard by CONTIGUOUS RANGE over
+# 'model': each shard holds a Multi-BRWT built over its label slice,
+# flattened to arrays PADDED TO UNIFORM SHAPES so one SPMD program serves
+# every shard (the tree descent below is fully dynamic — node counts, word
+# offsets, parent maps, and leaf positions are device arrays, not Python
+# structure).  Row-diff shards the same way: succ/anchor arrays are
+# row-space (replicated); the per-shard inner BRWT serves the label slice.
+
+
+class ShardedBRWT:
+    """Per-shard Multi-BRWT forest as uniform stacked arrays.
+
+    Fields (m = model shards, D = max depth over shards):
+      words[l]  (m, Wmax_l) uint32 — level-l node bitmaps, concatenated
+      rdir[l]   (m, Wmax_l) int32  — exclusive popcount per word within node
+      offs[l]   (m, Nmax_l) int32  — word offset of each node (-1 = pad node)
+      parent[l] (m, Nmax_l) int32  — parent node at level l-1 (-1 = pad)
+      leaf_level / leaf_node (m, Ls) int32 — per LOCAL label (-1 = pad label)
+    """
+
+    def __init__(self, words, rdir, offs, parent, leaf_level, leaf_node,
+                 labels_per_shard, num_labels):
+        self.words = words
+        self.rdir = rdir
+        self.offs = offs
+        self.parent = parent
+        self.leaf_level = leaf_level
+        self.leaf_node = leaf_node
+        self.labels_per_shard = labels_per_shard
+        self.num_labels = num_labels
+
+    @property
+    def depth(self):
+        return len(self.words)
+
+    def device_arrays(self, mesh: Mesh):
+        """device_put every stacked array with the 'model' leading axis."""
+        sh2 = jax.NamedSharding(mesh, P("model", None))
+        put = lambda a: jax.device_put(a, sh2)
+        return (tuple(put(w) for w in self.words),
+                tuple(put(r) for r in self.rdir),
+                tuple(put(o) for o in self.offs),
+                tuple(put(p) for p in self.parent),
+                put(self.leaf_level), put(self.leaf_node))
+
+
+def shard_brwt_annotation(columns, num_rows: int, num_labels: int,
+                          mesh: Mesh) -> ShardedBRWT:
+    """Build one Multi-BRWT per label range (ceil(L/m) labels each) and
+    flatten the forest into ShardedBRWT stacked arrays."""
+    from ..annotation.matrix import BRWT
+    m = mesh.shape["model"]
+    Ls = -(-num_labels // m)
+    per_level = []                 # [level][shard] -> (words, rdir, offs, par)
+    leaves = []
+    for i in range(m):
+        lo, hi = i * Ls, min((i + 1) * Ls, num_labels)
+        cols = [np.asarray(columns[c], dtype=np.int64) for c in range(lo, hi)]
+        ll = np.full(Ls, -1, np.int32)
+        ln = np.full(Ls, -1, np.int32)
+        if hi > lo:
+            brwt = BRWT.from_columns(cols, num_rows, hi - lo)
+            levels = [[(brwt.root, -1)]]
+            while True:
+                nxt = []
+                for pi, (node, _) in enumerate(levels[-1]):
+                    for ch in node.children:
+                        nxt.append((ch, pi))
+                if not nxt:
+                    break
+                levels.append(nxt)
+        else:
+            levels = []
+        flat = []
+        for li, level in enumerate(levels):
+            words, rdir, offs, pars = [], [], [], []
+            woff = 0
+            for ni, (node, pi) in enumerate(level):
+                bm = np.asarray(node.bitmap, dtype=bool)
+                nw = max((len(bm) + 31) // 32, 1)
+                wv = np.zeros(nw * 32, dtype=bool)
+                wv[: len(bm)] = bm
+                packed = np.packbits(wv.reshape(nw, 32), axis=1,
+                                     bitorder="little").view(np.uint32)[:, 0]
+                pc = np.concatenate(
+                    [[0], np.cumsum([bin(int(x)).count("1") for x in packed]
+                                    )[:-1]]).astype(np.int32)
+                words.append(packed)
+                rdir.append(pc)
+                offs.append(woff)
+                pars.append(pi)
+                woff += nw
+                if not node.children:
+                    ll[node.labels[0]] = li
+                    ln[node.labels[0]] = ni
+            flat.append((np.concatenate(words),
+                         np.concatenate(rdir).astype(np.int32),
+                         np.array(offs, np.int32),
+                         np.array(pars, np.int32)))
+        per_level.append(flat)
+        leaves.append((ll, ln))
+
+    D = max((len(f) for f in per_level), default=0)
+    words_l, rdir_l, offs_l, par_l = [], [], [], []
+    for li in range(D):
+        Wmax = max((len(f[li][0]) if li < len(f) else 1)
+                   for f in per_level)
+        Nmax = max((len(f[li][2]) if li < len(f) else 1)
+                   for f in per_level)
+        w = np.zeros((m, Wmax), np.uint32)
+        r = np.zeros((m, Wmax), np.int32)
+        o = np.full((m, Nmax), -1, np.int32)
+        p = np.full((m, Nmax), -1, np.int32)
+        for i, f in enumerate(per_level):
+            if li < len(f):
+                fw, fr, fo, fp = f[li]
+                w[i, : len(fw)] = fw
+                r[i, : len(fr)] = fr
+                o[i, : len(fo)] = fo
+                p[i, : len(fp)] = fp
+        words_l.append(w)
+        rdir_l.append(r)
+        offs_l.append(o)
+        par_l.append(p)
+    leaf_level = np.stack([x[0] for x in leaves])
+    leaf_node = np.stack([x[1] for x in leaves])
+    return ShardedBRWT(words_l, rdir_l, offs_l, par_l, leaf_level,
+                       leaf_node, Ls, num_labels)
+
+
+def _sharded_brwt_words(words_l, rdir_l, offs_l, par_l, leaf_level,
+                        leaf_node, rows, Ls: int):
+    """Dynamic Multi-BRWT descent for ONE shard's label slice:
+    (Q,) row ids (-1 = miss) -> (Q, ceil(Ls/32)) packed label words.
+    All tree structure (offsets, parents, leaf positions) is device data;
+    pad nodes/labels carry -1 and stay dead."""
+    Q = rows.shape[0]
+    D = len(words_l)
+    Lw = max(-(-Ls // 32), 1)
+    state = jnp.where(rows[:, None] >= 0, rows[:, None], -1)     # (Q, 1)
+    n_allmax = max(o.shape[0] for o in offs_l)
+    bits_levels = []
+    for l in range(D):
+        offs = offs_l[l]
+        alive = (state >= 0) & (offs[None, :] >= 0)
+        r = jnp.maximum(state, 0)
+        widx = jnp.maximum(offs[None, :], 0) + (r >> 5)
+        w = words_l[l][widx]
+        bitpos = (r & 31).astype(jnp.uint32)
+        bit = ((w >> bitpos) & 1).astype(bool) & alive
+        below = w & ((jnp.uint32(1) << bitpos) - jnp.uint32(1))
+        rank_excl = rdir_l[l][widx] \
+            + jax.lax.population_count(below).astype(jnp.int32)
+        padb = jnp.zeros((Q, n_allmax - bit.shape[1]), bool)
+        bits_levels.append(jnp.concatenate([bit, padb], axis=1))
+        if l + 1 < D:
+            nxt = jnp.where(bit, rank_excl, -1)                  # (Q, n_l)
+            par = par_l[l + 1]
+            taken = jnp.take(nxt, jnp.maximum(par, 0), axis=1)
+            state = jnp.where(par[None, :] >= 0, taken, -1)
+    if D == 0:
+        return jnp.zeros((Q, Lw), jnp.uint32)
+    bits_all = jnp.stack(bits_levels)                 # (D, Q, n_allmax)
+    lv = jnp.maximum(leaf_level, 0)
+    nd = jnp.maximum(leaf_node, 0)
+    lbits = bits_all[lv, :, nd]                       # (Ls, Q)
+    lbits = lbits & (leaf_level >= 0)[:, None]
+    lbits = lbits.T                                   # (Q, Ls)
+    pad = Lw * 32 - Ls
+    if pad:
+        lbits = jnp.concatenate([lbits, jnp.zeros((Q, pad), bool)], axis=1)
+    powers = jnp.asarray((np.uint64(1) << np.arange(32, dtype=np.uint64))
+                         .astype(np.uint32))
+    return jnp.sum(lbits.reshape(Q, Lw, 32) * powers[None, None, :],
+                   axis=2, dtype=jnp.uint32)
+
+
+def _counts_from_words(words, hit, seq_ids, num_seqs: int, Ls: int):
+    """(Q, Lw) packed words + hit mask -> per-sequence counts/present
+    (the count_labels tail, words already gathered)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    Lw = words.shape[1]
+    bits = ((words[:, :, None] >> shifts) & 1).astype(jnp.int32)
+    bits = bits.reshape(words.shape[0], Lw * 32)[:, :Ls]
+    counts = jax.ops.segment_sum(bits, seq_ids, num_segments=num_seqs)
+    present = jax.ops.segment_sum(hit.astype(jnp.int32), seq_ids,
+                                  num_segments=num_seqs)
+    return counts, present
+
+
+def sharded_annotated_query_compressed_fn(
+        mesh: Mesh, rows_per_shard: int, labels_per_shard: int,
+        num_seqs: int, n_buckets: int, depth: int,
+        row_diff: bool = False, rd_max_depth: int = 0):
+    """sharded_annotated_query_fn for COMPRESSED annotations: the hash
+    index shards by bucket range over 'model' as before; the annotation is
+    a ShardedBRWT label-range forest (optionally behind a row-diff
+    successor walk whose succ/anchor arrays are replicated row-space data).
+    Per-sequence counts come back sharded (data, model) in global label
+    order (shard i's slice = labels [i*Ls, (i+1)*Ls))."""
+    if num_seqs % mesh.shape["data"]:
+        raise ValueError("num_seqs must be a multiple of the data axis")
+    from ..succinct.ops import _hash_words
+    Ls = labels_per_shard
+    d = mesh.shape["data"]
+
+    anno_specs = (tuple(P("model", None) for _ in range(depth)),) * 4 \
+        + (P("model", None), P("model", None))
+    rd_specs = (P(None), P(None)) if row_diff else ()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("model", None),) + anno_specs + rd_specs
+        + (P("data", None), P("data")),
+        out_specs=(P("data", "model"), P("data")), check_vma=False)
+    def _step(table_shard, words_l, rdir_l, offs_l, par_l, leaf_level,
+              leaf_node, *rest):
+        if row_diff:
+            succ, anchors, queries, seq_ids = rest
+        else:
+            queries, seq_ids = rest
+        my = jax.lax.axis_index("model") * rows_per_shard
+        b = _hash_words(queries, n_buckets, 1)
+        W = queries.shape[1]
+        local = b - my
+        in_range = (local >= 0) & (local < rows_per_shard)
+        rows = table_shard[jnp.clip(local, 0, rows_per_shard - 1)]
+        rows = rows.reshape(queries.shape[0], -1, W + 1)
+        eq = jnp.all(rows[:, :, :W] == queries[:, None, :], axis=-1)
+        hit0 = jnp.any(eq, axis=-1) & in_range
+        ids = jnp.max(jnp.where(eq, rows[:, :, W], 0), axis=-1)
+        out = jnp.where(hit0, ids.astype(jnp.int32), 0)
+        nodes = jax.lax.pmax(out, "model")
+        hit = nodes > 0
+        arows = jnp.where(hit, nodes - 1, -1)
+
+        wl = tuple(w[0] for w in words_l)       # drop the size-1 shard axis
+        rl = tuple(r[0] for r in rdir_l)
+        ol = tuple(o[0] for o in offs_l)
+        pl = tuple(p[0] for p in par_l)
+        ll = leaf_level[0]
+        ln = leaf_node[0]
+
+        def brwt_words(r):
+            return _sharded_brwt_words(wl, rl, ol, pl, ll, ln, r, Ls)
+
+        if row_diff:
+            Lw = max(-(-Ls // 32), 1)
+
+            def body(_, carry):
+                acc, cur, active = carry
+                safe = jnp.maximum(cur, 0)
+                w = brwt_words(jnp.where(active, safe, -1))
+                acc = acc ^ jnp.where(active[:, None], w, 0)
+                stop = anchors[safe] | (succ[safe] < 0)
+                nxt = succ[safe]
+                active = active & ~stop & (nxt >= 0)
+                return acc, jnp.where(active, nxt, -1), active
+
+            acc = jnp.zeros((arows.shape[0], Lw), jnp.uint32)
+            active = arows >= 0
+            words, _, _ = jax.lax.fori_loop(
+                0, rd_max_depth, body,
+                (acc, jnp.where(active, arows, -1), active))
+        else:
+            words = brwt_words(arows)
+        return _counts_from_words(words, hit, seq_ids, num_seqs // d, Ls)
+
+    return jax.jit(_step)

@@ -284,3 +284,84 @@ def test_sharded_build_boss_device_canonical(tiny):
     arrays = sharded_build_boss_device(seqs, g.k, n_devices=8, mode="both")
     for name in ("W", "last", "F", "valid"):
         assert np.array_equal(getattr(arrays, name), getattr(ref, name)), name
+
+
+@pytest.mark.parametrize("row_diff", [False, True],
+                         ids=["brwt", "row_diff_brwt"])
+def test_sharded_compressed_annotation_query(tiny, row_diff):
+    """Mesh-sharded COMPRESSED annotations (VERDICT r3 next #3): an
+    8-device mesh serves a 4096-label Multi-BRWT (label ranges per model
+    shard, dynamic on-device tree descent) — optionally behind a row-diff
+    successor walk — with counts identical to the host matrix."""
+    from jax.sharding import PartitionSpec as P
+    g, _anno, _ag, seqs = tiny
+    R = g.max_index()
+    L = 4096
+    rng = np.random.default_rng(11)
+    columns = [np.flatnonzero(rng.random(R) < 0.02) for _ in range(L)]
+
+    mesh = _mesh(4, 2)
+    pipe = DeviceQueryPipeline(g, ColumnMajorAnnotation(R))
+    table_shard, rows_per_shard, n_buckets = sh.shard_hash_table(
+        np.asarray(pipe.index.table), mesh)
+
+    if row_diff:
+        from metagraph_tpu.annotation.matrix import RowDiff
+        succ, anchors = RowDiff.build_routing(g, max_length=10)
+        dense = np.zeros((R, L), dtype=bool)
+        for c, col in enumerate(columns):
+            dense[col, c] = True
+        shifted = np.zeros_like(dense)
+        has = succ >= 0
+        shifted[has] = dense[succ[has]]
+        diff = np.where(anchors[:, None], dense, dense ^ shifted)
+        store_cols = [np.flatnonzero(diff[:, c]) for c in range(L)]
+        # walk-length bound (fixpoint, as DeviceRowDiff.from_host)
+        depth_arr = np.zeros(R, np.int64)
+        for _ in range(R + 1):
+            nd = np.where(anchors | (succ < 0), 0,
+                          depth_arr[np.maximum(succ, 0)] + 1)
+            if np.array_equal(nd, depth_arr):
+                break
+            depth_arr = nd
+        rd_max_depth = int(depth_arr.max()) + 1
+    else:
+        store_cols = columns
+        succ = anchors = None
+        rd_max_depth = 0
+
+    sb = sh.shard_brwt_annotation(store_cols, R, L, mesh)
+    dw, dr, do, dp, dll, dln = sb.device_arrays(mesh)
+
+    data = mesh.shape["data"]
+    qseqs = [seqs[i % len(seqs)][:80] for i in range(data)]
+    q_parts, sid_parts = [], []
+    for s in qseqs:
+        q, sid, _ = pipe.prepare_batch([s])
+        q_parts.append(q)
+        sid_parts.append(sid)
+    queries = np.concatenate(q_parts)
+    seq_ids = np.concatenate(sid_parts)
+    q_d = jax.device_put(queries, jax.NamedSharding(mesh, P("data", None)))
+    sid_d = jax.device_put(seq_ids, jax.NamedSharding(mesh, P("data")))
+
+    step = sh.sharded_annotated_query_compressed_fn(
+        mesh, rows_per_shard, sb.labels_per_shard, data, n_buckets,
+        sb.depth, row_diff=row_diff, rd_max_depth=rd_max_depth)
+    args = [table_shard, dw, dr, do, dp, dll, dln]
+    if row_diff:
+        import jax.numpy as jnp
+        args += [jax.device_put(jnp.asarray(succ.astype(np.int32))),
+                 jax.device_put(jnp.asarray(anchors))]
+    counts, present = step(*args, q_d, sid_d)
+    counts = np.asarray(counts)
+
+    # host reference: map windows, count original-column bits per sequence
+    dense_orig = np.zeros((R, L), dtype=np.int64)
+    for c, col in enumerate(columns):
+        dense_orig[col, c] = 1
+    for i, s in enumerate(qseqs):
+        nodes = g.map_to_nodes(s)
+        rows = nodes[nodes > 0] - 1
+        want = dense_orig[rows].sum(axis=0)
+        assert np.array_equal(counts[i], want), i
