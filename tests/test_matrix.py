@@ -127,6 +127,39 @@ class TestNewMatrixTypes:
         leaf_pairs = pairs(tree, [])
         assert (0, 1) in leaf_pairs and (2, 3) in leaf_pairs
 
+    def test_brwt_linkage_sketch_partition_path(self):
+        """Label counts beyond LINKAGE_GROUP take the sketch-partitioned
+        route (VERDICT r3 next #7: no dense L x L similarity matrix).
+        The tree must cover every label once, correlated columns must
+        still pair, and queries through the built tree stay exact."""
+        from metagraph_tpu.annotation.matrix import BRWT, RowFlat
+        rng = np.random.default_rng(4)
+        R = 600
+        old_group = BRWT.LINKAGE_GROUP
+        BRWT.LINKAGE_GROUP = 64          # force grouping at a testable size
+        try:
+            base = [np.flatnonzero(rng.random(R) < 0.05) for _ in range(16)]
+            cols = []
+            L = 300                      # > 4 groups of 64
+            for c in range(L):
+                b = base[c % 16]
+                cols.append(np.unique(np.concatenate(
+                    [b[rng.random(len(b)) < 0.9],
+                     rng.integers(0, R, 2)])))
+            tree = BRWT.greedy_linkage(cols, R)
+
+            def leaves(t):
+                return [t] if isinstance(t, int) \
+                    else leaves(t[0]) + leaves(t[1])
+            assert sorted(leaves(tree)) == list(range(L))
+            m = BRWT.from_columns(cols, R, L)
+            ref = RowFlat.from_columns(cols, R, L)
+            rows = np.arange(0, R, 5)
+            np.testing.assert_array_equal(m.get_rows_mask(rows),
+                                          ref.get_rows_mask(rows))
+        finally:
+            BRWT.LINKAGE_GROUP = old_group
+
 
 class TestIntCoordMatrices:
     """Integer/coordinate matrices (ref int_row_diff.hpp:45,
@@ -208,3 +241,82 @@ class TestRowSparseEncoding:
         rs2 = pickle.loads(pickle.dumps(rs))
         np.testing.assert_array_equal(rs2.get_rows_mask(q),
                                       rf.get_rows_mask(q))
+
+
+class TestRowDiffCycleBasins:
+    """Vectorized cycle-basin anchor assignment (VERDICT r3 next #8) must
+    reproduce the sequential ascending-order walk exactly."""
+
+    @staticmethod
+    def _sequential(succ_full, valid, max_length):
+        M = len(succ_full)
+        idx = np.flatnonzero(valid)
+        anchors = np.zeros(M, dtype=bool)
+        dist = np.full(M, -1, dtype=np.int64)
+        jump = np.where(succ_full > 0, succ_full, np.arange(M))
+        w = (succ_full > 0).astype(np.int64)
+        for _ in range(max(M - 1, 1).bit_length()):
+            w = w + w[jump]
+            jump = jump[jump]
+        resolved = valid & (succ_full[jump] <= 0)
+        if resolved.any():
+            r = np.flatnonzero(resolved)
+            dist[r] = w[r] % max_length
+            anchors[r] = dist[r] == 0
+        for e in idx:
+            if dist[e] >= 0:
+                continue
+            path = []
+            cur = e
+            while cur > 0 and dist[cur] == -1:
+                dist[cur] = -2
+                path.append(cur)
+                cur = succ_full[cur]
+            if cur <= 0 or dist[cur] == -2:
+                anchors[path[-1]] = True
+                dist[path[-1]] = 0
+                start = len(path) - 2
+            else:
+                start = len(path) - 1
+            for i in range(start, -1, -1):
+                nxt = succ_full[path[i]]
+                d = dist[nxt] + 1 if nxt > 0 and dist[nxt] >= 0 else 0
+                if nxt <= 0 or d >= max_length:
+                    anchors[path[i]] = True
+                    dist[path[i]] = 0
+                else:
+                    dist[path[i]] = d
+        return anchors, dist
+
+    def test_matches_sequential_walk(self):
+        from metagraph_tpu.annotation.matrix import RowDiff
+        rng = np.random.default_rng(7)
+        for _ in range(12):
+            M = int(rng.integers(20, 300))
+            succ = np.full(M, -1, np.int64)
+            valid = np.zeros(M, bool)
+            valid[1:] = rng.random(M - 1) < 0.9
+            ids = np.flatnonzero(valid)
+            for n in ids:
+                if rng.random() < 0.85:
+                    succ[n] = ids[rng.integers(0, len(ids))]
+            ml = int(rng.integers(2, 12))
+            a1, d1 = self._sequential(succ, valid, ml)
+            anchors = np.zeros(M, bool)
+            dist = np.full(M, -1, np.int64)
+            jump = np.where(succ > 0, succ, np.arange(M))
+            w = (succ > 0).astype(np.int64)
+            for _ in range(max(M - 1, 1).bit_length()):
+                w = w + w[jump]
+                jump = jump[jump]
+            resolved = valid & (succ[jump] <= 0)
+            if resolved.any():
+                r = np.flatnonzero(resolved)
+                dist[r] = w[r] % ml
+                anchors[r] = dist[r] == 0
+            unresolved = np.flatnonzero(valid & (dist == -1))
+            if len(unresolved):
+                RowDiff._resolve_cycle_basins(succ, unresolved, dist,
+                                              anchors, ml)
+            assert np.array_equal(a1, anchors)
+            assert np.array_equal(d1, dist)
