@@ -179,6 +179,40 @@ def cmd_build(args):
         return
     mem_cap = None if args.mem_cap_gb is None \
         else int(args.mem_cap_gb * (1 << 30))
+    if getattr(args, "mesh_shards", 0):
+        # mesh-sharded device construction (bit-identical to the host
+        # pipeline; falls back on bucket-cap overflow)
+        from ..kmer.alphabets import ALPHABETS
+        from ..succinct.boss import BOSS
+        from ..graph.dbg_succinct import DBGSuccinct as _DS
+        if args.alphabet != "DNA" or args.count_kmers:
+            raise SystemExit("[error] --mesh-shards supports the DNA "
+                             "alphabet without counts (use the host "
+                             "pipeline otherwise)")
+        with PhaseTimer(f"construct BOSS (mesh x{args.mesh_shards})"):
+            from ..parallel.build_device import sharded_build_boss_device
+            mode_map = {"basic": "basic", "canonical": "both",
+                        "primary": "basic"}
+            try:
+                arrays = sharded_build_boss_device(
+                    seqs, args.k, n_devices=args.mesh_shards,
+                    mode=mode_map[args.mode])
+            except RuntimeError as e:
+                print(f"warning: {e}; falling back to host pipeline",
+                      file=sys.stderr)
+                arrays = None
+        if arrays is not None:
+            g = _DS(BOSS(arrays), args.k, args.mode,
+                    mask_dummy=args.mask_dummy)
+            g.boss.state = args.state
+            if getattr(args, "index_ranges", 0):
+                g.boss.index_suffix_ranges(args.index_ranges)
+            with PhaseTimer("serialize"):
+                g.save(args.out,
+                       mmap_layout=args.mmap or args.state == "fast")
+            print(f"graph built: k={args.k} nodes={g.num_nodes()}",
+                  file=sys.stderr)
+            return
     with PhaseTimer("construct BOSS"):
         # dummy k-mers stay visible unless --mask-dummy, and the state tag
         # selects the artifact layout (ref build.cpp:340, boss.hpp:325)
@@ -1326,6 +1360,12 @@ def main(argv=None):
     p.add_argument("--index-ranges", type=int, default=0, metavar="L",
                    help="index all BOSS node ranges for suffixes of this "
                         "length (ref config.cpp:382 --index-ranges)")
+    p.add_argument("--mesh-shards", type=int, default=0, metavar="N",
+                   help="build over an N-device mesh: range-partitioned "
+                        "device sort + collective-routed dummy generation "
+                        "and emission (parallel/build_device.py; the "
+                        "suffix-shard scale-out of ref build.cpp:110-158 "
+                        "as one SPMD program)")
     p.add_argument("--mem-cap-gb", type=float, default=None,
                    help="RAM cap for the k-mer buffer; implies "
                         "disk spill when exceeded")

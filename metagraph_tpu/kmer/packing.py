@@ -128,9 +128,15 @@ def _void_view(packed: np.ndarray) -> np.ndarray:
 def lexsort_rows(packed: np.ndarray) -> np.ndarray:
     """argsort of (N, W) uint64 rows in lexicographic (word 0 first) order.
 
-    np.lexsort over the word columns (last key primary) is ~2x faster than
-    argsort of the big-endian void view it replaces (no byte-swapped copy,
-    native uint64 compares); stable, so equal rows keep input order."""
+    Large inputs go through the native stable parallel row sorter (the
+    ips4o analog, ref sorted_set.cpp:43; ~4x numpy at 8 threads).  The
+    numpy fallback: np.lexsort over the word columns (last key primary) —
+    stable, so equal rows keep input order."""
+    if packed.dtype == np.uint64 and len(packed) > (1 << 15):
+        from .. import native
+        out = native.argsort_rows64(packed)
+        if out is not None:
+            return out
     if packed.shape[1] == 1:
         return np.argsort(packed[:, 0], kind="stable")
     return np.lexsort(tuple(packed[:, w]

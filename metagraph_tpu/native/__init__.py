@@ -114,6 +114,10 @@ def get_lib():
     lib.refbase_lookup.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32]
+    lib.argsort_rows64.restype = None
+    lib.argsort_rows64.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_int32]
     lib.count_rows.restype = None
     lib.count_rows.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -190,6 +194,23 @@ class RefBaseline:
             counts.ctypes.data_as(ctypes.c_void_p),
             present.ctypes.data_as(ctypes.c_void_p), n_threads)
         return counts, present
+
+
+def argsort_rows64(keys: np.ndarray, n_threads: int | None = None):
+    """Stable lexicographic argsort of (N, W) uint64 rows via the native
+    parallel sorter (the ips4o analog, ref sorted_set.cpp:43); None when
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    out = np.empty(len(keys), dtype=np.int64)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 8)
+    lib.argsort_rows64(keys.ctypes.data_as(ctypes.c_void_p), len(keys),
+                       keys.shape[1], out.ctypes.data_as(ctypes.c_void_p),
+                       n_threads)
+    return out
 
 
 def count_rows(rows: np.ndarray, seq_ids: np.ndarray, bitmap: np.ndarray,

@@ -10,6 +10,7 @@
 #include <cstdint>
 #include <cstddef>
 #include <cstring>
+#include <algorithm>
 #include <thread>
 #include <vector>
 
@@ -482,6 +483,67 @@ void count_rows(const int64_t *rows, const int32_t *seq_ids, int64_t Q,
                              cuts[t + 1], bitmap, R, Lw, L, counts, present);
     for (auto &th : threads)
         th.join();
+}
+
+// Stable parallel argsort of (N, W) uint64 rows (lexicographic, word 0
+// most significant) — the ips4o role in the reference's SortedSet
+// (sorted_set.cpp:43).  Chunk-local std::sort with the index as the final
+// tiebreak (== stable), then pairwise parallel merges.
+static inline bool row_less(const uint64_t *a, const uint64_t *b, int32_t w,
+                            int64_t ia, int64_t ib) {
+    for (int32_t j = 0; j < w; ++j) {
+        if (a[j] != b[j])
+            return a[j] < b[j];
+    }
+    return ia < ib;
+}
+
+void argsort_rows64(const uint64_t *keys, int64_t n, int32_t w,
+                    int64_t *out, int32_t n_threads) {
+    for (int64_t i = 0; i < n; ++i)
+        out[i] = i;
+    auto cmp = [&](int64_t ia, int64_t ib) {
+        return row_less(keys + ia * w, keys + ib * w, w, ia, ib);
+    };
+    if (n_threads <= 1 || n < (1 << 15)) {
+        std::sort(out, out + n, cmp);
+        return;
+    }
+    // power-of-two chunk count for clean pairwise merge rounds
+    int32_t t = 1;
+    while (t * 2 <= n_threads)
+        t *= 2;
+    std::vector<int64_t> bounds(t + 1);
+    for (int32_t i = 0; i <= t; ++i)
+        bounds[i] = n * i / t;
+    {
+        std::vector<std::thread> threads;
+        for (int32_t i = 0; i < t; ++i)
+            threads.emplace_back([&, i] {
+                std::sort(out + bounds[i], out + bounds[i + 1], cmp);
+            });
+        for (auto &th : threads)
+            th.join();
+    }
+    std::vector<int64_t> tmp(n);
+    int64_t *src = out, *dst = tmp.data();
+    for (int32_t width = 1; width < t; width *= 2) {
+        std::vector<std::thread> threads;
+        for (int32_t i = 0; i < t; i += 2 * width) {
+            int64_t lo = bounds[i];
+            int64_t mid = bounds[i + width < t ? i + width : t];
+            int64_t hi = bounds[i + 2 * width < t ? i + 2 * width : t];
+            threads.emplace_back([&, lo, mid, hi] {
+                std::merge(src + lo, src + mid, src + mid, src + hi,
+                           dst + lo, cmp);
+            });
+        }
+        for (auto &th : threads)
+            th.join();
+        std::swap(src, dst);
+    }
+    if (src != out)
+        memcpy(out, src, n * sizeof(int64_t));
 }
 
 // ------------------------------------------------------------------ bitrank

@@ -24,6 +24,7 @@ def _engine(graph):
     eng._host_index = None
     eng._device_index = None
     eng._bits = 4
+    eng.n_threads = None
     return eng
 
 

@@ -910,3 +910,27 @@ class TestRelaxBRWT:
             after = run_cli(["query", "-i", "g.dbg.npz",
                              "-a", f"rx.{fmt}.annodbg", tiny_fa], tmp_path)
             assert before.stdout and after.stdout == before.stdout
+
+
+def test_build_mesh_shards_bit_identical(tmp_path, monkeypatch):
+    """`build --mesh-shards N` (the device-sharded construction pipeline)
+    must serialize a graph byte-identical to the host pipeline's.  Runs
+    in-process: the conftest's 8-virtual-CPU-device mesh is what the
+    sharded build needs (a subprocess would grab the axon tunnel)."""
+    import numpy as np
+    from metagraph_tpu.cli.main import main
+    from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+    fa = "/root/reference/metagraph/tests/data/transcripts_100.fa"
+    out_mesh = str(tmp_path / "gm")
+    out_host = str(tmp_path / "gh")
+    monkeypatch.setattr("sys.argv", ["metagraph", "build", "-k", "20",
+                                     "--mesh-shards", "8", "-o", out_mesh,
+                                     fa])
+    main()
+    monkeypatch.setattr("sys.argv", ["metagraph", "build", "-k", "20",
+                                     "-o", out_host, fa])
+    main()
+    g1 = DBGSuccinct.load(out_mesh + ".dbg.npz")
+    g2 = DBGSuccinct.load(out_host + ".dbg.npz")
+    for f in ("W", "last", "F", "valid"):
+        assert np.array_equal(getattr(g1.boss, f), getattr(g2.boss, f)), f
