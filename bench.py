@@ -325,8 +325,10 @@ def main():
     align_rps = len(reads) / al_dt
     log(f"aligner batch path: {align_rps:.0f} reads/s "
         f"({al_dt*1e3/len(reads):.2f} ms/read, {n_aligned}/{len(reads)} "
-        f"aligned); sequential 1-core baseline {1/seq_dt:.0f} reads/s "
-        f"-> {align_rps*seq_dt:.1f}x (outputs identical: {same})")
+        f"aligned); SELF-RELATIVE sequential 1-core baseline "
+        f"{1/seq_dt:.0f} reads/s -> {align_rps*seq_dt:.1f}x (this repo's "
+        f"own per-read loop, not the reference aligner — its SIMD extender "
+        f"cannot be built here; outputs identical: {same})")
     # host-parallel fan-out (the reference's -p loop, cli/align.cpp:305)
     par_dt = np.inf
     for _rep in range(2):

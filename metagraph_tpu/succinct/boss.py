@@ -411,6 +411,8 @@ class BOSS:
             alive = alive & (rl <= ru)
             for pos in range(1, k):
                 act = alive & (pos >= off)
+                if not act.any():
+                    continue          # every live row starts deeper (index)
                 s = np.where(act, nodes[:, pos].astype(np.int64), 0)
                 nrl, nru, ok = self.tighten_range(rl, ru, s, act)
                 rl = np.where(act, nrl, rl)
@@ -470,6 +472,8 @@ class BOSS:
             act = alive & (t < lens) & (t >= off)
             if not (alive & (t < lens)).any():
                 break
+            if not act.any():
+                continue              # every live row starts deeper (index)
             s = np.where(act, codes[np.minimum(starts + t, len(codes) - 1)], 0)
             nrl, nru, ok = self.tighten_range(rl, ru, s, act)
             rl = np.where(act, nrl, rl)
