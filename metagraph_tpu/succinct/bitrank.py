@@ -65,6 +65,18 @@ class BitRank:
             self._sub = np.concatenate(
                 [self._sub, np.full(spad, 0xFFFF, np.uint16)])
         self._nw = nw
+        self._ptrs = (self.words.ctypes.data, self._sup.ctypes.data,
+                      self._sub.ctypes.data)
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_ptrs", None)          # raw pointers don't survive pickling
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._ptrs = (self.words.ctypes.data, self._sup.ctypes.data,
+                      self._sub.ctypes.data)
 
     # ------------------------------------------------------------------ rank
     def rank(self, i):
@@ -72,15 +84,13 @@ class BitRank:
         i = np.asarray(i, dtype=np.int64)
         lib = _native()
         if lib is not None and i.size > 16:
-            import ctypes
+            # cached int pointers: the per-call ctypes.data_as churn was
+            # ~10%% of the aligner batch (320k casts per 480 reads)
+            pw, ps, pb = self._ptrs
             iq = np.ascontiguousarray(i.reshape(-1))
             out = np.empty(iq.shape, dtype=np.int64)
-            lib.bitrank_rank_batch(
-                self.words.ctypes.data_as(ctypes.c_void_p),
-                self._sup.ctypes.data_as(ctypes.c_void_p),
-                self._sub.ctypes.data_as(ctypes.c_void_p),
-                self.n, iq.ctypes.data_as(ctypes.c_void_p), iq.size,
-                out.ctypes.data_as(ctypes.c_void_p))
+            lib.bitrank_rank_batch(pw, ps, pb, self.n, iq.ctypes.data,
+                                   iq.size, out.ctypes.data)
             return out.reshape(i.shape)
         if self.n == 0:
             return np.zeros(i.shape, dtype=np.int64)
@@ -116,16 +126,12 @@ class BitRank:
             return np.full(r.shape, self.n, dtype=np.int64)
         lib = _native()
         if lib is not None and r.size > 16:
-            import ctypes
+            pw, ps, pb = self._ptrs
             rq = np.ascontiguousarray(r.reshape(-1))
             out = np.empty(rq.shape, dtype=np.int64)
-            lib.bitrank_select_batch(
-                self.words.ctypes.data_as(ctypes.c_void_p),
-                self._sup.ctypes.data_as(ctypes.c_void_p),
-                self._sub.ctypes.data_as(ctypes.c_void_p),
-                self._nw, len(self._sup), self.total,
-                rq.ctypes.data_as(ctypes.c_void_p), rq.size,
-                out.ctypes.data_as(ctypes.c_void_p))
+            lib.bitrank_select_batch(pw, ps, pb, self._nw, len(self._sup),
+                                     self.total, rq.ctypes.data, rq.size,
+                                     out.ctypes.data)
             return out.reshape(r.shape)
         r = np.clip(r, 1, max(self.total, 1))
         sup_cum = self._sup  # count before superblock start

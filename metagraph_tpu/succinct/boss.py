@@ -137,10 +137,8 @@ class BOSS:
             out = np.empty(iq.shape, dtype=np.int64)
             lib.bitrank_rank_multi(
                 self._pl_words, self._pl_sup, self._pl_sub,
-                self._pl_nbits.ctypes.data_as(ctypes.c_void_p),
-                iq.ctypes.data_as(ctypes.c_void_p),
-                cq.ctypes.data_as(ctypes.c_void_p), iq.size,
-                out.ctypes.data_as(ctypes.c_void_p))
+                self._pl_nbits.ctypes.data, iq.ctypes.data,
+                cq.ctypes.data, iq.size, out.ctypes.data)
             out = out.reshape(i.shape)
         else:
             out = np.zeros(i.shape, dtype=np.int64)
