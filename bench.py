@@ -158,12 +158,14 @@ def main():
         f"{np.median(times)*1e3:.1f}) -> {dev_kps/1e6:.1f} M kmers/s "
         f"({S/dt:.0f} reads/s) on {jax.devices()[0].platform}")
     # roofline: the epoch is gather-ISSUE bound, not HBM-byte bound (r4
-    # profiling, scripts/exp_combined_gather.py: row gathers sustain ~105M
-    # issues/s on v5e regardless of row bytes up to ~512 B; inlining the
-    # annotation into the hash row to halve gathers LOST because >512 B
-    # rows gather slower).  Model: 2 row-gathers per window (hash bucket +
-    # annotation row) at the measured issue ceiling.
-    GATHER_CEIL = 105e6
+    # profiling, scripts/exp_combined_gather.py: row-gather issue rate is
+    # roughly constant for rows up to ~512 B; inlining the annotation into
+    # the hash row to halve gathers LOST because >512 B rows gather
+    # slower).  Model: 2 row-gathers per window (hash bucket + annotation
+    # row) at the issue ceiling — 140M/s is the best sustained rate
+    # observed on this v5e (the r4 CSA epoch hit 136M/s with count work
+    # overlapping the gathers).
+    GATHER_CEIL = 140e6
     sol = GATHER_CEIL / 2
     tiles_total = tiles.shape[0] * tiles.shape[1]
     eff = tiles_total / dt * 2

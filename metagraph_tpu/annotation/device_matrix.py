@@ -280,3 +280,158 @@ def make_tiled_count_epoch(row_words):
 
     _epoch_cache[row_words] = epoch
     return epoch
+
+
+# ------------------------------------------------- dynamic-structure BRWT
+# DeviceBRWT above encodes the tree SHAPE in Python (static leaf scatter
+# per level, static parent maps) — correct, but the generated HLO grows
+# with the tree and a 1000-label tree took ~4 min to compile on the relay.
+# DynDeviceBRWT keeps ALL structure as device arrays (node offsets, parent
+# maps, per-label leaf positions), so the descent is a small fixed program
+# regardless of label count — the same formulation the mesh-sharded label
+# forest uses (parallel/sharding.py ShardedBRWT).
+
+
+def flatten_brwt(brwt):
+    """Host BRWT -> per-level (words, rank_dir, offs, parent) numpy arrays
+    + per-label (leaf_level, leaf_node).  Shared by DynDeviceBRWT and the
+    mesh-sharded forest."""
+    levels = [[(brwt.root, -1)]]
+    while True:
+        nxt = []
+        for pi, (node, _) in enumerate(levels[-1]):
+            for ch in node.children:
+                nxt.append((ch, pi))
+        if not nxt:
+            break
+        levels.append(nxt)
+    leaf_level = np.full(max(brwt.num_labels, 1), -1, np.int32)
+    leaf_node = np.full(max(brwt.num_labels, 1), -1, np.int32)
+    flat = []
+    for li, level in enumerate(levels):
+        words, rdir, offs, pars = [], [], [], []
+        woff = 0
+        for ni, (node, pi) in enumerate(level):
+            bm = np.asarray(node.bitmap, dtype=bool)
+            nw = max((len(bm) + 31) // 32, 1)
+            wv = np.zeros(nw * 32, dtype=bool)
+            wv[: len(bm)] = bm
+            packed = np.packbits(wv.reshape(nw, 32), axis=1,
+                                 bitorder="little").view(np.uint32)[:, 0]
+            pc = np.concatenate(
+                [[0], np.cumsum([bin(int(x)).count("1") for x in packed]
+                                )[:-1]]).astype(np.int32)
+            words.append(packed)
+            rdir.append(pc)
+            offs.append(woff)
+            pars.append(pi)
+            woff += nw
+            if not node.children:
+                leaf_level[node.labels[0]] = li
+                leaf_node[node.labels[0]] = ni
+        flat.append((np.concatenate(words),
+                     np.concatenate(rdir).astype(np.int32),
+                     np.array(offs, np.int32), np.array(pars, np.int32)))
+    return flat, leaf_level, leaf_node
+
+
+def dyn_brwt_descend(words_l, rdir_l, offs_l, par_l, lv_nodes, lv_counts,
+                     inv_perm, rows, num_labels: int):
+    """Dynamic Multi-BRWT descent: (Q,) row ids (-1 = miss) ->
+    (Q, ceil(L/32)) packed label words.  Tree structure is device data;
+    the program size is O(depth), independent of node/label count.
+
+    Leaf emission: labels are host-sorted by leaf level, so each level
+    contributes one (Q, cnt_l) column gather (lv_nodes[l]); the final
+    static inv_perm gather restores label order — no (D, Q, nodes)
+    bit stack."""
+    Q = rows.shape[0]
+    D = len(words_l)
+    Lw = max(-(-num_labels // 32), 1)
+    if D == 0:
+        return jnp.zeros((Q, Lw), jnp.uint32)
+    state = jnp.where(rows[:, None] >= 0, rows[:, None], -1)
+    parts = []
+    for l in range(D):
+        offs = offs_l[l]
+        alive = (state >= 0) & (offs[None, :] >= 0)
+        r = jnp.maximum(state, 0)
+        widx = jnp.maximum(offs[None, :], 0) + (r >> 5)
+        w = words_l[l][widx]
+        bitpos = (r & 31).astype(jnp.uint32)
+        bit = ((w >> bitpos) & 1).astype(bool) & alive
+        below = w & ((jnp.uint32(1) << bitpos) - jnp.uint32(1))
+        rank_excl = rdir_l[l][widx] \
+            + jax.lax.population_count(below).astype(jnp.int32)
+        if lv_counts[l]:
+            parts.append(jnp.take(bit, lv_nodes[l], axis=1))
+        if l + 1 < D:
+            nxt = jnp.where(bit, rank_excl, -1)
+            par = par_l[l + 1]
+            taken = jnp.take(nxt, jnp.maximum(par, 0), axis=1)
+            state = jnp.where(par[None, :] >= 0, taken, -1)
+    lbits = jnp.concatenate(parts, axis=1)[:, inv_perm]      # (Q, L)
+    pad = Lw * 32 - lbits.shape[1]
+    if pad:
+        lbits = jnp.concatenate(
+            [lbits, jnp.zeros((Q, pad), bool)], axis=1)
+    powers = jnp.asarray((np.uint64(1) << np.arange(32, dtype=np.uint64))
+                         .astype(np.uint32))
+    return jnp.sum(lbits.reshape(Q, Lw, 32) * powers[None, None, :],
+                   axis=2, dtype=jnp.uint32)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DynDeviceBRWT:
+    words: tuple          # per level (Wmax_l,) uint32
+    rdir: tuple
+    offs: tuple
+    parent: tuple
+    lv_nodes: tuple       # per level (cnt_l,) int32 leaf node ids
+    inv_perm: jnp.ndarray  # (L,) label-order restore permutation
+    lv_counts: tuple      # static: labels terminating per level
+    num_rows: int
+    num_labels: int
+
+    def tree_flatten(self):
+        return ((self.words, self.rdir, self.offs, self.parent,
+                 self.lv_nodes, self.inv_perm),
+                (self.lv_counts, self.num_rows, self.num_labels))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def from_host(cls, brwt) -> "DynDeviceBRWT":
+        flat, ll, ln = flatten_brwt(brwt)
+        L = brwt.num_labels
+        order = np.argsort(ll[:L], kind="stable")      # labels by leaf level
+        inv = np.empty(L, np.int64)
+        inv[order] = np.arange(L)
+        lv_nodes, lv_counts = [], []
+        pos = 0
+        for l in range(len(flat)):
+            cnt = int((ll[:L] == l).sum())
+            lv_nodes.append(jnp.asarray(
+                ln[order[pos: pos + cnt]].astype(np.int32)))
+            lv_counts.append(cnt)
+            pos += cnt
+        return cls(tuple(jnp.asarray(f[0]) for f in flat),
+                   tuple(jnp.asarray(f[1]) for f in flat),
+                   tuple(jnp.asarray(f[2]) for f in flat),
+                   tuple(jnp.asarray(f[3]) for f in flat),
+                   tuple(lv_nodes), jnp.asarray(inv.astype(np.int32)),
+                   tuple(lv_counts), brwt.num_rows, L)
+
+
+def dyn_brwt_words_fn(dev, rows):
+    return dyn_brwt_descend(dev.words, dev.rdir, dev.offs, dev.parent,
+                            dev.lv_nodes, dev.lv_counts, dev.inv_perm,
+                            rows, dev.num_labels)
+
+
+def rowdiff_dyn_brwt_words_fn(dev, rows):
+    return rowdiff_row_words(dev, rows,
+                             lambda r: dyn_brwt_words_fn(dev.inner, r))

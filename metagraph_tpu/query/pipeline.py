@@ -268,14 +268,17 @@ class QueryEngine:
             else self.graph.graph.max_index()
         matrix = getattr(anno, "matrix", None)
         if isinstance(matrix, BRWT):
-            # compressed on device: BRWT tree descend (no dense bitmap)
-            self._device_anno = dm.DeviceBRWT.from_host(matrix)
-            self._device_words = dm.brwt_words_fn
+            # compressed on device: DYNAMIC BRWT tree descend (no dense
+            # bitmap; tree structure is device data, so the program — and
+            # its compile time — is O(depth), not O(nodes): the static
+            # variant took ~4 min to compile a 1000-label tree on the relay)
+            self._device_anno = dm.DynDeviceBRWT.from_host(matrix)
+            self._device_words = dm.dyn_brwt_words_fn
             return self._device_anno
         if isinstance(matrix, RowDiff) and not matrix.needs_sidecars:
             if isinstance(matrix.inner, BRWT):
-                inner = dm.DeviceBRWT.from_host(matrix.inner)
-                self._device_words = dm.rowdiff_brwt_words_fn
+                inner = dm.DynDeviceBRWT.from_host(matrix.inner)
+                self._device_words = dm.rowdiff_dyn_brwt_words_fn
             else:
                 inner = anno_ops.DeviceAnnotation.from_bitmap(
                     self._pack_matrix_bitmap(matrix.inner),
