@@ -273,8 +273,8 @@ class DBGAligner:
         dbg = self.graph
         base = dbg.graph if hasattr(dbg, "get_base_node") else dbg
         want_ranges = (cfg.min_seed_length < k and hasattr(base, "boss")
-                       and getattr(self.seeder_class, "__name__", ""
-                                   ).startswith("SuffixSeeder"))
+                       and getattr(self.seeder_class, "is_suffix_seeder",
+                                   False))
         both = cfg.forward_and_reverse_complement
         per_seq = []          # (read_idx, orientation, folded seq)
         for qi, q in enumerate(queries):

@@ -190,6 +190,10 @@ def make_suffix_seeder(base_cls):
     sub-k seeds via BOSS suffix-range matching when min_seed_length < k."""
 
     class SuffixSeeder(base_cls):
+        # marker for the batched preseed (aligner._preseed_batch) — name
+        # checks break when the class is renamed for pickling
+        is_suffix_seeder = True
+
         def __init__(self, *args, precomputed_ranges=None, **kwargs):
             super().__init__(*args, **kwargs)
             self._seeds = None
