@@ -236,12 +236,18 @@ class DBGAligner:
     def _align_batch_pool(self, queries, backend, processes):
         """Process-pool data parallelism over reads: each worker holds its
         own copy of the graph (shipped once at pool init) and aligns a
-        strided chunk.  Byte-identical to the single-process batch:
-        chunking does not change per-read results."""
+        strided chunk — the parent aligns chunk 0, so the pool needs n-1
+        workers.  Byte-identical to the single-process batch: chunking
+        does not change per-read results."""
         n = min(int(processes), len(queries))
+        if n < 2:
+            return self.align_batch(queries, backend)
         try:
-            pool = self._get_pool(n)
-        except (ImportError, OSError):
+            pool = self._get_pool(n - 1)
+        except Exception:
+            # no forkserver on this platform (ValueError), or the graph /
+            # a custom locally-defined seeder class doesn't pickle
+            # (PicklingError/AttributeError): degrade to single-process
             return self.align_batch(queries, backend)
         chunks = [list(range(i, len(queries), n)) for i in range(n)]
         jobs = [pool.apply_async(

@@ -1246,12 +1246,17 @@ def cmd_transform(args):
     g = DBGSuccinct.load(args.input[0])
     if getattr(args, "index_ranges", 0):
         # ref transform_graph.cpp:96: index suffix ranges on an existing
-        # graph and re-serialize
+        # graph.  Composes with the other transform actions below (the
+        # indexed graph flows on); standalone, it re-serializes here.
         g.boss.index_suffix_ranges(args.index_ranges)
-        g.save(args.out)
         print(f"suffix ranges of length {args.index_ranges} indexed",
               file=sys.stderr)
-        return
+        other = any(getattr(args, f, None) for f in (
+            "to_ref_format", "to_adj_list", "state", "mode", "to_fasta",
+            "unitigs", "primary_kmers", "initialize_bloom"))
+        if not other:
+            g.save(args.out)
+            return
     if getattr(args, "to_ref_format", False):
         # emit a .dbg the reference metagraph binary can load (state SMALL;
         # ref dbg_succinct.cpp:787-833) + .edgemask dummy mask sidecar

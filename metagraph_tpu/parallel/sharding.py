@@ -298,6 +298,7 @@ def shard_brwt_annotation(columns, num_rows: int, num_labels: int,
     """Build one Multi-BRWT per label range (ceil(L/m) labels each) and
     flatten the forest into ShardedBRWT stacked arrays."""
     from ..annotation.matrix import BRWT
+    from ..annotation.device_matrix import flatten_brwt
     m = mesh.shape["model"]
     Ls = -(-num_labels // m)
     per_level = []                 # [level][shard] -> (words, rdir, offs, par)
@@ -309,43 +310,11 @@ def shard_brwt_annotation(columns, num_rows: int, num_labels: int,
         ln = np.full(Ls, -1, np.int32)
         if hi > lo:
             brwt = BRWT.from_columns(cols, num_rows, hi - lo)
-            levels = [[(brwt.root, -1)]]
-            while True:
-                nxt = []
-                for pi, (node, _) in enumerate(levels[-1]):
-                    for ch in node.children:
-                        nxt.append((ch, pi))
-                if not nxt:
-                    break
-                levels.append(nxt)
+            flat, fll, fln = flatten_brwt(brwt)
+            ll[: hi - lo] = fll[: hi - lo]
+            ln[: hi - lo] = fln[: hi - lo]
         else:
-            levels = []
-        flat = []
-        for li, level in enumerate(levels):
-            words, rdir, offs, pars = [], [], [], []
-            woff = 0
-            for ni, (node, pi) in enumerate(level):
-                bm = np.asarray(node.bitmap, dtype=bool)
-                nw = max((len(bm) + 31) // 32, 1)
-                wv = np.zeros(nw * 32, dtype=bool)
-                wv[: len(bm)] = bm
-                packed = np.packbits(wv.reshape(nw, 32), axis=1,
-                                     bitorder="little").view(np.uint32)[:, 0]
-                pc = np.concatenate(
-                    [[0], np.cumsum([bin(int(x)).count("1") for x in packed]
-                                    )[:-1]]).astype(np.int32)
-                words.append(packed)
-                rdir.append(pc)
-                offs.append(woff)
-                pars.append(pi)
-                woff += nw
-                if not node.children:
-                    ll[node.labels[0]] = li
-                    ln[node.labels[0]] = ni
-            flat.append((np.concatenate(words),
-                         np.concatenate(rdir).astype(np.int32),
-                         np.array(offs, np.int32),
-                         np.array(pars, np.int32)))
+            flat = []
         per_level.append(flat)
         leaves.append((ll, ln))
 

@@ -152,6 +152,12 @@ class QueryEngine:
         if not len(keys):
             self._native_index = False
             return None
+        if int(edge_ids.max()) >= 0xFFFFFFFF:
+            # the native table stores uint32 payloads and 0xFFFFFFFF is its
+            # empty-slot sentinel; graphs beyond 2^32-1 edges keep the exact
+            # int64 searchsorted path (silent id truncation otherwise)
+            self._native_index = False
+            return None
         # host keys are uint64 words; the native table hashes uint32 words —
         # view each row as 2W uint32 (pure bitcast: equality is preserved,
         # and the hash only needs equality)

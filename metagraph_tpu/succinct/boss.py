@@ -646,6 +646,13 @@ class BOSS:
             np.save(base + ".weights.npy", self.weights)
         extra.setdefault("state", self.state)
         extra.setdefault("count_width", self.count_width)
+        if self.suffix_L:
+            # the suffix-range index persists in this layout too (it once
+            # silently dropped, making --index-ranges + --mmap a no-op)
+            extra.setdefault("suffix_L", self.suffix_L)
+            extra.setdefault("suf_rl", self.suf_rl)
+            extra.setdefault("suf_ru", self.suf_ru)
+            extra.setdefault("suf_ok", self.suf_ok)
         np.savez(base + ".meta.npz", k=self.k, alph_size=self.alph_size,
                  F=self.F, **extra)
 
@@ -670,6 +677,11 @@ class BOSS:
             boss.state = str(meta["state"]) if "state" in meta else "fast"
             if "count_width" in meta:
                 boss.count_width = int(meta["count_width"])
+            if "suffix_L" in meta and int(meta["suffix_L"]):
+                boss.suffix_L = int(meta["suffix_L"])
+                boss.suf_rl = meta["suf_rl"].astype(np.int64)
+                boss.suf_ru = meta["suf_ru"].astype(np.int64)
+                boss.suf_ok = meta["suf_ok"].astype(np.uint8)
             return boss
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         w = z["weights"]
