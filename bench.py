@@ -312,6 +312,24 @@ def main():
     except Exception as e:         # device path optional on CPU fallback
         log(f"build (device sort core): skipped ({e})")
 
+    # suffix-range index (boss.hpp:288, r4): lookup-depth reduction on the
+    # native BOSS node search — k-1 tighten rounds -> k-1-L
+    nwin19 = np.lib.stride_tricks.sliding_window_view(codes, g.boss.k)
+    bad19 = np.concatenate([[0], np.cumsum(codes >= 5)])
+    ok19 = (bad19[g.boss.k:] - bad19[:-g.boss.k]) == 0
+    q19 = np.ascontiguousarray(nwin19[ok19][: 1 << 18])
+    t0 = time.perf_counter()
+    r_noidx = g.boss.index_batch(q19)
+    t_plain = time.perf_counter() - t0
+    g.boss.index_suffix_ranges(8)
+    t0 = time.perf_counter()
+    r_idx = g.boss.index_batch(q19)
+    t_idx = time.perf_counter() - t0
+    assert np.array_equal(r_noidx, r_idx)
+    log(f"suffix-range index L=8: node lookup {t_plain*1e3:.0f} -> "
+        f"{t_idx*1e3:.0f} ms over {len(q19)} nodes "
+        f"({t_plain/t_idx:.2f}x, results identical)")
+
     # aligner throughput: the production batch path (cmd_align, flat
     # multi-extension engine) on noisy 150bp reads, vs the 1-core
     # sequential per-read loop (the reference's per-thread align model,
