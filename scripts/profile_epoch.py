@@ -178,7 +178,7 @@ def main():
         return c.sum(dtype=jnp.int64) + p.sum(dtype=jnp.int64)
 
     dt, _ = timeit(full_sum, table, bitmap, tiles_d, tseq_d)
-    print(f"full epoch (int8): {dt*1e3:7.1f} ms  {nwin/dt/1e6:7.1f} Mk/s")
+    print(f"full epoch (CSA):  {dt*1e3:7.1f} ms  {nwin/dt/1e6:7.1f} Mk/s")
 
 
 if __name__ == "__main__":
