@@ -467,3 +467,21 @@ class TestCaseSensitiveAlignment:
         q[30] = ord("A") if q[30] != ord("A") else ord("C")
         r2 = al.align_batch([bytes(q)])
         assert r2[0] and r2[0][0].cigar.to_string() == "30=1X29="
+
+
+def test_pool_unpicklable_seeder_falls_back():
+    """A locally created seeder class can't pickle into the forkserver
+    pool; align_batch must degrade to single-process, not raise."""
+    from metagraph_tpu.align.aligner import DBGAligner
+    from metagraph_tpu.align.config import AlignerConfig
+    from metagraph_tpu.align.seeder import ExactSeeder, make_suffix_seeder
+    from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
+    g = DBGSuccinct.build([b"ACGTACCCGGTTAGCAGTACGTTTACGCAT" * 3], 11)
+    local_cls = make_suffix_seeder(ExactSeeder)     # unpicklable qualname
+    al = DBGAligner(g, AlignerConfig(), seeder_class=local_cls)
+    reads = [b"ACGTACCCGGTTAGCAGT", b"CAGTACGTTTACGCATAC"]
+    res_pool = al.align_batch(reads, processes=2)
+    res_serial = al.align_batch(reads)
+    assert [[(a.score, a.cigar.to_string()) for a in r] for r in res_pool] \
+        == [[(a.score, a.cigar.to_string()) for a in r] for r in res_serial]
+    al.close_pool()
