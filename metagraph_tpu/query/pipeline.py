@@ -273,11 +273,26 @@ class QueryEngine:
         R = self.graph.max_index() if not hasattr(self.graph, "get_base_node") \
             else self.graph.graph.max_index()
         matrix = getattr(anno, "matrix", None)
+        # Any on-device tree descend / diff walk does O(Q x nodes) work —
+        # EVERY query evaluates every tree node under fixed shapes — so
+        # when a dense working bitmap fits the budget, serve the device
+        # query from it and keep the compressed matrix as the STORAGE
+        # format (measured: the 1000-label BRWT descend ran ~200x slower
+        # than the dense row gather on v5e).  Beyond the budget the
+        # descend/walk paths below still serve correct results.
+        DENSE_BUDGET = int(os.environ.get("METAGRAPH_DENSE_ANNO_BUDGET",
+                                          2 << 30))
+        if isinstance(matrix, (BRWT, RowDiff)) and not getattr(
+                matrix, "needs_sidecars", False):
+            Lw = max((matrix.num_labels + 31) // 32, 1)
+            if R * Lw * 4 <= DENSE_BUDGET:
+                self._device_words = None
+                self._device_anno = anno_ops.DeviceAnnotation.from_bitmap(
+                    self._pack_matrix_bitmap(matrix, R), matrix.num_labels)
+                return self._device_anno
         if isinstance(matrix, BRWT):
-            # compressed on device: DYNAMIC BRWT tree descend (no dense
-            # bitmap; tree structure is device data, so the program — and
-            # its compile time — is O(depth), not O(nodes): the static
-            # variant took ~4 min to compile a 1000-label tree on the relay)
+            # compressed on device: DYNAMIC BRWT tree descend (tree
+            # structure is device data — program size O(depth))
             self._device_anno = dm.DynDeviceBRWT.from_host(matrix)
             self._device_words = dm.dyn_brwt_words_fn
             return self._device_anno

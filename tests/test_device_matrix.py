@@ -74,7 +74,10 @@ def rd_inner_default():
     return RowFlat(np.zeros(1, np.int64), np.zeros(0, np.int64), 1)
 
 
-def test_query_engine_uses_compressed_device_path():
+def test_query_engine_uses_compressed_device_path(monkeypatch):
+    # force the descend/walk path: with the default budget this small
+    # matrix would densify into a device working bitmap instead
+    monkeypatch.setenv("METAGRAPH_DENSE_ANNO_BUDGET", "0")
     rng = np.random.default_rng(2)
     from metagraph_tpu.graph.dbg_succinct import DBGSuccinct
     from metagraph_tpu.annotation.column import ColumnMajorAnnotation
