@@ -440,7 +440,10 @@ class TestWireEpoch:
             assert got is not None, f"fused path refused {mode_name}"
             assert norm(got) == norm(want), f"{mode_name}/{qmode}"
 
-    def test_fused_compressed_annotation_matches_host(self):
+    def test_fused_compressed_annotation_matches_host(self, monkeypatch):
+        # force the descend/walk device paths (the default budget would
+        # densify this small matrix into a working bitmap)
+        monkeypatch.setenv("METAGRAPH_DENSE_ANNO_BUDGET", "0")
         """The ONE-dispatch fused path with BRWT / row-diff-BRWT device
         annotations (words_fn row source) is payload-identical to host —
         the configuration that scales past dense R x L/8 bitmaps
