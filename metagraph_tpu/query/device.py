@@ -316,11 +316,18 @@ def query_epoch_codes2(table: jnp.ndarray, bitmap: jnp.ndarray,
     return mask, counts, present, nodes.reshape(nc * C, T)
 
 
-def _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel, selmin,
+def _wire_epoch_core(table4, bitmap, words, vwords, tile_seq, dsel, selmin,
                      num_seqs: int, num_labels: int, K: int, T: int,
                      canon: int = 0, canon_offset: int = 0, words_fn=None):
     """Traced body shared by query_epoch_wire (five device args) and
     query_epoch_wire_buf (one fused upload buffer).
+
+    table4 is the SAME 4-bit nibble-key DeviceHashIndex the tiled path
+    probes (33 MB, fast gather class): wire window keys funnel-shift out of
+    the 2-bit stream and convert to nibble keys on the VPU
+    (ops.keys2_to_keys4) right before the probe.  r4 used a separate
+    2-bit-key table here; its 192 B bucket rows and overflow-doubled 50 MB
+    directory gathered at ~60 M probes/s vs 105 M/s for the shared table.
 
     canon: 0 = plain lookup; 1 = canonical-mode graph (each window resolves
     to its canonical form's node: the rc key is a few VPU bit ops,
@@ -343,8 +350,9 @@ def _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel, selmin,
         wd, vw = x
         keys = graph_ops.extract_windows2(wd, K, T)          # (C, T, 2)
         valid = graph_ops.window_valid2(vw, K, T)            # (C, T)
+        k4 = lambda k2: graph_ops.keys2_to_keys4(k2, K)
         nodes_f = graph_ops._hash_lookup(
-            table2, keys.reshape(C * T, 2)).reshape(C, T)
+            table4, k4(keys.reshape(C * T, 2))).reshape(C, T)
         if canon == 0:
             nodes = jnp.where(valid, nodes_f, 0)
             rows_ct = nodes
@@ -360,10 +368,11 @@ def _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel, selmin,
                 kc = jnp.where(take_rc[:, None], rck, kf)
                 nodes = jnp.where(
                     valid,
-                    graph_ops._hash_lookup(table2, kc).reshape(C, T), 0)
+                    graph_ops._hash_lookup(table4, k4(kc)).reshape(C, T), 0)
                 rows_ct = nodes
             else:
-                nodes_r = graph_ops._hash_lookup(table2, rck).reshape(C, T)
+                nodes_r = graph_ops._hash_lookup(
+                    table4, k4(rck)).reshape(C, T)
                 rows_ct = jnp.where(valid,
                                     jnp.where(nodes_f > 0, nodes_f, nodes_r),
                                     0)
@@ -385,7 +394,7 @@ def _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel, selmin,
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
-def query_epoch_wire(table2: jnp.ndarray, bitmap: jnp.ndarray,
+def query_epoch_wire(table4: jnp.ndarray, bitmap: jnp.ndarray,
                      words: jnp.ndarray, vwords: jnp.ndarray,
                      tile_seq: jnp.ndarray, dsel: jnp.ndarray,
                      selmin: jnp.ndarray,
@@ -402,13 +411,13 @@ def query_epoch_wire(table2: jnp.ndarray, bitmap: jnp.ndarray,
     (N, NV) uint32 — validb likewise.  table2 is a DeviceHashIndex built
     over pack_kmers2 keys (W = 2).  Same fused selection/return contract as
     query_epoch_codes2."""
-    return _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel,
+    return _wire_epoch_core(table4, bitmap, words, vwords, tile_seq, dsel,
                             selmin, num_seqs, num_labels, K, T, canon,
                             canon_offset, words_fn)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
-def query_epoch_wire_buf(table2: jnp.ndarray, bitmap: jnp.ndarray,
+def query_epoch_wire_buf(table4: jnp.ndarray, bitmap: jnp.ndarray,
                          buf: jnp.ndarray, N: int, NW: int, NV: int,
                          num_seqs: int, num_labels: int, K: int, T: int,
                          canon: int = 0, canon_offset: int = 0,
@@ -431,7 +440,7 @@ def query_epoch_wire_buf(table2: jnp.ndarray, bitmap: jnp.ndarray,
     dsel = bc(buf[o:o + num_seqs])
     o += num_seqs
     selmin = bc(buf[o:o + num_seqs])
-    return _wire_epoch_core(table2, bitmap, words, vwords, tile_seq, dsel,
+    return _wire_epoch_core(table4, bitmap, words, vwords, tile_seq, dsel,
                             selmin, num_seqs, num_labels, K, T, canon,
                             canon_offset, words_fn)
 
@@ -466,13 +475,14 @@ def wire_words_layout(packed2: np.ndarray, validb: np.ndarray, K: int,
 
 
 def pad_tile_rows(n: int, C: int, lo: int = 4) -> int:
-    """Geometric tile-row padding: nc = ceil(n/C) rounded up into a ~1.25x
-    bucket series.  Caps jit recompiles (one per bucket) while wasting <=25%
-    of the epoch on padding (the old pow2 padding wasted up to 100%)."""
+    """Geometric tile-row padding: nc = ceil(n/C) rounded up into a ~1.12x
+    bucket series.  Caps jit recompiles (one per bucket) while wasting
+    <=12.5% of the epoch on padding (r4 used a 1.25x series — its 25%
+    worst-case pad was ~13% of the measured CLI device time)."""
     nc = max(-(-n // C), 1)
     b = lo
     while b < nc:
-        b = max(b + 1, int(b * 5) // 4)
+        b = max(b + 1, int(b * 9) // 8)
     return b * C
 
 

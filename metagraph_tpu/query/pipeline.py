@@ -123,30 +123,24 @@ class QueryEngine:
             ops.pack_kmers32(kchars, bits=self._bits),
             valid_edges.astype(np.uint32))
 
-    _device_index2 = None
+    _wire_eligible = None
 
-    def _build_device_index2(self):
-        """2-bit wire-key hash index (query_epoch_wire): DNA graphs with
-        k <= 31 only; None when the graph doesn't qualify."""
-        if self._device_index2 is not None:
-            return self._device_index2
-        from ..succinct import ops
+    def _wire_ok(self) -> bool:
+        """Wire-epoch eligibility (query_epoch_wire): plain-DNA graphs with
+        2 <= k <= 31 (the pack_kmers2 wire-key contract).  The wire epoch
+        probes the SAME 4-bit device hash table as the tiled path
+        (keys converted on device, ops.keys2_to_keys4) — r4's separate
+        2-bit-key table gathered ~40% slower and doubled device memory."""
+        if self._wire_eligible is not None:
+            return self._wire_eligible
         k = self.graph.k
         ex = self.graph.extractor
         boss = getattr(self._base, "boss", None)
-        if boss is None or not 2 <= k <= 31:
-            return None
-        if ex.encode(b"ACGT").tolist() != [1, 2, 3, 4]:
-            return None                       # non-DNA alphabet
-        if ex.alphabet.sigma > 5:
-            return None                       # wider alphabet (protein)
-        valid_edges = np.flatnonzero(boss.valid)
-        kchars = boss.get_edge_seq(valid_edges)
-        if kchars.size and (kchars.min() < 1 or kchars.max() > 4):
-            return None                       # $ or N in stored k-mers
-        self._device_index2 = ops.DeviceHashIndex.from_packed(
-            ops.pack_kmers2(kchars), valid_edges.astype(np.uint32))
-        return self._device_index2
+        ok = boss is not None and 2 <= k <= 31 \
+            and ex.encode(b"ACGT").tolist() == [1, 2, 3, 4] \
+            and ex.alphabet.sigma <= 5
+        self._wire_eligible = bool(ok)
+        return self._wire_eligible
 
     _native_index = None
 
@@ -598,8 +592,7 @@ class QueryEngine:
             # only; without the native packer or a 2-bit index, fall back
             # to execute_batch
             from .. import native
-            if native.get_lib() is None \
-                    or self._build_device_index2() is None:
+            if native.get_lib() is None or not self._wire_ok():
                 return None
         if seqs and max(len(s) for s in seqs) >= (1 << 24):
             # the fused epochs fold per-sequence counts with exact-integer
@@ -610,7 +603,7 @@ class QueryEngine:
         from .device import TILE
         from .. import native
         if native.get_lib() is not None and len(seqs) >= 16 \
-                and self._build_device_index2() is not None:
+                and self._wire_ok():
             total_bp = sum(len(s) for s in seqs)
             nsplit = min(4, max(1, total_bp // (TILE * 4096)))
             if nsplit > 1:
@@ -665,9 +658,8 @@ class QueryEngine:
         nthr = self._native_threads()
         packed = native.tile_pack2(seqs, k, TILE, n_threads=nthr) \
             if native.get_lib() is not None else None
-        index2 = self._build_device_index2() if packed is not None else None
-        if index2 is None:
-            self._build_device_index()
+        use_wire = packed is not None and self._wire_ok()
+        self._build_device_index()
         L = danno.num_labels
         if packed is not None:
             # 2-bit packed upload (2.25 bits/bp on the wire; native
@@ -681,7 +673,7 @@ class QueryEngine:
             npad = pad_tile_rows(n, C)
             dsel, selmin = _thresholds(nwins, discovery_fraction,
                                        presence_fraction, Spad)
-            if index2 is not None:
+            if use_wire:
                 # wire-key path: keys funnel-shifted from the 2-bit stream,
                 # all five epoch inputs fused into ONE upload (the link's
                 # per-transfer latency dominates; see query_epoch_wire_buf)
@@ -695,7 +687,7 @@ class QueryEngine:
                                         selmin)
                 wfn = self._device_words
                 mask, counts, present, nodes_t = query_epoch_wire_buf(
-                    index2.table,
+                    self._device_index.table,
                     danno if wfn is not None else danno.bitmap,
                     jnp.asarray(buf),
                     npad, words.shape[1], vwords.shape[1], Spad, L, k, TILE,
@@ -717,6 +709,12 @@ class QueryEngine:
                     jnp.asarray(tiles2), jnp.asarray(validb),
                     jnp.asarray(tile_seq), jnp.asarray(dsel),
                     jnp.asarray(selmin), Spad, L, k, TILE + k - 1)
+            # start the device->host mask transfer NOW: the relay's
+            # per-transfer latency (~25-50 ms) then overlaps the remaining
+            # sub-batches' device compute instead of serializing after it
+            # (r4 lost ~59% of the device throughput to these round trips)
+            if hasattr(mask, "copy_to_host_async"):
+                mask.copy_to_host_async()
             return dict(mask=mask, counts=counts, S=S, L=L, nwins=nwins,
                         nodes_t=nodes_t, tile_seq=tile_seq, n=n)
         else:
@@ -733,6 +731,8 @@ class QueryEngine:
             counts, present, nodes_t = query_epoch_codes(
                 self._device_index.table, danno.bitmap, jnp.asarray(tiles),
                 jnp.asarray(tile_seq), Spad, L, k)
+            if hasattr(present, "copy_to_host_async"):
+                present.copy_to_host_async()
             return dict(counts=counts, present=present, S=S, L=L,
                         nwins=nwins, nodes_t=nodes_t, tile_seq=tile_seq, n=n,
                         df=discovery_fraction, pf=presence_fraction)

@@ -212,6 +212,37 @@ def extract_windows2(words: jnp.ndarray, K: int, T: int) -> jnp.ndarray:
     return jnp.stack([lo, hi], axis=-1)
 
 
+def keys2_to_keys4(keys2: jnp.ndarray, K: int) -> jnp.ndarray:
+    """(..., 2) uint32 pack_kmers2 wire keys -> (..., ceil(K/8)) uint32
+    4-bit nibble keys in BOSS priority order (the pack_kmers32 layout).
+
+    Lets the wire epochs probe the SAME 33 MB 4-bit hash table as the tiled
+    path instead of a separate 2-bit-key table: the 2-bit table's bucket
+    rows are 192 B (pathological XLA gather width) and its directory
+    doubled on overflow to ~50 MB, past the scoped-VMEM staging budget —
+    measured 60 M probes/s vs 105 M/s on the shared 4-bit table (r5).
+    Pure VPU shifts, ~4 ops per char."""
+    lo = keys2[..., 0]
+    hi = keys2[..., 1]
+
+    def char(j):           # wire char j (0-based), back to 1..4 BOSS codes
+        w = lo if j < 16 else hi
+        return ((w >> np.uint32((2 * j) & 31)) & np.uint32(3)) + np.uint32(1)
+
+    W = _ceil_div(K, 8)
+    words = []
+    for w in range(W):
+        acc = jnp.zeros_like(lo)
+        for slot in range(8):
+            p = w * 8 + slot                    # priority index
+            if p >= K:
+                break
+            j = (K - 2 - p) if p < K - 1 else (K - 1)
+            acc = acc | (char(j) << np.uint32(28 - 4 * slot))
+        words.append(acc)
+    return jnp.stack(words, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def window_valid2(vwords: jnp.ndarray, K: int, T: int) -> jnp.ndarray:
     """(C, NV) uint32 per-char valid bits -> (C, T) bool window validity.

@@ -329,9 +329,22 @@ class TestWireEpoch:
                         kflat[vref], want, err_msg=f"K={K} seq {i}")
                 base += nt
 
+    def test_keys2_to_keys4_matches_pack_kmers32(self):
+        """Device 2-bit -> 4-bit key conversion reproduces pack_kmers32
+        (the shared-hash-table probe contract) for every K in range."""
+        from metagraph_tpu.succinct.ops import (keys2_to_keys4, pack_kmers2,
+                                                pack_kmers32)
+        rng = np.random.default_rng(3)
+        for K in (2, 8, 15, 16, 17, 20, 24, 31):
+            chars = rng.integers(1, 5, (257, K)).astype(np.uint8)
+            got = np.asarray(keys2_to_keys4(pack_kmers2(chars), K))
+            np.testing.assert_array_equal(
+                got, pack_kmers32(chars, bits=4), err_msg=f"K={K}")
+
     def test_query_epoch_wire_matches_codes2(self):
-        """The wire epoch (2-bit keys, funnel-shift extraction) returns
-        bit-identical counts/present/mask/nodes to the codes2 epoch."""
+        """The wire epoch (2-bit stream keys converted on device to the
+        shared 4-bit table's nibble keys) returns bit-identical
+        counts/present/mask/nodes to the codes2 epoch."""
         import jax.numpy as jnp
         from metagraph_tpu import native
         from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
@@ -355,8 +368,9 @@ class TestWireEpoch:
                 ag.annotate_sequence(s, [f"s{i}"])
         pipe = DeviceQueryPipeline(g, anno)
         eng = QueryEngine(ag, use_device=True)
-        idx2 = eng._build_device_index2()
-        assert idx2 is not None
+        assert eng._wire_ok()
+        eng._build_device_index()
+        table4 = eng._device_index.table
         S, L = len(seqs), anno.num_labels
         t2, vb, ts2, nwins = native.tile_pack2(seqs, K, TILE)
         dsel, selmin = _thresholds(nwins, 0.7, 0.1, S)
@@ -366,7 +380,7 @@ class TestWireEpoch:
             jnp.asarray(selmin), S, L, K, TILE + K - 1)
         words, vwords = wire_words_layout(t2, vb, K, TILE, len(t2))
         m2, c2, p2, n2 = query_epoch_wire(
-            idx2.table, pipe.annotation.bitmap, jnp.asarray(words),
+            table4, pipe.annotation.bitmap, jnp.asarray(words),
             jnp.asarray(vwords), jnp.asarray(ts2), jnp.asarray(dsel),
             jnp.asarray(selmin), S, L, K, TILE)
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
@@ -380,7 +394,7 @@ class TestWireEpoch:
                                                 wire_epoch_buffer)
         buf = wire_epoch_buffer(words, vwords, ts2, dsel, selmin)
         m3, c3, p3, n3 = query_epoch_wire_buf(
-            idx2.table, pipe.annotation.bitmap, jnp.asarray(buf),
+            table4, pipe.annotation.bitmap, jnp.asarray(buf),
             len(words), words.shape[1], vwords.shape[1], S, L, K, TILE)
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m3))
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c3))
