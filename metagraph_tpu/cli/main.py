@@ -228,7 +228,8 @@ def cmd_build(args):
                               bits_per_count=args.count_width,
                               mask_dummy=args.mask_dummy,
                               window_weights=weights if have_weights else None,
-                              disk_swap=args.disk_swap, mem_cap_bytes=mem_cap)
+                              disk_swap=args.disk_swap, mem_cap_bytes=mem_cap,
+                              device=getattr(args, "device", False))
     g.boss.state = args.state
     if getattr(args, "index_ranges", 0):
         with PhaseTimer("index suffix ranges"):
@@ -1374,6 +1375,12 @@ def main(argv=None):
     p.add_argument("--mem-cap-gb", type=float, default=None,
                    help="RAM cap for the k-mer buffer; implies "
                         "disk spill when exceeded")
+    p.add_argument("--device", action="store_true",
+                   help="single-chip TPU construction (extraction, BOSS "
+                        "sort, dedupe, dummy discovery and emission on "
+                        "device; succinct/device_build.py) — basic-mode "
+                        "DNA, k <= 21; arrays bit-identical to the host "
+                        "pipeline, silently falls back otherwise")
     p.add_argument("input", nargs="+")
     p.set_defaults(func=cmd_build)
 

