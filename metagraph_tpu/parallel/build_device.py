@@ -147,7 +147,9 @@ def _dest_of(keys: jnp.ndarray, bounds: jnp.ndarray, m: int) -> jnp.ndarray:
 def _place_and_exchange(rows: jnp.ndarray, dest: jnp.ndarray,
                         valid: jnp.ndarray, m: int, cap: int):
     """Bucket rows by dest into (m, cap, D) with PADC padding, all_to_all,
-    return ((m*cap, D) received rows, overflow flag)."""
+    return ((m*cap, D) received rows, overflow flag, rows actually
+    sent — the REAL traffic behind the padded buffer, for the dryrun's
+    model-vs-actual collective accounting)."""
     D = rows.shape[1]
     dest = jnp.where(valid, dest, m)            # pads drop (OOB scatter)
     order = jnp.argsort(dest, stable=True)
@@ -161,7 +163,8 @@ def _place_and_exchange(rows: jnp.ndarray, dest: jnp.ndarray,
     send = send.at[ds, slot].set(rs, mode="drop")
     recv = lax.all_to_all(send, "shard", split_axis=0, concat_axis=0,
                           tiled=False)
-    return recv.reshape(m * cap, D), overflow
+    sent = jnp.sum(ds < m, dtype=jnp.int32)
+    return recv.reshape(m * cap, D), overflow, sent
 
 
 _STAGE_CACHE = {}
@@ -190,7 +193,8 @@ def _stage_route_nodes(mesh, m, B, K, cap):
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P("shard", None), P(None, None)),
-        out_specs=(P("shard", None), P("shard", None), P("shard")),
+        out_specs=(P("shard", None), P("shard", None), P("shard"),
+                   P("shard")),
         check_vma=False)
     def step(codes, node_bounds):
         codes = codes.astype(jnp.uint8)
@@ -211,9 +215,10 @@ def _stage_route_nodes(mesh, m, B, K, cap):
         is_src = rows[:, K - 1] == 0
         local_src = is_src & vcat & (dest == me)
         send_sel = vcat & ~local_src
-        recv, ovf = _place_and_exchange(rows, dest, send_sel, m, cap)
+        recv, ovf, sent = _place_and_exchange(rows, dest, send_sel, m,
+                                              cap)
         local = jnp.where(local_src[:, None], rows, PADC)[:B]
-        return local, recv, ovf[None]
+        return local, recv, ovf[None], sent[None]
 
     return jax.jit(step)
 
@@ -281,14 +286,16 @@ def _stage_route_level(mesh, m, Bl, K, cap, cap_d):
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P("shard", None), P(None, None)),
-        out_specs=(P("shard", None), P("shard")), check_vma=False)
+        out_specs=(P("shard", None), P("shard"), P("shard")),
+        check_vma=False)
     def step(lvl, node_bounds):
         lvl = lvl.astype(jnp.uint8)
         valid = lvl[:, 0] != PADC
         nodes = lvl[:, : K - 1]
         keys = _pack_rows_j(nodes.astype(jnp.int32), colex, Wn)
         dest = _dest_of(keys, node_bounds, m)
-        recv, ovf1 = _place_and_exchange(nodes, dest, valid, m, cap)
+        recv, ovf1, sent = _place_and_exchange(nodes, dest, valid, m,
+                                               cap)
         rvalid = recv[:, 0] != PADC
         rkeys = _pack_rows_j(recv.astype(jnp.int32), colex, Wn)
         padkey = jnp.full((Wn,), 0xFFFFFFFF, jnp.uint32)
@@ -301,7 +308,7 @@ def _stage_route_level(mesh, m, Bl, K, cap, cap_d):
         order = jnp.argsort(~new, stable=True)
         out = nxt[order][:cap_d]
         ovf2 = jnp.sum(new) > cap_d
-        return out, (ovf1 | ovf2)[None]
+        return out, (ovf1 | ovf2)[None], sent[None]
 
     return jax.jit(step)
 
@@ -315,20 +322,22 @@ def _stage_route_edges(mesh, m, Bd, B, K, cap):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P("shard", None), P("shard", None), P(None, None)),
-        out_specs=(P("shard", None), P("shard")), check_vma=False)
+        out_specs=(P("shard", None), P("shard"), P("shard")),
+        check_vma=False)
     def step(dummies, reals, edge_bounds):
         dummies = dummies.astype(jnp.uint8)
         valid = dummies[:, 0] != PADC
         keys = _pack_rows_j(dummies.astype(jnp.int32), border, We)
         dest = _dest_of(keys, edge_bounds, m)
-        recv, ovf = _place_and_exchange(dummies, dest, valid, m, cap)
+        recv, ovf, sent = _place_and_exchange(dummies, dest, valid, m,
+                                              cap)
         stream = jnp.concatenate([reals.astype(jnp.uint8), recv], axis=0)
         svalid = stream[:, 0] != PADC
         skeys = _pack_rows_j(stream.astype(jnp.int32), border, We)
         padkey = jnp.full((We,), 0xFFFFFFFF, jnp.uint32)
         k = jnp.where(svalid[:, None], skeys, padkey[None, :])
         _, _, sc = _sort_by_key(k, stream)
-        return sc, ovf[None]
+        return sc, ovf[None], sent[None]
 
     return jax.jit(step)
 
@@ -438,6 +447,36 @@ def _stage_emit(mesh, m, B3, K, alph_size):
 
 # ------------------------------------------------------------ orchestration
 
+LAST_COLLECTIVE_REPORT = []
+
+
+def _check_collective_model(sent_actual: dict, n_real: int, n_dummy: int,
+                            m: int, K: int):
+    """Model-vs-actual collective-byte check (VERDICT r5 task 9).
+
+    The analytic model (SURVEY section 5.8): routing is O(N) — every real
+    edge ships at most its source + target node strings once
+    (route-nodes), every dummy node travels at most once per level and
+    once to its edge owner.  Actual = REAL rows through each all_to_all
+    (counted on device, padding excluded).  Fails if actual exceeds the
+    model by more than 2x (+1 KB slack for tiny inputs)."""
+    model = {
+        "route-nodes": 2 * n_real * K,
+        "route-level": (n_dummy + m) * (K - 1),
+        "route-edges": (n_dummy + m) * K,
+    }
+    LAST_COLLECTIVE_REPORT.clear()
+    for phase, actual in sent_actual.items():
+        mod = model.get(phase, 0)
+        ok = actual <= 2 * mod + 1024
+        LAST_COLLECTIVE_REPORT.append(
+            (phase, actual, mod, "ok" if ok else "EXCEEDS"))
+        if not ok:
+            raise AssertionError(
+                f"collective volume model violated at {phase}: "
+                f"actual {actual} B > 2 x model {mod} B")
+
+
 def sharded_build_boss_device(sequences, k: int, mesh: Mesh | None = None,
                               mode: str = "basic",
                               n_devices: int | None = None,
@@ -531,8 +570,9 @@ def sharded_build_boss_device(sequences, k: int, mesh: Mesh | None = None,
     # stage 1: route tgt nodes (+ boundary-stray srcs) to owners
     s1 = _cached_stage(("s1", meshkey, m, B, K, cap1),
                        lambda: _stage_route_nodes(mesh, m, B, K, cap1))
-    local1, recv1, ovf1 = s1(codes_d, nb_d)
+    local1, recv1, ovf1, sent1 = s1(codes_d, nb_d)
     _log_collective("route-nodes", "all_to_all", m * cap1 * K)
+    sent_actual = {"route-nodes": int(np.asarray(sent1).sum()) * K}
 
     # stage 2: per-owner sinks + level-1 dummy sources
     R = B + m * cap1
@@ -549,8 +589,10 @@ def sharded_build_boss_device(sequences, k: int, mesh: Mesh | None = None,
     level_outs = [lvl_d]
     ovfs = {"route-nodes": ovf1, "local-dummies": ovf2}
     for r in range(2, K):
-        lvl_d, ovf = s3(lvl_d, nb_d)
+        lvl_d, ovf, sentl = s3(lvl_d, nb_d)
         _log_collective("route-level", "all_to_all", m * cap3 * (K - 1))
+        sent_actual["route-level"] = sent_actual.get("route-level", 0) \
+            + int(np.asarray(sentl).sum()) * (K - 1)
         level_outs.append(lvl_d)
         ovfs[f"level-{r}"] = ovf
 
@@ -581,8 +623,9 @@ def sharded_build_boss_device(sequences, k: int, mesh: Mesh | None = None,
     dummies_d = jax.device_put(dummies_h.reshape(m * Bd, K), shard_sh)
     s4 = _cached_stage(("s4", meshkey, m, Bd, B, K, cap4),
                        lambda: _stage_route_edges(mesh, m, Bd, B, K, cap4))
-    stream_d, ovf4 = s4(dummies_d, codes_d, eb_d)
+    stream_d, ovf4, sent4 = s4(dummies_d, codes_d, eb_d)
     _log_collective("route-edges", "all_to_all", m * cap4 * K)
+    sent_actual["route-edges"] = int(np.asarray(sent4).sum()) * K
     ovfs["route-edges"] = ovf4
 
     # stage 5: emission with device halos
@@ -611,5 +654,9 @@ def sharded_build_boss_device(sequences, k: int, mesh: Mesh | None = None,
     last = np.concatenate([[0]] + last_parts).astype(np.uint8)
     valid = np.concatenate([[0]] + valid_parts).astype(np.uint8)
     F = np.asarray(F_d)[0].astype(np.int64)
-    return BossArrays(k=K - 1, alph_size=alph_size, W=W, last=last, F=F,
-                      valid=valid)
+    arrays = BossArrays(k=K - 1, alph_size=alph_size, W=W, last=last, F=F,
+                        valid=valid)
+    n_real = sum(len(x) for x in shard_codes)
+    n_dummy = int((dummies_h[:, :, 0] != PADC).sum())
+    _check_collective_model(sent_actual, n_real, n_dummy, m, K)
+    return arrays

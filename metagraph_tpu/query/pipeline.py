@@ -295,6 +295,21 @@ class QueryEngine:
                 self._device_anno = anno_ops.DeviceAnnotation.from_bitmap(
                     self._pack_matrix_bitmap(matrix, R), matrix.num_labels)
                 return self._device_anno
+        if isinstance(matrix, (BRWT, RowDiff)) and not getattr(
+                matrix, "needs_sidecars", False):
+            # past the dense budget: BLOCK-SPARSE device annotation
+            # (annotation/sparse_device.py, r5) — O(nnz) memory at any
+            # label count, per-tile one-hot MXU counting; counts identical
+            # to the dense path.  The reference's output-sensitive
+            # slice_rows (multi_brwt/brwt.cpp:74-127) mapped to the MXU
+            # instead of a tree walk.
+            from ..annotation.sparse_device import DeviceBlockSparseAnno
+            sp = DeviceBlockSparseAnno.from_matrix(
+                matrix, R, max_dense_bytes=DENSE_BUDGET)
+            if sp is not None:
+                self._device_words = None
+                self._device_anno = sp
+                return self._device_anno
         if isinstance(matrix, BRWT):
             # compressed on device: DYNAMIC BRWT tree descend (tree
             # structure is device data — program size O(depth))
@@ -374,7 +389,13 @@ class QueryEngine:
                 [tiles, np.zeros((npad - n,) + tiles.shape[1:], tiles.dtype)])
             tile_seq = np.concatenate(
                 [tile_seq, np.zeros(npad - n, tile_seq.dtype)])
-        if self._device_words is not None:
+        from ..annotation.sparse_device import (DeviceBlockSparseAnno,
+                                                sparse_count_epoch)
+        if isinstance(danno, DeviceBlockSparseAnno):
+            counts, present = sparse_count_epoch(
+                danno, jnp.asarray(tiles), jnp.asarray(tile_seq), Spad,
+                danno.num_labels)
+        elif self._device_words is not None:
             # compressed device matrix (BRWT / row-diff walk)
             from ..annotation.device_matrix import make_tiled_count_epoch
             epoch = make_tiled_count_epoch(self._device_words)
@@ -585,6 +606,12 @@ class QueryEngine:
             # non-DNA alphabets: the fused epochs' on-device window packing
             # is DNA-only; those batches take the un-fused device path
             # (_map_windows, 4/8-bit keys) instead
+            return None
+        from ..annotation.sparse_device import DeviceBlockSparseAnno
+        if isinstance(self._build_device_annotation(),
+                      DeviceBlockSparseAnno):
+            # block-sparse annotation: counting runs through
+            # sparse_count_epoch on the execute_batch route
             return None
         if self._canon_mode() or self._needs_words_fn():
             # canonical / primary graphs and compressed device annotations

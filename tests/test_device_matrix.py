@@ -104,7 +104,23 @@ def test_query_engine_uses_compressed_device_path(monkeypatch):
             ph = host.execute_batch(host.map_batch(reads), mode, 3, 0.7, 0.0)
             pd = dev.execute_batch(dev.map_batch(reads), mode, 3, 0.7, 0.0)
             assert str(ph) == str(pd), (name, mode)
-        assert dev._device_words is not None
+        # beyond the dense budget the primary device representation is the
+        # block-sparse annotation (r5); the dynamic descend remains the
+        # fallback when the sparse conversion bails (forced below)
+        from metagraph_tpu.annotation.sparse_device import \
+            DeviceBlockSparseAnno
+        assert isinstance(dev._device_anno, DeviceBlockSparseAnno)
+        dev2 = QueryEngine(ag2, use_device=True)
+        monkeypatch.setattr(DeviceBlockSparseAnno, "from_matrix",
+                            classmethod(lambda *a, **k: None))
+        pd2 = dev2.execute_batch(dev2.map_batch(reads), "labels", 3, 0.7,
+                                 0.0)
+        ph2 = host.execute_batch(host.map_batch(reads), "labels", 3, 0.7,
+                                 0.0)
+        assert str(ph2) == str(pd2), name
+        assert dev2._device_words is not None
+        monkeypatch.undo()
+        monkeypatch.setenv("METAGRAPH_DENSE_ANNO_BUDGET", "0")
 
 
 def test_large_label_space_stays_compressed():
