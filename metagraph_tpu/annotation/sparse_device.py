@@ -71,7 +71,8 @@ class DeviceBlockSparseAnno:
         ids = np.zeros((R + 1, tau), np.uint32)
         wds = np.zeros((R + 1, tau), np.uint32)
         dmap = np.zeros(R + 1, np.int32)
-        dense_rows = []                      # (row id, packed words)
+        dense_rows = []                      # distinct overflow patterns
+        dense_pat = {}                       # pattern bytes -> slot
         for lo in range(0, min(R, Rm), chunk):
             rows = np.arange(lo, min(lo + chunk, Rm))
             mask = np.asarray(matrix.get_rows_mask(rows), dtype=bool)
@@ -84,14 +85,34 @@ class DeviceBlockSparseAnno:
             nz = words != 0
             nnz = nz.sum(axis=1)
             sparse = nnz <= tau
-            for i in np.flatnonzero(sparse):
-                b = np.flatnonzero(nz[i]).astype(np.uint32)
-                r = lo + i + 1
-                ids[r, : len(b)] = b
-                wds[r, : len(b)] = words[i, b]
-            for i in np.flatnonzero(~sparse):
-                dmap[lo + i + 1] = len(dense_rows) + 1
-                dense_rows.append(words[i])
+            si = np.flatnonzero(sparse)
+            if len(si):
+                # nonzero blocks first per row (stable argsort of ~nz)
+                width = min(tau, Lw)
+                order = np.argsort(~nz[si], axis=1,
+                                   kind="stable")[:, :width]
+                vs = np.take_along_axis(nz[si], order, axis=1)
+                ids[lo + si + 1, :width] = \
+                    np.where(vs, order, 0).astype(np.uint32)
+                wds[lo + si + 1, :width] = np.where(
+                    vs, np.take_along_axis(words[si], order, axis=1), 0)
+            di = np.flatnonzero(~sparse)
+            if len(di):
+                # dense-row PATTERN dedup (the Rainbowfish/UniqueRow move,
+                # ref rainbowfish.hpp:20: core-genome rows share few
+                # distinct label sets): identical rows map to one side slot
+                upat, inv = np.unique(words[di], axis=0,
+                                      return_inverse=True)
+                slots = np.empty(len(upat), np.int32)
+                for u in range(len(upat)):
+                    key = upat[u].tobytes()
+                    slot = dense_pat.get(key)
+                    if slot is None:
+                        slot = len(dense_rows) + 1
+                        dense_pat[key] = slot
+                        dense_rows.append(upat[u])
+                    slots[u] = slot
+                dmap[lo + di + 1] = slots[inv]
             if max_dense_bytes is not None \
                     and len(dense_rows) * L > max_dense_bytes:
                 return None
