@@ -856,7 +856,18 @@ class RowDiff(BinaryMatrix):
         all_nodes = np.concatenate(nodes)
         all_owners = np.concatenate(owners)
         diffs = self.inner.get_rows_mask(all_nodes)
-        np.logical_xor.at(out, all_owners, diffs)
+        # XOR-fold per owner on PACKED bytes via reduceat (logical_xor.at
+        # is an unbuffered elementwise loop — measured 1.3 s per 4k rows).
+        # Every owner has a level-0 pair, so no segment is empty.
+        order = np.argsort(all_owners, kind="stable")
+        packed = np.packbits(diffs, axis=1)[order]   # pack BEFORE the
+        # owner-order copy: the fancy index then moves L/8 bytes per pair
+        # instead of L bools
+        starts = np.searchsorted(all_owners[order],
+                                 np.arange(len(rows), dtype=np.int64))
+        folded = np.bitwise_xor.reduceat(packed, starts, axis=0)
+        out = np.unpackbits(folded, axis=1)[:, : self.num_labels] \
+            .astype(bool)
         return out
 
 

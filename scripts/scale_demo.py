@@ -55,15 +55,27 @@ def run_stage(name, argv, force=False):
         return
     log(f"[stage] {name}: {' '.join(argv)}")
     t0 = time.time()
-    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS=os.environ.get(
-        "JAX_PLATFORMS", ""))
-    if not env["JAX_PLATFORMS"]:
-        env.pop("JAX_PLATFORMS")
-    r = subprocess.run(["/usr/bin/time", "-v"] + argv, env=env,
-                       capture_output=True, text=True)
+    # keep the axon sitecustomize on PYTHONPATH (it registers the TPU
+    # relay backend) and prepend the repo
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # no /usr/bin/time in this image: sample the child's VmHWM ourselves
+    r = subprocess.Popen(argv, env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+    peak_kb = 0
+    while r.poll() is None:
+        try:
+            with open(f"/proc/{r.pid}/status") as f:
+                m = re.search(r"VmHWM:\s+(\d+) kB", f.read())
+                if m:
+                    peak_kb = max(peak_kb, int(m.group(1)))
+        except OSError:
+            pass
+        time.sleep(0.5)
+    out, err = r.communicate()
+    r = subprocess.CompletedProcess(argv, r.returncode, out, err)
     wall = time.time() - t0
-    m = re.search(r"Maximum resident set size \(kbytes\): (\d+)", r.stderr)
-    rss_gb = int(m.group(1)) / 1e6 if m else None
+    rss_gb = peak_kb / 1e6 if peak_kb else None
     if r.returncode != 0:
         log(r.stderr[-3000:])
         raise SystemExit(f"stage {name} failed rc={r.returncode}")
@@ -97,16 +109,22 @@ def stage_generate():
                 f.write(b">sp%04d_s%04d\n" % (sp, i))
                 f.write(seq.tobytes() + b"\n")
                 total += len(seq)
-    # query/align read set: mutated slices of the input + some misses
+    # query/align read sets: mutated slices of the input
     rng2 = np.random.default_rng(11)
-    with open(reads_fa, "wb") as f:
-        recs = open(fa, "rb").read().split(b">")[1:2002:2]
-        for i, rec in enumerate(recs[:1000]):
-            seq = bytearray(rec.split(b"\n", 1)[1].replace(b"\n", b""))
-            mut = rng2.random(len(seq)) < 0.02
-            seq = np.frombuffer(bytes(seq), np.uint8).copy()
-            seq[mut] = alpha[rng2.integers(0, 4, int(mut.sum()))]
-            f.write(b">read%04d\n" % i + seq.tobytes() + b"\n")
+    lines = []
+    recs = open(fa, "rb").read().split(b">")[1:2002:2]
+    for i, rec in enumerate(recs[:1000]):
+        seq = np.frombuffer(
+            rec.split(b"\n", 1)[1].replace(b"\n", b""), np.uint8).copy()
+        mut = rng2.random(len(seq)) < 0.02
+        seq[mut] = alpha[rng2.integers(0, 4, int(mut.sum()))]
+        lines.append(b">read%04d\n" % i + seq.tobytes() + b"\n")
+    open(reads_fa, "wb").write(b"".join(lines))
+    open(os.path.join(OUT, "reads_head.fa"), "wb").write(
+        b"".join(lines[:40]))
+    open(os.path.join(OUT, "reads_align.fa"), "wb").write(
+        b"".join(x.split(b"\n")[0] + b"\n" + x.split(b"\n")[1][:150]
+                 + b"\n" for x in lines[:200]))
     report["generate"] = {"wall_s": round(time.time() - t0, 1),
                           "total_bp": total}
     json.dump(report, open(REPORT, "w"), indent=1)
@@ -131,24 +149,33 @@ def main():
         "-o", os.path.join(OUT, "anno"), fa])
     run_stage("transform_row_diff_brwt", cli + [
         "transform_anno", "-i", gbase + ".dbg.npz", "--anno-type",
-        "row_diff_brwt", "-o", os.path.join(OUT, "anno_rdb"),
+        "row_diff_brwt", "--max-path-length", "20",
+        "-o", os.path.join(OUT, "anno_rdb"),
         os.path.join(OUT, "anno.column.annodbg.npz")])
     import glob
-    rdb = glob.glob(os.path.join(OUT, "anno_rdb*"))
+    rdb = glob.glob(os.path.join(OUT, "anno_rdb.*.annodbg*"))
     log(f"row_diff_brwt artifacts: {rdb}")
-    anno_art = [p for p in rdb if p.endswith(".npz")][0]
-    run_stage("query_device", cli + [
+    anno_art = rdb[0]
+    r = run_stage("query_device", cli + [
         "query", "-i", gbase + ".dbg.npz", "-a", anno_art, "--device",
-        reads], force=False)
-    # correctness spot check: host path on the first 40 reads must match
-    run_stage("query_host_spotcheck", cli + [
+        reads])
+    if r is not None:
+        open(os.path.join(OUT, "query_device.out"), "w").write(r.stdout)
+    r = run_stage("query_host_spotcheck", cli + [
         "query", "-i", gbase + ".dbg.npz", "-a", anno_art,
-        os.path.join(OUT, "reads_head.fa")]) \
-        if os.path.exists(os.path.join(OUT, "reads_head.fa")) else None
+        os.path.join(OUT, "reads_head.fa")])
+    if r is not None:
+        open(os.path.join(OUT, "query_host.out"), "w").write(r.stdout)
+    if os.path.exists(os.path.join(OUT, "query_device.out")):
+        dev_out = open(os.path.join(OUT, "query_device.out")).read()
+        host_out = open(os.path.join(OUT, "query_host.out")).read()
+        same = dev_out.splitlines()[:40] == host_out.splitlines()[:40]
+        report["device_vs_host_first40_identical"] = bool(same)
+        json.dump(report, open(REPORT, "w"), indent=1)
+        log(f"device vs host (first 40 reads) identical: {same}")
     run_stage("align", cli + [
         "align", "-i", gbase + ".dbg.npz",
-        os.path.join(OUT, "reads_align.fa")]) \
-        if os.path.exists(os.path.join(OUT, "reads_align.fa")) else None
+        os.path.join(OUT, "reads_align.fa")])
     log(json.dumps(report, indent=1))
 
 
