@@ -157,22 +157,55 @@ def main():
     log(f"device epoch (fused map+count): {dt*1e3:.1f} ms (median "
         f"{np.median(times)*1e3:.1f}) -> {dev_kps/1e6:.1f} M kmers/s "
         f"({S/dt:.0f} reads/s) on {jax.devices()[0].platform}")
-    # roofline: the epoch is gather-ISSUE bound, not HBM-byte bound (r4
-    # profiling, scripts/exp_combined_gather.py: row-gather issue rate is
-    # roughly constant for rows up to ~512 B; inlining the annotation into
-    # the hash row to halve gathers LOST because >512 B rows gather
-    # slower).  Model: 2 row-gathers per window (hash bucket + annotation
-    # row) at the issue ceiling — 140M/s is the best sustained rate
-    # observed on this v5e (the r4 CSA epoch hit 136M/s with count work
-    # overlapping the gathers).
-    GATHER_CEIL = 140e6
-    sol = GATHER_CEIL / 2
+    # roofline (REVISED r5, scripts/exp_gather2d.py with a non-distorting
+    # consume — r4's 140M issues/s figure was inflated by its xor-reduce
+    # consume): the epoch is bound by the ANNOTATION row gather, which
+    # runs at ~70M issues/s for tables past the ~34 MB staging cliff
+    # (105-130M/s under it; 128-192 B row widths are pathological).  The
+    # probe gather (33.6 MB table, ~105M/s) overlaps.  SoL = one anno
+    # gather per window at 70M issues/s.
+    GATHER_CEIL = 70e6
+    sol = GATHER_CEIL
     tiles_total = tiles.shape[0] * tiles.shape[1]
-    eff = tiles_total / dt * 2
-    log(f"roofline: 2 row-gathers/window at ~{GATHER_CEIL/1e6:.0f}M "
-        f"issues/s -> issue-bound SoL ~{sol/1e6:.0f} M kmers/s; epoch "
-        f"sustains {eff/1e6:.0f}M gathers/s = {tiles_total/dt/sol*100:.0f}% "
-        f"of SoL (count/fold overlap the gathers)")
+    log(f"roofline: 1 anno row-gather/window at ~{GATHER_CEIL/1e6:.0f}M "
+        f"issues/s (76 MB table, slow gather class) -> SoL "
+        f"~{sol/1e6:.0f} M kmers/s; epoch at "
+        f"{tiles_total/dt/sol*100:.0f}% of SoL (probe + count/fold "
+        f"overlap the anno gathers)")
+
+    # dedup (query-graph) epoch — ref query.cpp:893 construct_query_graph
+    # on device: probe + anno-gather once per DISTINCT k-mer, per-window
+    # did-propagation.  Wins iff the compact table drops under the fast
+    # gather cliff (D << R); at D ~ R the per-occurrence epoch stays
+    # production (measured both ways, scripts/exp_dedup_epoch.py).
+    from metagraph_tpu.query.device import dedup_batch, query_epoch_dedup
+    t0 = time.perf_counter()
+    dkeys, dtiles, dtseq, Ddist = dedup_batch(queries_all, sids_all, S)
+    dedup_host_dt = time.perf_counter() - t0
+    log(f"batch dedup: {n_kmers_big} windows -> {Ddist} distinct "
+        f"(distinct/total = {Ddist/n_kmers_big:.3f}); host unique pass "
+        f"{dedup_host_dt*1e3:.0f} ms")
+    dk_d, dt_d, ds_d = (jax.device_put(dkeys), jax.device_put(dtiles),
+                        jax.device_put(dtseq))
+    rD = query_epoch_dedup(pipe.index.table, pipe.annotation.bitmap,
+                           dk_d, dt_d, ds_d, S, L)
+    _ = int(np.asarray(rD[1]).sum())
+    dts = []
+    for _i in range(reps):
+        t0 = time.perf_counter()
+        rD = query_epoch_dedup(pipe.index.table, pipe.annotation.bitmap,
+                               dk_d, dt_d, ds_d, S, L)
+        _ = int(np.asarray(rD[1]).sum())
+        dts.append(time.perf_counter() - t0)
+    ded_dt = min(dts)
+    same_d = (np.array_equal(np.asarray(rD[0]), np.asarray(r0[0]))
+              and np.array_equal(np.asarray(rD[1]), np.asarray(r0[1])))
+    log(f"dedup epoch (D~R regime): {ded_dt*1e3:.1f} ms -> "
+        f"{n_kmers_big/ded_dt/1e6:.1f} M kmers/s; counts identical="
+        f"{same_d} (compact table {len(dkeys)*(L//32+2)*4/1e6:.0f} MB — "
+        f"same gather class as the bitmap, so per-occurrence stays "
+        f"production here; at D<<R the dedup epoch measured 1.7x faster, "
+        f"see BENCH_NOTES)")
 
     # THE production path (cmd_query --device, query/pipeline.py): batched
     # map + device counts + thresholds + payload formatting, end to end
@@ -222,6 +255,34 @@ def main():
                 f"{n_kmers_big/bdt/1e6:.1f} M kmers/s")
         except Exception as e:
             log(f"brwt fused path skipped ({e})")
+        # block-sparse device annotation (r5): compressed matrices served
+        # at any label count without densifying (O(nnz) memory); counts
+        # identical to the dense epoch.  16k/64k-label sweep in
+        # scripts/exp_labels_sweep.py (BENCH_NOTES carries the captures).
+        try:
+            from metagraph_tpu.annotation.sparse_device import (
+                DeviceBlockSparseAnno, sparse_count_epoch)
+            sp = DeviceBlockSparseAnno.from_matrix(brwt, g.max_index())
+            nodes_t = np.asarray(r0[2])
+            rows_t = jax.device_put(
+                np.where(nodes_t > 0, nodes_t, 0).astype(np.int32))
+            ts_d = jax.device_put(tile_seq)
+            rS = sparse_count_epoch(sp, rows_t, ts_d, S, L)
+            _ = int(np.asarray(rS[1]).sum())
+            sts = []
+            for _i in range(3):
+                t0 = time.perf_counter()
+                rS = sparse_count_epoch(sp, rows_t, ts_d, S, L)
+                _ = int(np.asarray(rS[1]).sum())
+                sts.append(time.perf_counter() - t0)
+            sp_dt = min(sts)
+            same_s = np.array_equal(np.asarray(rS[0]), np.asarray(r0[0]))
+            log(f"block-sparse anno epoch (1k labels, {sp.nbytes/1e6:.0f} "
+                f"MB vs {g.max_index()*((L+31)//32)*4/1e6:.0f} MB dense): "
+                f"{sp_dt*1e3:.1f} ms -> {n_kmers_big/sp_dt/1e6:.1f} "
+                f"M kmers/s; counts identical={same_s}")
+        except Exception as e:
+            log(f"block-sparse anno epoch skipped ({e})")
 
     # sanity vs host anchor: byte-exact query output
     payloads = pipe.query_labels(seqs, "labels", 2 ** 63, 1.0, 0.0)
@@ -302,15 +363,21 @@ def main():
     build_kps = total_kmers / build_dt
     del g2
     try:
-        from metagraph_tpu.succinct.device_build import device_sort_unique
-        _ = device_sort_unique(queries)          # compile warmup
+        from metagraph_tpu.succinct.device_build import \
+            device_build_boss_arrays
+        arrays = device_build_boss_arrays(seqs, K)    # compile warmup
+        assert arrays is not None
+        same_b = (np.array_equal(arrays.W, g.boss.W)
+                  and np.array_equal(arrays.last, g.boss.last))
         t0 = time.perf_counter()
-        _skeys = device_sort_unique(np.roll(queries, 1, axis=0))
-        dsort_dt = time.perf_counter() - t0
-        log(f"build (device sort+dedupe core): {dsort_dt*1e3:.0f} ms -> "
-            f"{n_kmers/dsort_dt/1e6:.1f} M kmers/s")
+        arrays = device_build_boss_arrays(seqs, K)
+        dbuild_dt = time.perf_counter() - t0
+        log(f"build (device, full construction): {dbuild_dt*1e3:.0f} ms "
+            f"-> {total_kmers/dbuild_dt/1e6:.2f} M kmers/s "
+            f"({build_dt/dbuild_dt:.1f}x the host pipeline; arrays "
+            f"identical: {same_b})")
     except Exception as e:         # device path optional on CPU fallback
-        log(f"build (device sort core): skipped ({e})")
+        log(f"build (device): skipped ({e})")
 
     # suffix-range index (boss.hpp:288, r4): lookup-depth reduction on the
     # native BOSS node search — k-1 tighten rounds -> k-1-L
@@ -386,6 +453,72 @@ def main():
     log(f"aligner 4-process fan-out: {len(reads)/par_dt:.0f} reads/s "
         f"({al_dt/par_dt:.1f}x over 1 process; outputs identical: "
         f"{same_p})")
+
+    # aligner wave DP on the chip (r5 task 6): record the flat engine's
+    # compute_wave calls on a read subset, run the bit-identical jax port
+    # per wave on device, and report why the native host engine remains
+    # production (per-wave relay dispatch latency vs arithmetic rate;
+    # full data in scripts/exp_wave_device.py / BENCH_NOTES)
+    if tpu_ok:
+        try:
+            import functools as _ft
+            os.environ["MG_NO_NATIVE_ALIGN"] = "1"
+            from metagraph_tpu.align import wave_extender as _we
+            from scripts.exp_wave_device import jax_compute_wave
+            _rec = []
+            _orig_cw = _we.compute_wave
+            _hdp = [0.0]
+
+            def _rec_cw(*a, **kw):
+                t0 = time.perf_counter()
+                r = _orig_cw(*a, **kw)
+                _hdp[0] += time.perf_counter() - t0
+                _rec.append(a)
+                return r
+            _we.compute_wave = _rec_cw
+            _np_al = DBGAligner(g, AlignerConfig())
+            _ = _np_al.align_batch(reads[:64])
+            _we.compute_wave = _orig_cw
+            os.environ.pop("MG_NO_NATIVE_ALIGN", None)
+            go_, ge_ = int(_rec[0][9]), int(_rec[0][10])
+            jfn = jax.jit(_ft.partial(jax_compute_wave, gap_open=go_,
+                                      gap_ext=ge_))
+
+            def _pad(a):
+                (SpM, SpF, Fp, prof, ns, hd, blo, bhi, cut, _g, _e) = a
+                N = SpM.shape[0]
+                b = 64
+                while b < N:
+                    b = max(b + 1, int(b * 3) // 2)
+                cut = np.broadcast_to(np.asarray(cut, np.int64), (N,))
+
+                def p2(x, fill):
+                    out = np.full((b,) + x.shape[1:], fill, np.int32)
+                    out[:N] = np.clip(x, -2**31 + 1, 2**31 - 1)
+                    return out
+                from metagraph_tpu.align.config import NINF as _NI
+                return (p2(SpM, _NI), p2(SpF, _NI), p2(Fp, _NI),
+                        p2(prof, 0), p2(ns, 0),
+                        p2(hd.astype(np.int32), 0).astype(bool),
+                        p2(blo, 0), p2(bhi, 0), p2(cut, 2**30))
+            dargs = [tuple(jax.device_put(x) for x in _pad(a))
+                     for a in _rec[:120]]
+            for da in dargs[:12]:
+                _ = jfn(*da)
+            jax.block_until_ready(_)
+            t0 = time.perf_counter()
+            outs = [jfn(*da)[0] for da in dargs]
+            jax.block_until_ready(outs)
+            perwave = (time.perf_counter() - t0) / len(dargs)
+            log(f"align (device wave DP): {perwave*1e3:.2f} ms/wave relay "
+                f"dispatch x {len(_rec)} waves for 64 reads vs "
+                f"{_hdp[0]/len(_rec)*1e3:.2f} ms/wave host numpy — the "
+                f"wave recurrence is sequential, so dispatch latency keeps "
+                f"the NATIVE HOST engine as the production aligner (the "
+                f"chip's DP arithmetic itself measured ~45x host numpy in "
+                f"a fused replay, scripts/exp_wave_device.py)")
+        except Exception as e:
+            log(f"align device-wave measurement skipped ({e})")
 
     # pallas SW kernel relay-dispatch latency (VERDICT r2 #9: promote the
     # kernel into the batched extender if dispatch <= 10 ms)

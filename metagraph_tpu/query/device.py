@@ -751,3 +751,89 @@ class DeviceQueryPipeline:
                     else pairs
                 out.append([(enc.decode(-negc), n) for n, negc in pairs])
         return out
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def query_epoch_dedup(table: jnp.ndarray, bitmap: jnp.ndarray,
+                      dkeys: jnp.ndarray, did_tiles: jnp.ndarray,
+                      tile_seq: jnp.ndarray, num_seqs: int, num_labels: int):
+    """Deduplicated device query epoch — the reference's query-graph move
+    (ref query.cpp:893 construct_query_graph: each batch is deduped into a
+    local index before touching the full graph) expressed on device.
+
+    dkeys: (Dpad, W) packed DISTINCT window keys (row 0 = sentinel miss);
+    did_tiles: (N, T) int32 per-window distinct ids (0 = invalid window);
+    tile_seq: (N,) owning sequence per tile.
+
+    Stage A probes the hash index and gathers annotation rows once per
+    DISTINCT k-mer, building a compact (Dpad, Lw+1) [hit | words] table;
+    stage B propagates per-window through one did-gather and counts with
+    the shared CSA body.  Counts identical to query_epoch_tiled.
+
+    Measured regimes (r5, scripts/exp_dedup_epoch.py): the propagation
+    gather costs exactly one issue per occurrence, like the direct row
+    gather — so this wins iff the compact table lands in the fast gather
+    class (total/distinct high enough that Dpad*(Lw+1)*4 <= ~34 MB) or the
+    probe table dominates; at D ~ R (batches covering the whole index) the
+    per-occurrence epoch is the right choice and stays production."""
+    Dpad = dkeys.shape[0]
+    Lw = max((num_labels + 31) // 32, 1)
+    nodes_d = graph_ops._hash_lookup(table, dkeys)          # (Dpad,)
+    hit_d = (nodes_d > 0)
+    rows_d = jnp.where(hit_d, nodes_d - 1, 0)
+    words_d = anno_ops.gather_anno_rows(bitmap, rows_d, num_labels) \
+        * hit_d[:, None].astype(jnp.uint32)
+    wd = jnp.concatenate([hit_d[:, None].astype(jnp.uint32), words_d],
+                         axis=1)                            # (Dpad, Lw+1)
+    N, T = did_tiles.shape
+    C = max(1, (1 << 17) // T)
+    pad = (-N) % C
+    if pad:
+        did_tiles = jnp.concatenate(
+            [did_tiles, jnp.zeros((pad, T), did_tiles.dtype)])
+        tile_seq = jnp.concatenate([tile_seq, jnp.zeros(pad, tile_seq.dtype)])
+    nc = did_tiles.shape[0] // C
+
+    def body(carry, dd):
+        w = wd[dd.reshape(C * T)].reshape(C, T, Lw + 1)
+        words = w[:, :, 1:]
+        hits = w[:, :, 0]
+        # CSA popcount over the tile (the shared counting body)
+        num = [words]
+        while num[0].shape[1] > 1:
+            t = num[0].shape[1]
+            if t % 2:
+                num = [jnp.pad(p, ((0, 0), (0, 1), (0, 0))) for p in num]
+                t += 1
+            A = [p.reshape(C, t // 2, 2, Lw)[:, :, 0] for p in num]
+            B = [p.reshape(C, t // 2, 2, Lw)[:, :, 1] for p in num]
+            num = _csa_add(A, B)
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        tc = jnp.zeros((C, Lw * 32), jnp.int32)
+        for pl_i, pl in enumerate(num):
+            bits = ((pl[:, 0, :, None] >> shifts) & 1).astype(jnp.int32)
+            tc = tc + (bits << pl_i).reshape(C, Lw * 32)
+        return carry, (tc[:, :num_labels],
+                       hits.sum(axis=1, dtype=jnp.int32))
+    _, (tc, th) = jax.lax.scan(body, 0, did_tiles.reshape(nc, C, T))
+    return _fold_tiles(tc.reshape(nc * C, num_labels),
+                       th.reshape(nc * C), tile_seq, num_seqs)
+
+
+def dedup_batch(queries: np.ndarray, seq_ids: np.ndarray, num_seqs: int,
+                tile: int = TILE):
+    """Host-side batch dedup for query_epoch_dedup: packed windows ->
+    (distinct keys (D+1, W) with sentinel row 0, did tiles, tile_seq,
+    distinct count D)."""
+    uniq, inv = np.unique(queries, axis=0, return_inverse=True)
+    # drop the all-sentinel invalid key from the distinct set if present
+    sent = np.iinfo(np.uint32).max
+    valid_u = ~np.all(uniq == sent, axis=1)
+    remap = np.zeros(len(uniq) + 1, np.int32)
+    remap[1:][valid_u] = np.arange(1, int(valid_u.sum()) + 1)
+    dids = remap[1:][inv]
+    dkeys = np.concatenate(
+        [np.full((1, queries.shape[1]), sent, np.uint32), uniq[valid_u]])
+    did_tiles, tile_seq = tile_layout(dids.astype(np.int32), seq_ids,
+                                      num_seqs, tile=tile, fill=0)
+    return dkeys, did_tiles, tile_seq, int(valid_u.sum())

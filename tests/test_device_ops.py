@@ -329,6 +329,41 @@ class TestWireEpoch:
                         kflat[vref], want, err_msg=f"K={K} seq {i}")
                 base += nt
 
+    def test_dedup_epoch_matches_tiled(self):
+        """query_epoch_dedup (the reference's query-graph move on device,
+        ref query.cpp:893) returns counts identical to the per-occurrence
+        epoch, with duplicate windows collapsing into distinct ids."""
+        import jax.numpy as jnp
+        from metagraph_tpu.annotation.annotated_dbg import AnnotatedDBG
+        from metagraph_tpu.annotation.column import ColumnMajorAnnotation
+        from metagraph_tpu.query.device import (
+            DeviceQueryPipeline, dedup_batch, query_epoch_dedup,
+            query_epoch_tiled, tile_layout)
+        rng = np.random.default_rng(6)
+        base = ["".join(rng.choice(list("ACGTN"), 280,
+                                   p=[.24, .24, .24, .24, .04])).encode()
+                for _ in range(5)]
+        seqs = base * 4
+        g = DBGSuccinct.build([s for s in base], 13)
+        anno = ColumnMajorAnnotation(g.max_index())
+        ag = AnnotatedDBG(g, anno)
+        for i, s in enumerate(base):
+            ag.annotate_sequence(s, [f"s{i}"])
+        pipe = DeviceQueryPipeline(g, anno)
+        S, L = len(seqs), anno.num_labels
+        q, sid, _ = pipe.prepare_batch(seqs)
+        tiles, tseq = tile_layout(q, sid, S)
+        c1, p1, _ = query_epoch_tiled(
+            pipe.index.table, pipe.annotation.bitmap, jnp.asarray(tiles),
+            jnp.asarray(tseq), S, L)
+        dkeys, dtiles, dtseq, D = dedup_batch(q, sid, S)
+        assert 0 < D < len(q)
+        c2, p2 = query_epoch_dedup(
+            pipe.index.table, pipe.annotation.bitmap, jnp.asarray(dkeys),
+            jnp.asarray(dtiles), jnp.asarray(dtseq), S, L)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
     def test_keys2_to_keys4_matches_pack_kmers32(self):
         """Device 2-bit -> 4-bit key conversion reproduces pack_kmers32
         (the shared-hash-table probe contract) for every K in range."""
