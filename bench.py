@@ -251,8 +251,10 @@ def main():
                 t0 = time.perf_counter()
                 _pb = eb.query_batch_fused(rot, "labels", 2 ** 63, 1.0, 0.0)
                 bdt = min(bdt, time.perf_counter() - t0)
-            log(f"CLI query path (brwt device descend): {bdt*1e3:.0f} ms -> "
-                f"{n_kmers_big/bdt/1e6:.1f} M kmers/s")
+            log(f"CLI query path (brwt compressed anno): {bdt*1e3:.0f} ms "
+                f"-> {n_kmers_big/bdt/1e6:.1f} M kmers/s (served from the "
+                f"device working copy within the dense budget; beyond it "
+                f"the block-sparse path takes over)")
         except Exception as e:
             log(f"brwt fused path skipped ({e})")
         # block-sparse device annotation (r5): compressed matrices served
@@ -263,7 +265,7 @@ def main():
             from metagraph_tpu.annotation.sparse_device import (
                 DeviceBlockSparseAnno, sparse_count_epoch)
             sp = DeviceBlockSparseAnno.from_matrix(brwt, g.max_index())
-            nodes_t = np.asarray(r0[2])
+            nodes_t = np.asarray(r0[2])[: len(tile_seq)]
             rows_t = jax.device_put(
                 np.where(nodes_t > 0, nodes_t, 0).astype(np.int32))
             ts_d = jax.device_put(tile_seq)
@@ -462,9 +464,13 @@ def main():
     if tpu_ok:
         try:
             import functools as _ft
-            os.environ["MG_NO_NATIVE_ALIGN"] = "1"
+            # MG_NO_NATIVE_ENGINE is read per make_engine call (the
+            # NO_NATIVE_ALIGN flag is latched at first native-lib probe)
+            os.environ["MG_NO_NATIVE_ENGINE"] = "1"
             from metagraph_tpu.align import wave_extender as _we
             from scripts.exp_wave_device import jax_compute_wave
+            os.environ.pop("MG_NO_NATIVE_ALIGN", None)   # set at module
+            # import of the exp script; must not latch for this process
             _rec = []
             _orig_cw = _we.compute_wave
             _hdp = [0.0]
@@ -479,7 +485,7 @@ def main():
             _np_al = DBGAligner(g, AlignerConfig())
             _ = _np_al.align_batch(reads[:64])
             _we.compute_wave = _orig_cw
-            os.environ.pop("MG_NO_NATIVE_ALIGN", None)
+            os.environ.pop("MG_NO_NATIVE_ENGINE", None)
             go_, ge_ = int(_rec[0][9]), int(_rec[0][10])
             jfn = jax.jit(_ft.partial(jax_compute_wave, gap_open=go_,
                                       gap_ext=ge_))

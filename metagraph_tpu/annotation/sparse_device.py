@@ -147,7 +147,9 @@ def sparse_count_epoch(danno: DeviceBlockSparseAnno, rows1: jnp.ndarray,
     tau = danno.tau
     L = num_labels
     Lw = max(-(-L // 32), 1)
-    C = max(1, (1 << 14) // T)
+    # chunk rows: bounded so one one-hot slab (C, T*tau, 256) bf16 stays
+    # ~16 MB (the 64k-label compile blew VMEM at C = 64)
+    C = max(1, min((1 << 14) // T, (16 << 20) // max(T * tau * 256 * 2, 1)))
     pad = (-N) % C
     if pad:
         rows1 = jnp.concatenate([rows1, jnp.zeros((pad, T), rows1.dtype)])
@@ -155,9 +157,12 @@ def sparse_count_epoch(danno: DeviceBlockSparseAnno, rows1: jnp.ndarray,
     nc = rows1.shape[0] // C
     shifts = jnp.arange(32, dtype=jnp.uint32)
     Rd = danno.dense8.shape[0]
+    tile_seq_c = tile_seq.reshape(nc, C)
+    seq_iota = jnp.arange(num_seqs, dtype=tile_seq.dtype)
 
-    def body(acc, nn):
-        counts_acc, dmult_acc = acc
+    def body(acc, x):
+        counts_acc, present_acc = acc
+        nn, tseq = x
         hit = nn > 0
         r = nn.reshape(C * T)
         e = danno.entries[r]                         # (C*T, 2*tau)
@@ -192,27 +197,36 @@ def sparse_count_epoch(danno: DeviceBlockSparseAnno, rows1: jnp.ndarray,
         dmult = jax.ops.segment_sum(
             jnp.ones(C * T, jnp.int32), seg,
             num_segments=C * Rd).reshape(C, Rd)
-        return (counts_acc, dmult_acc), (tc, th, dmult)
+        # fold THIS chunk's tiles into the (S, L) accumulator — at 64k
+        # labels a stacked per-tile counts matrix would be 6.6 GB f32;
+        # the running fold keeps memory at O(S*L) (sums stay < 2^24, so
+        # f32 accumulation is exact)
+        onehot = (tseq[:, None] == seq_iota[None, :]).astype(jnp.float32)
+        counts_acc = counts_acc + jax.lax.dot_general(
+            onehot, tc.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        present_acc = present_acc + jnp.sum(
+            onehot * th.astype(jnp.float32)[:, None], axis=0)
+        return (counts_acc, present_acc), dmult
 
-    (_, _), (tc, th, dmult) = jax.lax.scan(
-        body, (0, 0), rows1.reshape(nc, C, T))
-    tc = tc.reshape(nc * C, L)
-    th = th.reshape(nc * C)
+    (counts_f, present_f), dmult = jax.lax.scan(
+        body, (jnp.zeros((num_seqs, L), jnp.float32),
+               jnp.zeros(num_seqs, jnp.float32)),
+        (rows1.reshape(nc, C, T), tile_seq_c))
     dmult = dmult.reshape(nc * C, Rd)
-    # dense-overflow contribution: (tiles x Rd) @ (Rd x L) — per-tile
-    # multiplicities <= T = 256 and bits 0/1, so bf16 inputs are exact
-    # with f32 accumulation
+    # dense-overflow contribution, folded straight to sequences:
+    # (S x tiles) @ (tiles x Rd) @ (Rd x L); per-tile multiplicities
+    # <= T = 256 and bits 0/1, so bf16 inputs are exact with f32 accum
+    onehot_all = (tile_seq[:, None]
+                  == seq_iota[None, :]).astype(jnp.bfloat16)
+    dmult_s = jax.lax.dot_general(
+        onehot_all, dmult.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (S, Rd)
+    # per-sequence multiplicities can exceed the bf16 integer range (256),
+    # so this last matmul stays in f32 (Rd is small)
     dcounts = jax.lax.dot_general(
-        dmult.astype(jnp.bfloat16), danno.dense8.astype(jnp.bfloat16),
+        dmult_s, danno.dense8.astype(jnp.float32),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    # dmult[:, 0] counts sparse/miss rows — drop its phantom contribution
-    # (dense8 row 0 is all-zero, so it is already zero)
-    tc = tc + dcounts.astype(jnp.int32)
-    onehot = (tile_seq[:, None]
-              == jnp.arange(num_seqs, dtype=tile_seq.dtype)[None, :]
-              ).astype(jnp.float32)
-    counts = jax.lax.dot_general(onehot, tc.astype(jnp.float32),
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    present = jnp.sum(onehot * th.astype(jnp.float32)[:, None], axis=0)
-    return counts.astype(jnp.int32), present.astype(jnp.int32)
+    counts = counts_f + dcounts
+    return counts.astype(jnp.int32), present_f.astype(jnp.int32)

@@ -70,7 +70,13 @@ def main():
     print(f"workload: {len(flat)} windows ({nwin} hits), R={R}, S={S}")
 
     rng = np.random.default_rng(0)
-    for L in (1000, 16384, 65536):
+    import os as _os
+    Ls = tuple(int(x) for x in _os.environ.get(
+        "SWEEP_LS", "1000,16384,65536").split(","))
+    for L in Ls:
+        if L not in (1000, 16384, 65536):
+            continue
+        rng = np.random.default_rng(L)
         # ~4 labels/row + 500 dense rows at ~30% density
         n_per = rng.geometric(1 / 4.0, R).clip(1, 16)
         rr = np.repeat(np.arange(R), n_per)
