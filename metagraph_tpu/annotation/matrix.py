@@ -823,19 +823,38 @@ class RowDiff(BinaryMatrix):
         dist[unresolved] = d
         anchors[unresolved] = d == 0
 
+    def get_rows_words(self, rows):
+        """Packed (n, ceil(L/32)) uint32 row words (little-endian bits) —
+        the XOR fold happens on packed bytes anyway, so bulk consumers
+        (the device annotation conversions) skip the 8x-larger bool
+        expansion."""
+        by = self._rows_packed_bytes(np.asarray(rows, dtype=np.int64))
+        Lw = max(-(-self.num_labels // 32), 1)
+        pad = Lw * 4 - by.shape[1]
+        if pad:
+            by = np.concatenate(
+                [by, np.zeros((len(by), pad), np.uint8)], axis=1)
+        return np.ascontiguousarray(by).view(np.uint32)
+
     def get_rows_mask(self, rows):
+        rows = np.asarray(rows, dtype=np.int64)
+        by = self._rows_packed_bytes(rows)
+        return np.unpackbits(by, axis=1,
+                             bitorder="little")[:, : self.num_labels] \
+            .astype(bool)
+
+    def _rows_packed_bytes(self, rows):
         if getattr(self, "needs_sidecars", False):
             raise ValueError(
                 "row_diff annotation requires the graph's .rd_succ/.anchors "
                 "sidecar files (staged build); attach_sidecars() first")
-        rows = np.asarray(rows, dtype=np.int64)
         # lockstep chain walk: all queried rows advance together, collecting
         # (query, chain-node) pairs; ONE batched inner query then XOR-folds
         # the diffs per query (the reference walks each row's chain
         # separately, row_diff.hpp:97)
-        out = np.zeros((len(rows), self.num_labels), dtype=bool)
+        Lb = -(-self.num_labels // 8)
         if not len(rows):
-            return out
+            return np.zeros((0, Lb), dtype=np.uint8)
         owners = [np.arange(len(rows), dtype=np.int64)]
         nodes = [rows.copy()]
         cur = rows.copy()
@@ -860,15 +879,13 @@ class RowDiff(BinaryMatrix):
         # is an unbuffered elementwise loop — measured 1.3 s per 4k rows).
         # Every owner has a level-0 pair, so no segment is empty.
         order = np.argsort(all_owners, kind="stable")
-        packed = np.packbits(diffs, axis=1)[order]   # pack BEFORE the
+        packed = np.packbits(diffs, axis=1,
+                             bitorder="little")[order]   # pack BEFORE the
         # owner-order copy: the fancy index then moves L/8 bytes per pair
         # instead of L bools
         starts = np.searchsorted(all_owners[order],
                                  np.arange(len(rows), dtype=np.int64))
-        folded = np.bitwise_xor.reduceat(packed, starts, axis=0)
-        out = np.unpackbits(folded, axis=1)[:, : self.num_labels] \
-            .astype(bool)
-        return out
+        return np.bitwise_xor.reduceat(packed, starts, axis=0)
 
 
 class CSRIntMatrix(BinaryMatrix):

@@ -55,19 +55,49 @@ class DeviceBlockSparseAnno:
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
+    @staticmethod
+    def _rows_words(matrix, rows, Lw):
+        """(n, Lw) uint32 packed rows: the matrix's packed bulk interface
+        when it has one (RowDiff), else packbits over get_rows_mask —
+        the bool expansion is 8x the bytes and dominated the 64k-label
+        conversion."""
+        if hasattr(matrix, "get_rows_words"):
+            w = np.asarray(matrix.get_rows_words(rows))
+            if w.shape[1] < Lw:
+                w = np.concatenate(
+                    [w, np.zeros((len(w), Lw - w.shape[1]), np.uint32)],
+                    axis=1)
+            return w
+        mask = np.asarray(matrix.get_rows_mask(rows), dtype=bool)
+        L = mask.shape[1]
+        pad = Lw * 32 - L
+        if pad:
+            mask = np.concatenate(
+                [mask, np.zeros((len(mask), pad), bool)], axis=1)
+        return np.packbits(mask.reshape(len(mask), Lw, 32), axis=2,
+                           bitorder="little").view(np.uint32)[:, :, 0]
+
     @classmethod
-    def from_matrix(cls, matrix, R: int | None = None, tau: int = 8,
+    def from_matrix(cls, matrix, R: int | None = None, tau: int | None = None,
                     chunk: int = 1 << 15,
                     max_dense_bytes: int | None = None):
-        """Convert any host matrix exposing get_rows_mask (BRWT, RowDiff,
-        ColumnMajor, ...) — the one-time setup pass, like dense packing.
-        Returns None when the dense-overflow side matrix would exceed
-        ``max_dense_bytes`` (heavily dense matrices: callers fall back to
-        another device representation)."""
+        """Convert any host matrix exposing get_rows_mask / get_rows_words
+        (BRWT, RowDiff, ColumnMajor, ...) — the one-time setup pass, like
+        dense packing.  ``tau`` None auto-sizes from the first chunk's
+        nonzero-block distribution (~p99.5, clipped to [4, 32]) so
+        ordinary rows stay in the fixed-width table and only genuinely
+        dense rows overflow.  Returns None when the dense-overflow side
+        matrix would exceed ``max_dense_bytes`` (heavily dense matrices:
+        callers fall back to another device representation)."""
         L = matrix.num_labels
         Rm = matrix.num_rows
         R = Rm if R is None else R
         Lw = max(-(-L // 32), 1)
+        if tau is None:
+            w0 = cls._rows_words(matrix, np.arange(min(Rm, 1 << 14)), Lw)
+            nz0 = (w0 != 0).sum(axis=1)
+            tau = int(np.clip(np.percentile(nz0, 99.5) if len(nz0) else 8,
+                              4, 32))
         ids = np.zeros((R + 1, tau), np.uint32)
         wds = np.zeros((R + 1, tau), np.uint32)
         dmap = np.zeros(R + 1, np.int32)
@@ -75,13 +105,7 @@ class DeviceBlockSparseAnno:
         dense_pat = {}                       # pattern bytes -> slot
         for lo in range(0, min(R, Rm), chunk):
             rows = np.arange(lo, min(lo + chunk, Rm))
-            mask = np.asarray(matrix.get_rows_mask(rows), dtype=bool)
-            pad = (-L) % 32
-            if pad:
-                mask = np.concatenate(
-                    [mask, np.zeros((len(rows), pad), bool)], axis=1)
-            words = np.packbits(mask.reshape(len(rows), Lw, 32), axis=2,
-                                bitorder="little").view(np.uint32)[:, :, 0]
+            words = cls._rows_words(matrix, rows, Lw)
             nz = words != 0
             nnz = nz.sum(axis=1)
             sparse = nnz <= tau

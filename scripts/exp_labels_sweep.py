@@ -93,9 +93,12 @@ def main():
               f"({nnz_blocks/R:.1f}/row), dense bitmap "
               f"{R*Lw*4/1e9:.2f} GB", flush=True)
 
-        class _M:                      # get_rows_mask shim over the bitmap
+        class _M:                      # packed shim over the bitmap
             num_labels = L
             num_rows = R
+
+            def get_rows_words(self, rows):
+                return bitmap[rows]
 
             def get_rows_mask(self, rows):
                 w = bitmap[rows]
@@ -103,11 +106,11 @@ def main():
                                      bitorder="little")[:, :L]
 
         t0 = time.perf_counter()
-        sp = DeviceBlockSparseAnno.from_matrix(_M(), R, tau=8)
+        sp = DeviceBlockSparseAnno.from_matrix(_M(), R)
         conv_dt = time.perf_counter() - t0
         print(f"  sparse conversion: {conv_dt:.1f} s, "
-              f"{sp.nbytes/1e6:.0f} MB device "
-              f"(dense side {sp.dense8.shape[0]-1} rows)", flush=True)
+              f"{sp.nbytes/1e6:.0f} MB device (tau {sp.tau}, dense side "
+              f"{sp.dense8.shape[0]-1} patterns)", flush=True)
         td = jnp.asarray(tiles)
         ts = jnp.asarray(tile_seq)
         dt_s, r_s = timeit(lambda a, b: sparse_count_epoch(sp, a, b, S, L),
