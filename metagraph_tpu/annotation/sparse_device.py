@@ -94,10 +94,13 @@ class DeviceBlockSparseAnno:
         R = Rm if R is None else R
         Lw = max(-(-L // 32), 1)
         if tau is None:
+            # p90 of nonzero blocks per row: entry work scales with tau
+            # for EVERY window, while tail rows fold through the deduped
+            # dense side at matmul cost — keep tau small
             w0 = cls._rows_words(matrix, np.arange(min(Rm, 1 << 14)), Lw)
             nz0 = (w0 != 0).sum(axis=1)
-            tau = int(np.clip(np.percentile(nz0, 99.5) if len(nz0) else 8,
-                              4, 32))
+            tau = int(np.clip(np.percentile(nz0, 90) if len(nz0) else 8,
+                              4, 16))
         ids = np.zeros((R + 1, tau), np.uint32)
         wds = np.zeros((R + 1, tau), np.uint32)
         dmap = np.zeros(R + 1, np.int32)
@@ -171,9 +174,11 @@ def sparse_count_epoch(danno: DeviceBlockSparseAnno, rows1: jnp.ndarray,
     tau = danno.tau
     L = num_labels
     Lw = max(-(-L // 32), 1)
-    # chunk rows: bounded so one one-hot slab (C, T*tau, 256) bf16 stays
-    # ~16 MB (the 64k-label compile blew VMEM at C = 64)
-    C = max(1, min((1 << 14) // T, (16 << 20) // max(T * tau * 256 * 2, 1)))
+    # chunk rows: slab width and chunk size bounded together so one
+    # one-hot slab (C, T*tau, BL) bf16 stays ~32 MB without shrinking the
+    # chunk (and the scan step count) too far
+    BL = 128
+    C = max(8, min((1 << 14) // T, (32 << 20) // max(T * tau * BL * 2, 1)))
     pad = (-N) % C
     if pad:
         rows1 = jnp.concatenate([rows1, jnp.zeros((pad, T), rows1.dtype)])
@@ -185,7 +190,7 @@ def sparse_count_epoch(danno: DeviceBlockSparseAnno, rows1: jnp.ndarray,
     seq_iota = jnp.arange(num_seqs, dtype=tile_seq.dtype)
 
     def body(acc, x):
-        counts_acc, present_acc = acc
+        counts_acc, present_acc, dmult_acc = acc
         nn, tseq = x
         hit = nn > 0
         r = nn.reshape(C * T)
@@ -200,7 +205,6 @@ def sparse_count_epoch(danno: DeviceBlockSparseAnno, rows1: jnp.ndarray,
         # is built in <=256-block column slabs so its materialization stays
         # bounded at large L (Lw can be 2048 at 65k labels)
         bits = ((wrd[:, :, None] >> shifts) & 1).astype(jnp.bfloat16)
-        BL = 256
         parts = []
         for b0 in range(0, Lw, BL):
             sub = min(BL, Lw - b0)
@@ -221,34 +225,29 @@ def sparse_count_epoch(danno: DeviceBlockSparseAnno, rows1: jnp.ndarray,
         dmult = jax.ops.segment_sum(
             jnp.ones(C * T, jnp.int32), seg,
             num_segments=C * Rd).reshape(C, Rd)
-        # fold THIS chunk's tiles into the (S, L) accumulator — at 64k
-        # labels a stacked per-tile counts matrix would be 6.6 GB f32;
-        # the running fold keeps memory at O(S*L) (sums stay < 2^24, so
-        # f32 accumulation is exact)
+        # fold THIS chunk's tiles into (S, L) / (S, Rd) accumulators — at
+        # 64k labels a stacked per-tile counts matrix would be 6.6 GB f32,
+        # and a large deduped dense side would stack a (tiles, Rd) matrix;
+        # running folds keep memory at O(S*(L+Rd)) (sums < 2^24 -> f32
+        # accumulation exact; per-TILE dmult <= 256 -> bf16 inputs exact)
         onehot = (tseq[:, None] == seq_iota[None, :]).astype(jnp.float32)
         counts_acc = counts_acc + jax.lax.dot_general(
             onehot, tc.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         present_acc = present_acc + jnp.sum(
             onehot * th.astype(jnp.float32)[:, None], axis=0)
-        return (counts_acc, present_acc), dmult
+        dmult_acc = dmult_acc + jax.lax.dot_general(
+            onehot, dmult.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (counts_acc, present_acc, dmult_acc), None
 
-    (counts_f, present_f), dmult = jax.lax.scan(
+    (counts_f, present_f, dmult_s), _ = jax.lax.scan(
         body, (jnp.zeros((num_seqs, L), jnp.float32),
-               jnp.zeros(num_seqs, jnp.float32)),
+               jnp.zeros(num_seqs, jnp.float32),
+               jnp.zeros((num_seqs, Rd), jnp.float32)),
         (rows1.reshape(nc, C, T), tile_seq_c))
-    dmult = dmult.reshape(nc * C, Rd)
-    # dense-overflow contribution, folded straight to sequences:
-    # (S x tiles) @ (tiles x Rd) @ (Rd x L); per-tile multiplicities
-    # <= T = 256 and bits 0/1, so bf16 inputs are exact with f32 accum
-    onehot_all = (tile_seq[:, None]
-                  == seq_iota[None, :]).astype(jnp.bfloat16)
-    dmult_s = jax.lax.dot_general(
-        onehot_all, dmult.astype(jnp.bfloat16),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (S, Rd)
     # per-sequence multiplicities can exceed the bf16 integer range (256),
-    # so this last matmul stays in f32 (Rd is small)
+    # so the dense-overflow expansion stays in f32
     dcounts = jax.lax.dot_general(
         dmult_s, danno.dense8.astype(jnp.float32),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
