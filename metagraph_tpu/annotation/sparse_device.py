@@ -1,29 +1,32 @@
-"""Block-sparse device annotation: compressed matrices served on device at
+"""Label-sparse device annotation: compressed matrices served on device at
 ANY label count without densifying.
 
-The dense device bitmap costs R * L bits of HBM (4.8 GB at 592k rows x 65k
+The dense device bitmap costs R * L bits of HBM (4.9 GB at 592k rows x 65k
 labels — past the device-budget gate), and the r4 dynamic BRWT descend did
-O(Q x tree-nodes) work (VERDICT r4 missing #1).  A literal frontier-
-compacting descend was measured out: compaction needs either scatter
-(~75 M/s scalar, 14 M/s for 128 B rows) or a sort per level (~35 ms per
-level per batch) — both slower than the structure below (r5
-scripts/exp_scatter measurements).
+O(Q x tree-nodes) work (VERDICT r4 missing #1).  Designs that were
+measured out on this chip (r5 `scripts/exp_scatter.py`, `exp_gather2d.py`,
+BENCH_NOTES_r5):
+
+  * a literal frontier-compacting descend — per-level compaction needs a
+    sort (~35 ms/level/batch) or scatter;
+  * a 32-label-block one-hot MXU formulation — its one-hot generation is
+    O(windows x tau x L/32), NOT output-sensitive in L (1.65 s at 16k
+    labels vs 0.38 s dense).
 
 This structure is output-sensitive in STORAGE and WORK like the
 reference's Multi-BRWT ``slice_rows`` (multi_brwt/brwt.cpp:74-127 descends
-only children with nonzero rank slices), but maps to the MXU instead of a
-tree walk:
+only children with nonzero rank slices), mapped to gather + scatter-add:
 
-  * per row, the <= tau nonzero 32-label BLOCKS are stored as
-    (block id, word) pairs in one fixed-width (R, 2*tau) uint32 table —
-    one 8*tau-byte row-gather per query window, independent of L;
-  * rows with more than tau nonzero blocks (the dense "core-genome" tail)
-    go to a small int8 side matrix; their per-sequence contribution folds
-    EXACTLY through one f32 matmul over window multiplicities
-    (counts < 2^24), so label-count skew cannot degrade the epoch;
-  * per-tile label counts come from one one-hot matmul per tile
-    (entries x blocks) @ (entries x 32 bits) on the MXU — work scales with
-    NONZERO blocks touched, not with R or L.
+  * per row, up to ``tau`` LABEL ids in one fixed-width (R+1, tau) uint32
+    table — one 4*tau-byte row-gather per query window, independent of L;
+  * counting is ONE segment-sum of (window-slot -> seq*L + label) scalar
+    adds — O(windows x labels-per-row) work at the chip's ~75 M scalar
+    scatter-adds/s, independent of L;
+  * rows with more than tau labels (the dense "core-genome" tail) map to
+    a DEDUPED pattern side matrix (the Rainbowfish/UniqueRow move, ref
+    rainbowfish.hpp:20); their per-sequence multiplicities accumulate by
+    one more segment-sum and expand through one exact f32 matmul — label
+    skew cannot degrade the epoch.
 
 Counts are bit-identical to the dense path / host matrices.
 """
@@ -41,9 +44,9 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceBlockSparseAnno:
-    entries: jnp.ndarray    # (R+1, 2*tau) uint32: [block ids | words]; row 0 = miss
-    dmap: jnp.ndarray       # (R+1,) int32 index into dense8 (0 = all-zero row)
-    dense8: jnp.ndarray     # (Rd+1, L) int8 expanded bits of overflow rows
+    entries: jnp.ndarray    # (R+1, tau) uint32 label ids; num_labels = pad
+    dmap: jnp.ndarray       # (R+1,) int32 index into dense8 (0 = sparse row)
+    dense8: jnp.ndarray     # (Rd+1, L) int8 expanded overflow patterns
     tau: int
     num_labels: int
 
@@ -84,50 +87,51 @@ class DeviceBlockSparseAnno:
         """Convert any host matrix exposing get_rows_mask / get_rows_words
         (BRWT, RowDiff, ColumnMajor, ...) — the one-time setup pass, like
         dense packing.  ``tau`` None auto-sizes from the first chunk's
-        nonzero-block distribution (~p99.5, clipped to [4, 32]) so
-        ordinary rows stay in the fixed-width table and only genuinely
-        dense rows overflow.  Returns None when the dense-overflow side
-        matrix would exceed ``max_dense_bytes`` (heavily dense matrices:
-        callers fall back to another device representation)."""
+        labels-per-row distribution (~p90, clipped to [4, 16]): scatter
+        work scales with tau for every window, while tail rows fold
+        through the deduped dense side at matmul cost.  Returns None when
+        the dense-overflow side matrix would exceed ``max_dense_bytes``
+        (callers fall back to another device representation)."""
         L = matrix.num_labels
         Rm = matrix.num_rows
         R = Rm if R is None else R
         Lw = max(-(-L // 32), 1)
         if tau is None:
-            # p90 of nonzero blocks per row: entry work scales with tau
-            # for EVERY window, while tail rows fold through the deduped
-            # dense side at matmul cost — keep tau small
             w0 = cls._rows_words(matrix, np.arange(min(Rm, 1 << 14)), Lw)
-            nz0 = (w0 != 0).sum(axis=1)
-            tau = int(np.clip(np.percentile(nz0, 90) if len(nz0) else 8,
+            nl0 = _popcount_rows(w0)
+            tau = int(np.clip(np.percentile(nl0, 90) if len(nl0) else 8,
                               4, 16))
-        ids = np.zeros((R + 1, tau), np.uint32)
-        wds = np.zeros((R + 1, tau), np.uint32)
+        # sentinel label = L (counts buffer has one scratch column)
+        ids = np.full((R + 1, tau), L, np.uint32)
         dmap = np.zeros(R + 1, np.int32)
         dense_rows = []                      # distinct overflow patterns
         dense_pat = {}                       # pattern bytes -> slot
+        bitpos = np.arange(32, dtype=np.uint32)
         for lo in range(0, min(R, Rm), chunk):
             rows = np.arange(lo, min(lo + chunk, Rm))
             words = cls._rows_words(matrix, rows, Lw)
-            nz = words != 0
-            nnz = nz.sum(axis=1)
-            sparse = nnz <= tau
-            si = np.flatnonzero(sparse)
+            nl = _popcount_rows(words)
+            sparse = nl <= tau
+            si = np.flatnonzero(sparse & (nl > 0))
             if len(si):
-                # nonzero blocks first per row (stable argsort of ~nz)
-                width = min(tau, Lw)
-                order = np.argsort(~nz[si], axis=1,
-                                   kind="stable")[:, :width]
-                vs = np.take_along_axis(nz[si], order, axis=1)
-                ids[lo + si + 1, :width] = \
-                    np.where(vs, order, 0).astype(np.uint32)
-                wds[lo + si + 1, :width] = np.where(
-                    vs, np.take_along_axis(words[si], order, axis=1), 0)
+                rr, ww = np.nonzero(words[si] != 0)
+                labs = (words[si][rr, ww][:, None] >> bitpos) & 1
+                # expand each nonzero word's set bits to label ids
+                eb, bb = np.nonzero(labs)
+                lab_ids = (ww[eb] * 32 + bb).astype(np.uint32)
+                owner = rr[eb]
+                # slot position within each row = running count per owner
+                slot = np.zeros(len(owner), np.int64)
+                if len(owner):
+                    first = np.concatenate(
+                        [[True], owner[1:] != owner[:-1]])
+                    idxs = np.arange(len(owner))
+                    start = np.maximum.accumulate(
+                        np.where(first, idxs, 0))
+                    slot = idxs - start
+                ids[lo + si[owner] + 1, slot] = lab_ids
             di = np.flatnonzero(~sparse)
             if len(di):
-                # dense-row PATTERN dedup (the Rainbowfish/UniqueRow move,
-                # ref rainbowfish.hpp:20: core-genome rows share few
-                # distinct label sets): identical rows map to one side slot
                 upat, inv = np.unique(words[di], axis=0,
                                       return_inverse=True)
                 slots = np.empty(len(upat), np.int32)
@@ -151,8 +155,7 @@ class DeviceBlockSparseAnno:
                 [np.zeros((1, L), np.uint8), bits], axis=0).astype(np.int8)
         else:
             dense8 = np.zeros((1, L), np.int8)
-        entries = np.concatenate([ids, wds], axis=1)
-        return cls(jnp.asarray(entries), jnp.asarray(dmap),
+        return cls(jnp.asarray(ids), jnp.asarray(dmap),
                    jnp.asarray(dense8), tau, L)
 
     @property
@@ -160,11 +163,17 @@ class DeviceBlockSparseAnno:
         return (self.entries.size + self.dmap.size) * 4 + self.dense8.size
 
 
+def _popcount_rows(words: np.ndarray) -> np.ndarray:
+    """Total set bits per row of a (n, Lw) uint32 matrix."""
+    v = words.view(np.uint8)
+    return np.unpackbits(v, axis=1).sum(axis=1)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def sparse_count_epoch(danno: DeviceBlockSparseAnno, rows1: jnp.ndarray,
                        tile_seq: jnp.ndarray, num_seqs: int,
                        num_labels: int):
-    """Tiled per-sequence label counts from the block-sparse annotation.
+    """Tiled per-sequence label counts from the label-sparse annotation.
 
     rows1: (N, T) int32 1-based annotation rows (0 = miss) in the tiled
     layout; tile_seq: (N,) owning sequence.  Returns (counts (S, L) int32,
@@ -173,83 +182,31 @@ def sparse_count_epoch(danno: DeviceBlockSparseAnno, rows1: jnp.ndarray,
     N, T = rows1.shape
     tau = danno.tau
     L = num_labels
-    Lw = max(-(-L // 32), 1)
-    # chunk rows: slab width and chunk size bounded together so one
-    # one-hot slab (C, T*tau, BL) bf16 stays ~32 MB without shrinking the
-    # chunk (and the scan step count) too far
-    BL = 128
-    C = max(8, min((1 << 14) // T, (32 << 20) // max(T * tau * BL * 2, 1)))
-    pad = (-N) % C
-    if pad:
-        rows1 = jnp.concatenate([rows1, jnp.zeros((pad, T), rows1.dtype)])
-        tile_seq = jnp.concatenate([tile_seq, jnp.zeros(pad, tile_seq.dtype)])
-    nc = rows1.shape[0] // C
-    shifts = jnp.arange(32, dtype=jnp.uint32)
+    r = rows1.reshape(-1)
+    seq_of = jnp.repeat(tile_seq, T)
+    hit = r > 0
+    # present: windows that hit the graph, per sequence
+    present = jax.ops.segment_sum(hit.astype(jnp.int32), seq_of,
+                                  num_segments=num_seqs)
+    # sparse rows: one gather of tau label ids + one scalar segment-sum
+    # per slot entry into the (S, L+1) counts buffer (column L = the
+    # sentinel/padding sink).  Work = windows x tau adds, independent of L.
+    labs = danno.entries[r]                               # (NT, tau)
+    key = (seq_of.astype(jnp.int32)[:, None] * (L + 1)
+           + labs.astype(jnp.int32)).reshape(-1)
+    counts = jax.ops.segment_sum(
+        jnp.ones(key.shape[0], jnp.int32), key,
+        num_segments=num_seqs * (L + 1)).reshape(num_seqs, L + 1)[:, :L]
+    # dense-overflow patterns: per-sequence multiplicities by one more
+    # segment-sum, expanded through an exact f32 matmul (multiplicities
+    # exceed bf16's integer range, so f32 operands)
     Rd = danno.dense8.shape[0]
-    tile_seq_c = tile_seq.reshape(nc, C)
-    seq_iota = jnp.arange(num_seqs, dtype=tile_seq.dtype)
-
-    def body(acc, x):
-        counts_acc, present_acc, dmult_acc = acc
-        nn, tseq = x
-        hit = nn > 0
-        r = nn.reshape(C * T)
-        e = danno.entries[r]                         # (C*T, 2*tau)
-        blk = e[:, :tau].reshape(C, T * tau)
-        wrd = e[:, tau:].reshape(C, T * tau)
-        # one-hot (entries x blocks) @ (entries x 32 bits): per-tile label
-        # counts on the MXU; zero words one-hot into block 0 with bits 0,
-        # so padding contributes nothing
-        # one-hot and bit operands are 0/1 -> bf16 inputs are exact with
-        # f32 accumulation (per-tile counts < 2^24).  The one-hot operand
-        # is built in <=256-block column slabs so its materialization stays
-        # bounded at large L (Lw can be 2048 at 65k labels)
-        bits = ((wrd[:, :, None] >> shifts) & 1).astype(jnp.bfloat16)
-        parts = []
-        for b0 in range(0, Lw, BL):
-            sub = min(BL, Lw - b0)
-            oh = (blk[:, :, None]
-                  == jnp.arange(b0, b0 + sub, dtype=jnp.uint32)[None, None, :]
-                  ).astype(jnp.bfloat16)             # (C, T*tau, sub)
-            parts.append(jax.lax.dot_general(
-                oh, bits, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32))  # (C, sub, 32)
-        tcw = jnp.concatenate(parts, axis=1)          # (C, Lw, 32)
-        tc = tcw.astype(jnp.int32).reshape(C, Lw * 32)[:, :L]
-        th = hit.sum(axis=1, dtype=jnp.int32)
-        # overflow rows: per-tile multiplicity histogram of each dense row
-        # (segment-sum; ~75 M scalar scatter-adds/s on v5e), folded once by
-        # an exact matmul after the scan
-        d = danno.dmap[r].reshape(C, T)              # (C, T) dense row idx
-        seg = (jnp.arange(C, dtype=jnp.int32)[:, None] * Rd + d).reshape(-1)
-        dmult = jax.ops.segment_sum(
-            jnp.ones(C * T, jnp.int32), seg,
-            num_segments=C * Rd).reshape(C, Rd)
-        # fold THIS chunk's tiles into (S, L) / (S, Rd) accumulators — at
-        # 64k labels a stacked per-tile counts matrix would be 6.6 GB f32,
-        # and a large deduped dense side would stack a (tiles, Rd) matrix;
-        # running folds keep memory at O(S*(L+Rd)) (sums < 2^24 -> f32
-        # accumulation exact; per-TILE dmult <= 256 -> bf16 inputs exact)
-        onehot = (tseq[:, None] == seq_iota[None, :]).astype(jnp.float32)
-        counts_acc = counts_acc + jax.lax.dot_general(
-            onehot, tc.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        present_acc = present_acc + jnp.sum(
-            onehot * th.astype(jnp.float32)[:, None], axis=0)
-        dmult_acc = dmult_acc + jax.lax.dot_general(
-            onehot, dmult.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return (counts_acc, present_acc, dmult_acc), None
-
-    (counts_f, present_f, dmult_s), _ = jax.lax.scan(
-        body, (jnp.zeros((num_seqs, L), jnp.float32),
-               jnp.zeros(num_seqs, jnp.float32),
-               jnp.zeros((num_seqs, Rd), jnp.float32)),
-        (rows1.reshape(nc, C, T), tile_seq_c))
-    # per-sequence multiplicities can exceed the bf16 integer range (256),
-    # so the dense-overflow expansion stays in f32
+    d = danno.dmap[r]
+    dkey = seq_of.astype(jnp.int32) * Rd + d
+    dmult = jax.ops.segment_sum(
+        jnp.ones(dkey.shape[0], jnp.int32), dkey,
+        num_segments=num_seqs * Rd).reshape(num_seqs, Rd)
     dcounts = jax.lax.dot_general(
-        dmult_s, danno.dense8.astype(jnp.float32),
+        dmult.astype(jnp.float32), danno.dense8.astype(jnp.float32),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    counts = counts_f + dcounts
-    return counts.astype(jnp.int32), present_f.astype(jnp.int32)
+    return (counts + dcounts.astype(jnp.int32)), present
