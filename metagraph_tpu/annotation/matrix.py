@@ -652,18 +652,30 @@ class RowDiff(BinaryMatrix):
                         routing=None, external_routing=False) -> "RowDiff":
         succ, anchors = routing if routing is not None \
             else cls.build_routing(graph, max_length)
-        # annotation pairs (r, c)
-        dense = [np.zeros(num_rows, dtype=bool) for _ in range(num_labels)]
-        for c, col in enumerate(columns):
-            dense[c][col] = True
+        # SPARSE per-column diff (r5): the old path materialized every
+        # column densely — O(R x L) bytes, 4.5 TB at the scale demo's
+        # 4.5e7 rows x 1e5 labels.  diff[r] = col[r] ^ col[succ[r]]
+        # (anchors keep col[r]), so the shifted set is the PREDECESSOR
+        # image of the column: one succ-CSR built once, then O(nnz) set
+        # algebra per column (ref row_diff_builder.cpp streams columns
+        # the same way).
+        has = succ >= 0
+        src = np.flatnonzero(has)
+        order = np.argsort(succ[src], kind="stable")
+        pred_idx = src[order]
+        pred_ptr = np.zeros(num_rows + 1, np.int64)
+        np.add.at(pred_ptr, succ[src] + 1, 1)
+        pred_ptr = np.cumsum(pred_ptr)
         diff_cols = []
-        for c in range(num_labels):
-            col = dense[c]
-            shifted = np.zeros(num_rows, dtype=bool)
-            has_succ = succ >= 0
-            shifted[has_succ] = col[succ[has_succ]]
-            diff = np.where(anchors, col, col ^ shifted)
-            diff_cols.append(np.flatnonzero(diff))
+        for col in columns:
+            col = np.asarray(col, dtype=np.int64)
+            cnt = pred_ptr[col + 1] - pred_ptr[col]
+            starts = pred_ptr[col]
+            flat = np.repeat(starts - np.cumsum(cnt) + cnt, cnt) \
+                + np.arange(int(cnt.sum()))
+            shifted = pred_idx[flat]
+            shifted = shifted[~anchors[shifted]]
+            diff_cols.append(np.setxor1d(col, shifted))
         inner = inner_type.from_columns(diff_cols, num_rows, num_labels)
         if external_routing:
             return cls(inner, None, None, num_labels)
