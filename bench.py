@@ -279,12 +279,68 @@ def main():
                 sts.append(time.perf_counter() - t0)
             sp_dt = min(sts)
             same_s = np.array_equal(np.asarray(rS[0]), np.asarray(r0[0]))
-            log(f"block-sparse anno epoch (1k labels, {sp.nbytes/1e6:.0f} "
+            log(f"label-sparse anno epoch (1k labels, {sp.nbytes/1e6:.0f} "
                 f"MB vs {g.max_index()*((L+31)//32)*4/1e6:.0f} MB dense): "
                 f"{sp_dt*1e3:.1f} ms -> {n_kmers_big/sp_dt/1e6:.1f} "
-                f"M kmers/s; counts identical={same_s}")
+                f"M kmers/s; counts identical={same_s} (sized for "
+                f"beyond-budget label counts; the dense working copy "
+                f"stays production at 1k)")
+            # label scaling (r5 task 8): the sparse epoch's counting cost
+            # is O(windows x labels/row), flat in L; the dense epoch's
+            # row bytes grow with L.  Synthetic ~4 labels/row + a
+            # pattern-sharing dense tail (the realistic core-genome
+            # shape); full sweep incl. dense cross-checks in
+            # scripts/exp_labels_sweep.py / BENCH_NOTES_r5.
+            from metagraph_tpu.annotation.sparse_device import \
+                _popcount_rows
+            R_ = g.max_index()
+            rng_l = np.random.default_rng(3)
+            for Lbig in (16384, 65536):
+                Lw_ = -(-Lbig // 32)
+                n_per = rng_l.geometric(1 / 4.0, R_).clip(1, 8)
+                rr_ = np.repeat(np.arange(R_), n_per)
+                cc_ = rng_l.integers(0, Lbig, len(rr_))
+                bm_ = np.zeros((R_, Lw_), np.uint32)
+                bm_[rr_, cc_ // 32] |= np.uint32(1) << (cc_ % 32).astype(
+                    np.uint32)
+                dense_rows_ = rng_l.choice(R_, 2000, replace=False)
+                pats = (rng_l.random((20, Lw_ * 32)) < 0.3)
+                pw = np.packbits(pats.reshape(20, Lw_, 32), axis=2,
+                                 bitorder="little").view(np.uint32)[:, :, 0]
+                bm_[dense_rows_] = pw[rng_l.integers(0, 20, 2000)]
+
+                class _MB:
+                    num_labels = Lbig
+                    num_rows = R_
+
+                    def get_rows_words(self, rows):
+                        return bm_[rows]
+
+                    def get_rows_mask(self, rows):
+                        return np.unpackbits(
+                            bm_[rows].view(np.uint8), axis=1,
+                            bitorder="little")[:, :Lbig]
+
+                t0 = time.perf_counter()
+                spb = DeviceBlockSparseAnno.from_matrix(_MB(), R_)
+                conv = time.perf_counter() - t0
+                rb = sparse_count_epoch(spb, rows_t, ts_d, S, Lbig)
+                _ = int(np.asarray(rb[1]).sum())
+                bts = []
+                for _i in range(2):
+                    t0 = time.perf_counter()
+                    rb = sparse_count_epoch(spb, rows_t, ts_d, S, Lbig)
+                    _ = int(np.asarray(rb[1]).sum())
+                    bts.append(time.perf_counter() - t0)
+                log(f"label-sparse anno epoch ({Lbig} labels, "
+                    f"{spb.nbytes/1e6:.0f} MB vs "
+                    f"{R_*Lw_*4/1e9:.1f} GB dense): {min(bts)*1e3:.1f} ms "
+                    f"-> {n_kmers_big/min(bts)/1e6:.1f} M kmers/s "
+                    f"(conversion {conv:.0f} s; counting is the "
+                    f"windows x labels/row segment-sum, flat in L)")
+                del bm_, spb
         except Exception as e:
-            log(f"block-sparse anno epoch skipped ({e})")
+            log(f"label-sparse anno epoch skipped ({e})")
 
     # sanity vs host anchor: byte-exact query output
     payloads = pipe.query_labels(seqs, "labels", 2 ** 63, 1.0, 0.0)

@@ -886,15 +886,21 @@ class RowDiff(BinaryMatrix):
                     "inconsistent .rd_succ/.anchors sidecars")
         all_nodes = np.concatenate(nodes)
         all_owners = np.concatenate(owners)
-        diffs = self.inner.get_rows_mask(all_nodes)
+        # inner rows are queried in bounded slices and packed IMMEDIATELY:
+        # at 1e5 labels the bool expansion is 12.5 KB -> 100 KB per row,
+        # and a whole chain batch held as bool is tens of GB
+        sl = max((64 << 20) // max(self.num_labels, 1), 1024)
+        packed = np.concatenate(
+            [np.packbits(np.asarray(
+                self.inner.get_rows_mask(all_nodes[i: i + sl]), dtype=bool),
+                axis=1, bitorder="little")
+             for i in range(0, len(all_nodes), sl)])             if len(all_nodes) else np.zeros(
+                (0, -(-self.num_labels // 8)), np.uint8)
         # XOR-fold per owner on PACKED bytes via reduceat (logical_xor.at
         # is an unbuffered elementwise loop — measured 1.3 s per 4k rows).
         # Every owner has a level-0 pair, so no segment is empty.
         order = np.argsort(all_owners, kind="stable")
-        packed = np.packbits(diffs, axis=1,
-                             bitorder="little")[order]   # pack BEFORE the
-        # owner-order copy: the fancy index then moves L/8 bytes per pair
-        # instead of L bools
+        packed = packed[order]
         starts = np.searchsorted(all_owners[order],
                                  np.arange(len(rows), dtype=np.int64))
         return np.bitwise_xor.reduceat(packed, starts, axis=0)

@@ -96,6 +96,9 @@ class DeviceBlockSparseAnno:
         Rm = matrix.num_rows
         R = Rm if R is None else R
         Lw = max(-(-L // 32), 1)
+        # bound the packed words held per conversion chunk (~256 MB): at
+        # 1e5 labels a 32k-row chunk alone is 400 MB before chain pairs
+        chunk = int(min(chunk, max((256 << 20) // (Lw * 4), 1024)))
         if tau is None:
             w0 = cls._rows_words(matrix, np.arange(min(Rm, 1 << 14)), Lw)
             nl0 = _popcount_rows(w0)

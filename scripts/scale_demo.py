@@ -100,11 +100,16 @@ def stage_generate():
             bb = alpha[rng.integers(0, 4, BACKBONE)]
             mk = alpha[rng.integers(0, 4, MARKER)]
             starts = rng.integers(0, BACKBONE - 600, N_SAMPLES)
-            mstarts = rng.integers(0, MARKER - 200, N_SAMPLES)
             priv = alpha[rng.integers(0, 4, (N_SAMPLES, 200))]
             for i in range(N_SAMPLES):
+                # every sample of a species carries the same conserved
+                # 200 bp marker slice -> the marker's annotation rows share
+                # ONE label pattern per species (the dense-pattern-dedup
+                # shape of real core genes; random per-sample marker
+                # windows would make ~2k distinct ~50-dense patterns per
+                # species = a 36 GB side matrix)
                 seq = np.concatenate([bb[starts[i]: starts[i] + 600],
-                                      mk[mstarts[i]: mstarts[i] + 200],
+                                      mk[: 200],
                                       priv[i]])
                 f.write(b">sp%04d_s%04d\n" % (sp, i))
                 f.write(seq.tobytes() + b"\n")
