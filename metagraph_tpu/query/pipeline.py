@@ -1060,17 +1060,21 @@ class QueryEngine:
             from concurrent.futures import ThreadPoolExecutor
             nw = self.n_threads
             with ThreadPoolExecutor(max_workers=nw) as pool:
-                # native kernels keep their own -p threads too (short
-                # bursts; measured faster oversubscribed than 1 thread per
-                # worker, and the N outer workers keep scaling under
-                # external host load where a single worker collapsed)
-                pending = deque()
-                for b, bp in batches():
-                    pending.append(pool.submit(process, b, bp))
-                    while len(pending) > nw:
+                # outer workers x inner native threads ~ core count:
+                # plain oversubscription (nw x nw threads) measured 0.2x
+                # under a loaded host, while 1 inner thread wastes idle
+                # cores when batches are few
+                self._inner_threads = max(1, (os.cpu_count() or 1) // nw)
+                try:
+                    pending = deque()
+                    for b, bp in batches():
+                        pending.append(pool.submit(process, b, bp))
+                        while len(pending) > nw:
+                            yield from pending.popleft().result()
+                    while pending:
                         yield from pending.popleft().result()
-                while pending:
-                    yield from pending.popleft().result()
+                finally:
+                    self._inner_threads = None
         else:
             for b, bp in batches():
                 yield from process(b, bp)
