@@ -520,13 +520,13 @@ def main():
     if tpu_ok:
         try:
             import functools as _ft
-            # MG_NO_NATIVE_ENGINE is read per make_engine call (the
-            # NO_NATIVE_ALIGN flag is latched at first native-lib probe)
-            os.environ["MG_NO_NATIVE_ENGINE"] = "1"
+            # force the numpy wave path: the native-lib probe is latched
+            # in flat._nlib, so reset it under MG_NO_NATIVE_ALIGN
+            from metagraph_tpu.align import flat as _flat
+            os.environ["MG_NO_NATIVE_ALIGN"] = "1"
+            _flat._nlib = None
             from metagraph_tpu.align import wave_extender as _we
             from scripts.exp_wave_device import jax_compute_wave
-            os.environ.pop("MG_NO_NATIVE_ALIGN", None)   # set at module
-            # import of the exp script; must not latch for this process
             _rec = []
             _orig_cw = _we.compute_wave
             _hdp = [0.0]
@@ -541,7 +541,8 @@ def main():
             _np_al = DBGAligner(g, AlignerConfig())
             _ = _np_al.align_batch(reads[:64])
             _we.compute_wave = _orig_cw
-            os.environ.pop("MG_NO_NATIVE_ENGINE", None)
+            os.environ.pop("MG_NO_NATIVE_ALIGN", None)
+            _flat._nlib = None          # re-probe native for later users
             go_, ge_ = int(_rec[0][9]), int(_rec[0][10])
             jfn = jax.jit(_ft.partial(jax_compute_wave, gap_open=go_,
                                       gap_ext=ge_))
