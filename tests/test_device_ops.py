@@ -524,18 +524,37 @@ class TestWireEpoch:
         want = {m: [host.execute(n, m, 5, 0.6, 0.05)
                     for n in host.map_batch(queries)]
                 for m in ("labels", "matches", "signature")}
+        from metagraph_tpu.annotation.sparse_device import \
+            DeviceBlockSparseAnno
         for name, matrix in [
                 ("brwt", BRWT.from_columns(cols, R, L)),
                 ("row_diff_brwt",
                  RowDiff.from_annotation(cols, R, L, g, inner_type=BRWT))]:
             ag2 = AnnotatedDBG(g, StaticAnnotation(matrix, anno.encoder,
                                                    name))
+            # beyond the dense budget the production route is the
+            # label-sparse device annotation, served through
+            # execute_batch (query_batch_fused hands off by returning
+            # None, exactly as query_records does)
             dev = QueryEngine(ag2, use_device=True)
             for qmode, w in want.items():
                 got = dev.query_batch_fused(queries, qmode, 5, 0.6, 0.05)
-                assert got is not None, f"fused path refused {name}"
+                if got is None:
+                    got = dev.execute_batch(dev.map_batch(queries), qmode,
+                                            5, 0.6, 0.05)
                 assert str(got) == str(w), f"{name}/{qmode}"
-            assert dev._device_words is not None
+            assert isinstance(dev._device_anno, DeviceBlockSparseAnno)
+            # the words_fn fused path remains the fallback when the
+            # sparse conversion bails: force it and check payloads again
+            dev2 = QueryEngine(ag2, use_device=True)
+            monkeypatch.setattr(DeviceBlockSparseAnno, "from_matrix",
+                                classmethod(lambda *a, **k: None))
+            got2 = dev2.query_batch_fused(queries, "labels", 5, 0.6, 0.05)
+            assert got2 is not None, f"fused words_fn path refused {name}"
+            assert str(got2) == str(want["labels"]), name
+            assert dev2._device_words is not None
+            monkeypatch.undo()
+            monkeypatch.setenv("METAGRAPH_DENSE_ANNO_BUDGET", "0")
 
     def test_fused_canonical_graph_matches_host(self):
         self._fused_vs_host("canonical")
