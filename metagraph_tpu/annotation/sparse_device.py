@@ -165,6 +165,23 @@ class DeviceBlockSparseAnno:
     def nbytes(self) -> int:
         return (self.entries.size + self.dmap.size) * 4 + self.dense8.size
 
+    def save(self, path: str):
+        """Serialize the converted structure (the conversion is the
+        expensive one-time pass at scale — ~1 h at 4.6e7 rows x 1e5
+        labels — so the CLI caches it next to the annotation artifact,
+        like the reference's aux index files)."""
+        np.savez_compressed(path, entries=np.asarray(self.entries),
+                            dmap=np.asarray(self.dmap),
+                            dense8=np.asarray(self.dense8),
+                            tau=self.tau, num_labels=self.num_labels)
+
+    @classmethod
+    def load(cls, path: str) -> "DeviceBlockSparseAnno":
+        z = np.load(path)
+        return cls(jnp.asarray(z["entries"]), jnp.asarray(z["dmap"]),
+                   jnp.asarray(z["dense8"]), int(z["tau"]),
+                   int(z["num_labels"]))
+
 
 def _popcount_rows(words: np.ndarray) -> np.ndarray:
     """Total set bits per row of a (n, Lw) uint32 matrix."""

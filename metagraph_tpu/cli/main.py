@@ -794,6 +794,11 @@ def cmd_query(args):
                          use_device=args.device,
                          n_threads=max(args.parallel,
                                        getattr(args, "parallel_each", 1)))
+    # the block-sparse device conversion is an expensive one-time pass at
+    # scale (~1 h at 4.6e7 rows x 1e5 labels): cache the converted
+    # structure next to the annotation artifact, like the reference's aux
+    # index sidecars
+    engine.device_anno_cache = args.annotation + ".devsparse.npz"
 
     aligner_config = None
     if args.align:

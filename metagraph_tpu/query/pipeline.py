@@ -304,8 +304,24 @@ class QueryEngine:
             # slice_rows (multi_brwt/brwt.cpp:74-127) mapped to the MXU
             # instead of a tree walk.
             from ..annotation.sparse_device import DeviceBlockSparseAnno
-            sp = DeviceBlockSparseAnno.from_matrix(
-                matrix, R, max_dense_bytes=DENSE_BUDGET)
+            cachef = getattr(self, "device_anno_cache", None)
+            sp = None
+            if cachef is not None and os.path.exists(cachef):
+                try:
+                    sp = DeviceBlockSparseAnno.load(cachef)
+                    if sp.num_labels != matrix.num_labels \
+                            or sp.entries.shape[0] != R + 1:
+                        sp = None
+                except Exception:
+                    sp = None
+            if sp is None:
+                sp = DeviceBlockSparseAnno.from_matrix(
+                    matrix, R, max_dense_bytes=DENSE_BUDGET)
+                if sp is not None and cachef is not None:
+                    try:
+                        sp.save(cachef)
+                    except OSError:
+                        pass
             if sp is not None:
                 self._device_words = None
                 self._device_anno = sp
