@@ -161,6 +161,68 @@ class DeviceBlockSparseAnno:
         return cls(jnp.asarray(ids), jnp.asarray(dmap),
                    jnp.asarray(dense8), tau, L)
 
+    @classmethod
+    def from_columns(cls, columns, num_rows: int, num_labels: int,
+                     tau: int | None = None,
+                     max_dense_bytes: int | None = None):
+        """Column-streaming conversion: per-label row lists -> the device
+        structure, without any per-row matrix queries.  This is how the
+        conversion scales (one (row, label) pair sort, O(nnz log nnz)) —
+        converting FROM a loaded row_diff_brwt via its batch row queries
+        runs at ~1k rows/s on host (the BRWT batch query visits every
+        tree node per call) and is only viable for small matrices."""
+        L, R = num_labels, num_rows
+        prs, pcs = [], []
+        for i, c in enumerate(columns):
+            c = np.asarray(c, dtype=np.int64)
+            prs.append(c)
+            pcs.append(np.full(len(c), i, np.int64))
+        pr = np.concatenate(prs) if prs else np.zeros(0, np.int64)
+        pc = np.concatenate(pcs) if pcs else np.zeros(0, np.int64)
+        del prs, pcs
+        order = np.argsort(pr, kind="stable")
+        pr, pc = pr[order], pc[order]
+        nl = np.bincount(pr, minlength=R)
+        if tau is None:
+            nz = nl[nl > 0]
+            tau = int(np.clip(np.percentile(nz, 90) if len(nz) else 8,
+                              4, 16))
+        ids = np.full((R + 1, tau), L, np.uint32)
+        dmap = np.zeros(R + 1, np.int32)
+        starts = np.concatenate([[0], np.cumsum(nl)])
+        sparse_row = nl <= tau
+        sp_pair = sparse_row[pr]
+        slot = np.arange(len(pr)) - starts[pr]
+        ids[pr[sp_pair] + 1, slot[sp_pair]] = pc[sp_pair].astype(np.uint32)
+        dense_rows_idx = np.flatnonzero(~sparse_row)
+        dense_rows = []
+        dense_pat = {}
+        Lw = max(-(-L // 32), 1)
+        for r in dense_rows_idx:
+            labs = pc[starts[r]: starts[r + 1]]
+            w = np.zeros(Lw, np.uint32)
+            np.bitwise_or.at(w, labs // 32,
+                             (np.uint32(1) << (labs % 32).astype(np.uint32)))
+            key = w.tobytes()
+            slotn = dense_pat.get(key)
+            if slotn is None:
+                slotn = len(dense_rows) + 1
+                dense_pat[key] = slotn
+                dense_rows.append(w)
+                if max_dense_bytes is not None                         and len(dense_rows) * L > max_dense_bytes:
+                    return None
+            dmap[r + 1] = slotn
+        if dense_rows:
+            dw = np.stack(dense_rows)
+            bits = np.unpackbits(dw.view(np.uint8), axis=1,
+                                 bitorder="little")[:, :L]
+            dense8 = np.concatenate(
+                [np.zeros((1, L), np.uint8), bits], axis=0).astype(np.int8)
+        else:
+            dense8 = np.zeros((1, L), np.int8)
+        return cls(jnp.asarray(ids), jnp.asarray(dmap),
+                   jnp.asarray(dense8), tau, L)
+
     @property
     def nbytes(self) -> int:
         return (self.entries.size + self.dmap.size) * 4 + self.dense8.size

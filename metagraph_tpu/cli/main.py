@@ -598,6 +598,29 @@ def cmd_transform_anno(args):
     from ..annotation.matrix import (StaticAnnotation, convert_annotation,
                                      load_annotation)
 
+    if args.anno_type == "devsparse":
+        # prebuild the device query working structure (the label-sparse
+        # annotation) by COLUMN STREAMING — the scalable conversion; a
+        # per-row conversion from a loaded compressed matrix runs at ~1k
+        # rows/s host-side.  Write to -o verbatim so `query --device -a
+        # <artifact>` finds it as <artifact>.devsparse.npz.
+        from ..annotation.sparse_device import DeviceBlockSparseAnno
+        from ..utils.timer import PhaseTimer
+        anno = load_annotation(args.input[0])
+        if not isinstance(anno, ColumnMajorAnnotation):
+            raise SystemExit("ERROR: --anno-type devsparse streams COLUMN "
+                             "annotations (convert the compressed matrix's "
+                             "source columns)")
+        anno.freeze()
+        with PhaseTimer("devsparse conversion"):
+            sp = DeviceBlockSparseAnno.from_columns(
+                (anno.column_rows(c) for c in range(anno.num_labels)),
+                anno.num_rows, anno.num_labels)
+        sp.save(args.out)
+        print(f"device sparse annotation written to {args.out} "
+              f"({sp.nbytes/1e6:.0f} MB, tau {sp.tau}, "
+              f"{sp.dense8.shape[0]-1} dense patterns)", file=sys.stderr)
+        return
     if getattr(args, "to_ref_format", False):
         # emit a .column.annodbg the reference binary can load
         # (ref annotate_column_compressed.cpp serialize)

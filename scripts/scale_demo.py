@@ -158,9 +158,16 @@ def main():
         "-o", os.path.join(OUT, "anno_rdb"),
         os.path.join(OUT, "anno.column.annodbg.npz")])
     import glob
-    rdb = glob.glob(os.path.join(OUT, "anno_rdb.*.annodbg*"))
+    rdb = glob.glob(os.path.join(OUT, "anno_rdb.*.annodbg"))
     log(f"row_diff_brwt artifacts: {rdb}")
     anno_art = rdb[0]
+    # prebuild the device working structure by column streaming (the
+    # scalable conversion; per-row conversion from the loaded compressed
+    # matrix measures ~1k rows/s host-side at this scale)
+    run_stage("devsparse_convert", cli + [
+        "transform_anno", "--anno-type", "devsparse",
+        "-o", anno_art + ".devsparse.npz",
+        os.path.join(OUT, "anno.column.annodbg.npz")])
     r = run_stage("query_device", cli + [
         "query", "-i", gbase + ".dbg.npz", "-a", anno_art, "--device",
         reads])
